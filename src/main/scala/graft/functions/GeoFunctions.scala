@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial column functions — pure `Column` expression trees so every
+  * call stays inside whole-stage codegen (no UDFs).
+  *
+  * Mirrors the reference's geo math: haversine + bbox filtering
+  * (reference: kpt/visualize.py:21-35 `haversine_km`,
+  * eway/pipeline/ws_interceptor.py:44-56 bounds checks,
+  * open-street-map/pipeline/importer.py:15 `KYIV_BOUNDS`).
+  */
+object GeoFunctions {
+  val EarthRadiusKm: Double = 6371.0
+
+  /** Kyiv bbox as (latMin, latMax, lonMin, lonMax). */
+  val KyivBounds: (Double, Double, Double, Double) = (50.3, 50.6, 30.2, 30.8)
+  val UkraineBounds: (Double, Double, Double, Double) = (44.0, 52.0, 22.0, 40.0)
+
+  /** Great-circle distance in km (spherical haversine). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1)
+    val dlon = radians(lon2 - lon1)
+    val a = pow(sin(dlat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2)
+    lit(2 * EarthRadiusKm) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** True when (lat, lon) falls inside an inclusive bbox. */
+  def inBounds(lat: Column, lon: Column,
+               bounds: (Double, Double, Double, Double)): Column = {
+    val (latMin, latMax, lonMin, lonMax) = bounds
+    lat.between(latMin, latMax) && lon.between(lonMin, lonMax)
+  }
+
+  /** Region categorization mirroring the EWAY interceptor's
+    * kyiv/ukraine/other buckets. */
+  def regionCategory(lat: Column, lon: Column): Column =
+    when(inBounds(lat, lon, KyivBounds), "kyiv")
+      .when(inBounds(lat, lon, UkraineBounds), "ukraine")
+      .otherwise("other")
+
+  /** Integer grid cell ids for spatial binning / bucketed spatial joins.
+    * cellDeg is the cell edge in degrees. */
+  def gridX(lon: Column, originLon: Double, cellDeg: Double): Column =
+    floor((lon - originLon) / cellDeg).cast("int")
+  def gridY(lat: Column, originLat: Double, cellDeg: Double): Column =
+    floor((lat - originLat) / cellDeg).cast("int")
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-pipeline operators.
+  * All pure `Column` trees (built-in functions + higher-order array
+  * functions) — codegen-friendly, no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single
+    * punctuation marks. Same regex works in Java and RE2 (DuckDB). */
+  val BpeRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeRegex), lit(0)))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = Stopwords
+    val nStop = size(filter(tokens(text), t => t.isInCollection(stops)))
+    nStop.cast("double") / tokenCount(text)
+  }
+
+  /** Fraction of characters that are not letters/digits/space. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
+      length(text)
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double")) / tokenCount(text)
+
+  /** Canonical normalized form used for fingerprinting / exact dedup:
+    * lowercase, non-alnum → space, squeeze whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Content fingerprint: md5 hex of the normalized text (md5 is
+    * identical across Spark and DuckDB → oracle-checkable). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles as an array<string>. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sequence(1, size-n+1) start indices; slice is 1-based.
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(starts, i => concat_ws(" ", slice(toks, i, n)))
+  }
+
+  /** Distinct word shingles (set semantics for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+
+  /** Marker-word language-ID heuristic: score per language by counting
+    * marker-token occurrences, argmax with deterministic tie order.
+    * (An n-gram character model distilled to SQL-expressible form.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  def langId(text: Column): Column = {
+    // argmax over scores with fixed language order for ties
+    val scored = LangMarkers.map { case (lang, m) => (lang, langScore(text, m)) }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General OLAP parity block (TPC-H-shaped). Declarative DataFrame plans:
+  * Catalyst handles pushdown/pruning; dims are broadcast explicitly.
+  * Every computed column is aliased to match the DuckDB oracle; doubles
+  * from aggregations are rounded on both sides to kill
+  * summation-order ulps; every query is deterministically ordered.
+  */
+object TpchQueries {
+
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def topCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_nationkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("total_spend").desc, col("c_custkey").asc)
+    spend.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+      .orderBy("n_name", "rnk")
+  }
+
+  val topCustomerPerNationSql: String =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         round(sum(o_totalprice), 2) AS total_spend
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_name, c_nationkey),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY total_spend DESC, c_custkey) AS rnk
+      |  FROM spend)
+      |SELECT n_name, c_custkey, c_name, total_spend, rnk
+      |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin
+
+  def decileStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("decile")
+  }
+
+  val decileStatsSql: String =
+    """SELECT decile, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(avg(o_totalprice), 4) AS avg_price
+      |FROM (SELECT o_totalprice,
+      |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |      FROM orders)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
+  def orderFillRate(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).select("l_orderkey")
+    val withL = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("bucket", lit("with_lineitems"))
+    val withoutL = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("bucket", lit("no_lineitems"))
+    withL.unionByName(withoutL).select("bucket", "n").orderBy("bucket")
+  }
+
+  val orderFillRateSql: String =
+    """SELECT * FROM (
+      |  SELECT 'with_lineitems' AS bucket, count(*) AS n FROM orders
+      |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |  UNION ALL
+      |  SELECT 'no_lineitems' AS bucket, count(*) AS n FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+      |ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_top_customer_per_nation" -> (topCustomerPerNation _),
+    "q_decile_stats" -> (decileStats _),
+    "q_order_fill_rate" -> (orderFillRate _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q_top_customer_per_nation" -> topCustomerPerNationSql,
+    "q_decile_stats" -> decileStatsSql,
+    "q_order_fill_rate" -> orderFillRateSql)
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Normalizes the synthetic `events` table into the reference's vehicle
+  * position stream shape (reference: kpt/poller/models.py:9-17
+  * `VehiclePosition(vehicle_id, route_id, lat, lon, direction, flag,
+  * timestamp)`).
+  *
+  * `events.ts` arrives as Long nanoseconds (Spark's parquet reader cannot
+  * represent TIMESTAMP(NANOS); see GraftSession's nanosAsLong config);
+  * we derive a µs timestamp + exact integer/double epoch columns so the
+  * DuckDB oracle (`CAST(ts AS TIMESTAMP)` / `epoch_ns(ts)`) agrees
+  * bit-for-bit.
+  *
+  * Coordinates are derived deterministically from event_id with pure
+  * integer arithmetic (identical in Spark SQL and DuckDB SQL) and land
+  * inside the Kyiv bbox.
+  */
+object PositionView {
+
+  /** Spark-side position columns. The DuckDB-side equivalent is
+    * [[oracleCte]] — keep the two in lockstep. */
+  def fromEvents(events: DataFrame): DataFrame = {
+    events.select(
+      col("event_id"),
+      col("user_id").as("vehicle_id"),
+      (col("user_id") % 25).cast("int").as("route_id"),
+      (lit(50.3) + (col("event_id") * 7919 % 3000) / lit(10000.0)).as("lat"),
+      (lit(30.2) + (col("event_id") * 104729 % 6000) / lit(10000.0)).as("lon"),
+      col("ts").as("ts_ns"),
+      // NTZ so Spark's parquet output carries isAdjustedToUTC=false and the
+      // DuckDB oracle sees the same naive TIMESTAMP.
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"),
+      (col("ts") / lit(1e9)).as("ts_s"),
+      col("event_type"),
+      col("value"))
+  }
+
+  /** DuckDB CTE producing the same columns from the raw events parquet. */
+  val oracleCte: String =
+    """WITH pos AS (
+      |  SELECT event_id,
+      |         user_id AS vehicle_id,
+      |         CAST(user_id % 25 AS INT) AS route_id,
+      |         50.3 + (event_id * 7919 % 3000) / 10000.0 AS lat,
+      |         30.2 + (event_id * 104729 % 6000) / 10000.0 AS lon,
+      |         epoch_ns(ts) AS ts_ns,
+      |         CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_ns(ts) / 1e9 AS ts_s,
+      |         event_type,
+      |         value
+      |  FROM events)""".stripMargin
+}
