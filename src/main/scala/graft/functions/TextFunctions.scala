@@ -48,12 +48,16 @@ object TextFunctions {
     * identical across Spark and DuckDB → oracle-checkable). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Word n-gram shingles as an array<string>. */
+  /** Word n-gram shingles as an array<string>. Guarded for short texts:
+    * fewer than n tokens yields an empty array (sequence(1,0) would
+    * otherwise produce a descending [1,0] and slice(start=0) throws). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // sequence(1, size-n+1) start indices; slice is 1-based.
-    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(starts, i => concat_ws(" ", slice(toks, i, n)))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word shingles (set semantics for Jaccard). */

@@ -24,18 +24,30 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane signature bits for LSH bucketing: bit i = sign of
-    * dot(v, h_i) where h_i is a deterministic pseudo-random hyperplane
-    * derived from xxhash64(i, dim). Packed to a Long. */
-  def hyperplaneSig(v: Column, nBits: Int): Column = {
+  /** Deterministic pseudo-random hyperplane component for (bit, j):
+    * splitmix64-style mix mapped to [-0.5, 0.5). Evaluated HOST-side at
+    * plan-build time — the plan carries literal arrays, so a signature
+    * costs one fused zip_with/aggregate dot product per bit at runtime
+    * (no per-element hashing on the executors). */
+  private def planeComponent(bit: Int, j: Int): Double = {
+    var z = bit.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** Hyperplane i as a literal array<double> column of length dim. */
+  def hyperplane(bit: Int, dim: Int): Column =
+    array((0 until dim).map(j => lit(planeComponent(bit, j))): _*)
+
+  /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i),
+    * packed into a Long (nBits <= 63). */
+  def hyperplaneSig(v: Column, nBits: Int, dim: Int): Column = {
+    require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
     val bits = (0 until nBits).map { i =>
-      // pseudo-hyperplane component for (bit i, element j): map xxhash64
-      // to [-0.5, 0.5) deterministically
-      val proj = aggregate(
-        zip_with(toDouble(v), sequence(lit(0), size(v) - 1),
-          (x, j) => x * (pmod(xxhash64(lit(i), j), lit(1000000L)).cast("double") / 1000000.0 - 0.5)),
-        lit(0.0), _ + _)
-      when(proj >= 0, lit(1L) << i).otherwise(0L)
+      val proj = aggregate(zip_with(toDouble(v), hyperplane(i, dim), _ * _), lit(0.0), _ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }

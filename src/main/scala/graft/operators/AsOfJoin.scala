@@ -29,6 +29,13 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // A valueCol name colliding with a left column would emit the name
+    // twice in taggedLeft and corrupt the unionByName — fail fast.
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    // Contract: right must be unique per (keyCols, timeCol) — duplicate
+    // right timestamps would make which value wins nondeterministic.
+    // Series produced by groupBy(hour) satisfy this by construction.
     // side=0 sorts right rows before left rows at equal time → a right
     // row at exactly t is visible to a left row at t (inclusive as-of).
     val taggedRight = right.select(

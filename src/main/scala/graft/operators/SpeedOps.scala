@@ -23,7 +23,9 @@ object SpeedOps {
     * vehicle_id/lat/lon/ts_s (see PositionView). Output one row per valid
     * consecutive pair with dt_s, dist_km, speed_kmh. */
   def speeds(pos: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vehicle_id").orderBy("ts_ns")
+    // event_id tie-break: duplicate timestamps per vehicle would make
+    // lag() nondeterministic across runs (and vs the oracle) otherwise.
+    val w = Window.partitionBy("vehicle_id").orderBy("ts_ns", "event_id")
     pos
       .withColumn("prev_lat", lag("lat", 1).over(w))
       .withColumn("prev_lon", lag("lon", 1).over(w))
@@ -63,7 +65,7 @@ object SpeedOps {
     * row (per key) exceeds gapSeconds; session id = running count of
     * session starts. Single shuffle on the key. */
   def sessionize(pos: DataFrame, key: String, gapSeconds: Double): DataFrame = {
-    val w = Window.partitionBy(key).orderBy("ts_ns")
+    val w = Window.partitionBy(key).orderBy("ts_ns", "event_id")
     pos
       .withColumn("__prev_ts_s", lag("ts_s", 1).over(w))
       .withColumn("__new_session",
