@@ -22,21 +22,23 @@ object SpeedOps {
   /** Consecutive-pair speeds per vehicle. Input must carry
     * vehicle_id/lat/lon/ts_s (see PositionView). Output one row per valid
     * consecutive pair with dt_s, dist_km, speed_kmh. */
-  def speeds(pos: DataFrame): DataFrame = {
+  def speeds(pos: DataFrame,
+             maxGapSeconds: Double = MaxGapSeconds,
+             maxSpeedKmh: Double = MaxRealisticSpeedKmh): DataFrame = {
     // event_id tie-break: duplicate timestamps per vehicle would make
     // lag() nondeterministic across runs (and vs the oracle) otherwise.
-    val w = Window.partitionBy("vehicle_id").orderBy("ts_ns", "event_id")
+    val w = Window.partitionBy("vehicle_id").orderBy("ts_us", "event_id")
     pos
       .withColumn("prev_lat", lag("lat", 1).over(w))
       .withColumn("prev_lon", lag("lon", 1).over(w))
       .withColumn("prev_ts_s", lag("ts_s", 1).over(w))
       .filter(col("prev_ts_s").isNotNull)
       .withColumn("dt_s", col("ts_s") - col("prev_ts_s"))
-      .filter(col("dt_s") > 0 && col("dt_s") <= MaxGapSeconds)
+      .filter(col("dt_s") > 0 && col("dt_s") <= maxGapSeconds)
       .withColumn("dist_km",
         GeoFunctions.haversineKm(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")))
       .withColumn("speed_kmh", col("dist_km") / col("dt_s") * 3600)
-      .filter(col("speed_kmh") > 0 && col("speed_kmh") < MaxRealisticSpeedKmh)
+      .filter(col("speed_kmh") > 0 && col("speed_kmh") < maxSpeedKmh)
   }
 
   /** Per-route stats over the speed stream (visualize.py:117-170):
@@ -65,7 +67,7 @@ object SpeedOps {
     * row (per key) exceeds gapSeconds; session id = running count of
     * session starts. Single shuffle on the key. */
   def sessionize(pos: DataFrame, key: String, gapSeconds: Double): DataFrame = {
-    val w = Window.partitionBy(key).orderBy("ts_ns", "event_id")
+    val w = Window.partitionBy(key).orderBy("ts_us", "event_id")
     pos
       .withColumn("__prev_ts_s", lag("ts_s", 1).over(w))
       .withColumn("__new_session",

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import graft.operators.{AsOfJoin, SpeedOps}
+import graft.sources.PositionView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Traffic-analytics block — the heart of the reference
+  * (kpt/visualize.py:60-189: calculate_speeds → route stats → top-N →
+  * latest-per-vehicle; weather/pipeline/extract.py:24-58 hourly series).
+  *
+  * The synthetic `events` stream ticks hours apart per vehicle (median
+  * gap ≈ 7.3 h at sf0.01) where the reference's live stream ticks
+  * seconds apart, so the REGISTERED queries scale the gap constants
+  * (1 day max pair gap, half-day session gap); `SpeedOps` keeps the
+  * reference's 300 s / 120 km/h defaults for real streams.
+  *
+  * Every oracle below replicates the Spark plan's float math in the
+  * same operation order so results hash-match bit-for-bit (modulo
+  * explicitly rounded trig outputs).
+  */
+object TrafficQueries {
+
+  /** Max consecutive-pair gap for the synthetic stream (s). */
+  val SynthMaxGapS = 86400.0
+  /** Sessionization gap for the synthetic stream (s). */
+  val SynthSessionGapS = 43200.0
+
+  private def pos(s: SparkSession, dir: String): DataFrame =
+    PositionView.fromEvents(Tables.events(s, dir))
+
+  private def speeds(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.speeds(pos(s, dir), SynthMaxGapS, SpeedOps.MaxRealisticSpeedKmh)
+
+  // ---- shared oracle CTEs ------------------------------------------------
+
+  /** DuckDB haversine with the exact operand order of
+    * GeoFunctions.haversineKm(lat1, lon1, lat2, lon2). */
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val a = s"(pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))"
+    s"12742.0 * atan2(sqrt($a), sqrt(1.0 - $a))"
+  }
+
+  /** pos → per-vehicle consecutive-pair speeds, mirroring SpeedOps.speeds. */
+  private val speedsCte: String = PositionView.oracleCte + s""",
+    |lagged AS (
+    |  SELECT *,
+    |    lag(lat)  OVER w AS prev_lat,
+    |    lag(lon)  OVER w AS prev_lon,
+    |    lag(ts_s) OVER w AS prev_ts_s
+    |  FROM pos
+    |  WINDOW w AS (PARTITION BY vehicle_id ORDER BY ts_us, event_id)),
+    |paired AS (
+    |  SELECT *, ts_s - prev_ts_s AS dt_s
+    |  FROM lagged
+    |  WHERE prev_ts_s IS NOT NULL),
+    |gapped AS (
+    |  SELECT *, ${havSql("prev_lat", "prev_lon", "lat", "lon")} AS dist_km
+    |  FROM paired
+    |  WHERE dt_s > 0 AND dt_s <= 86400.0),
+    |speeds AS (
+    |  SELECT * FROM (SELECT *, dist_km / dt_s * 3600 AS speed_kmh FROM gapped)
+    |  WHERE speed_kmh > 0 AND speed_kmh < 120.0)""".stripMargin
+
+  // ---- ta_speed_lag ------------------------------------------------------
+
+  def taSpeedLag(s: SparkSession, dir: String): DataFrame =
+    speeds(s, dir).select(
+      col("event_id"), col("vehicle_id"), col("route_id"), col("dt_s"),
+      round(col("dist_km"), 6).as("dist_km"),
+      round(col("speed_kmh"), 6).as("speed_kmh"))
+      .orderBy("event_id")
+
+  val taSpeedLagSql: String = speedsCte + """
+    |SELECT event_id, vehicle_id, route_id, dt_s,
+    |  round(dist_km, 6) AS dist_km,
+    |  round(speed_kmh, 6) AS speed_kmh
+    |FROM speeds ORDER BY event_id""".stripMargin
+
+  // ---- ta_route_stats ----------------------------------------------------
+
+  def taRouteStats(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.routeStats(speeds(s, dir)).orderBy("route_id")
+
+  val taRouteStatsSql: String = speedsCte + """
+    |SELECT route_id,
+    |  round(avg(speed_kmh), 4) AS avg_speed_kmh,
+    |  count(DISTINCT vehicle_id) AS n_vehicles,
+    |  count(*) AS n_samples
+    |FROM speeds
+    |GROUP BY route_id
+    |HAVING count(*) >= 10
+    |ORDER BY route_id""".stripMargin
+
+  // ---- ta_top_routes -----------------------------------------------------
+
+  def taTopRoutes(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.topNGroups(SpeedOps.routeStats(speeds(s, dir)),
+      metric = "n_samples", tieBreak = "route_id", n = 10)
+      .select(col("route_id"), col("avg_speed_kmh"), col("n_vehicles"),
+        col("n_samples"), col("rank").cast("long").as("rank"))
+      .orderBy("rank")
+
+  val taTopRoutesSql: String = speedsCte + """,
+    |stats AS (
+    |  SELECT route_id,
+    |    round(avg(speed_kmh), 4) AS avg_speed_kmh,
+    |    count(DISTINCT vehicle_id) AS n_vehicles,
+    |    count(*) AS n_samples
+    |  FROM speeds GROUP BY route_id HAVING count(*) >= 10)
+    |SELECT * FROM (
+    |  SELECT *, row_number() OVER (ORDER BY n_samples DESC, route_id) AS rank
+    |  FROM stats)
+    |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // ---- ta_latest_per_vehicle ---------------------------------------------
+
+  def taLatestPerVehicle(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.latestPerKey(pos(s, dir), "vehicle_id", Seq("ts_us", "event_id"))
+      .select("vehicle_id", "event_id", "route_id", "lat", "lon", "ts_us")
+      .orderBy("vehicle_id")
+
+  val taLatestPerVehicleSql: String = PositionView.oracleCte + """
+    |SELECT vehicle_id, event_id, route_id, lat, lon, ts_us
+    |FROM (SELECT *, row_number() OVER (PARTITION BY vehicle_id
+    |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM pos)
+    |WHERE rn = 1 ORDER BY vehicle_id""".stripMargin
+
+  // ---- ta_haversine ------------------------------------------------------
+
+  /** Kyiv center reference point (visualize.py haversine usage). */
+  val CenterLat = 50.45
+  val CenterLon = 30.52
+
+  def taHaversine(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir).select(col("event_id"),
+      round(GeoFunctions.haversineKm(col("lat"), col("lon"),
+        lit(CenterLat), lit(CenterLon)), 6).as("dist_center_km"))
+      .orderBy("event_id")
+
+  val taHaversineSql: String = PositionView.oracleCte + s"""
+    |SELECT event_id,
+    |  round(${havSql("lat", "lon", "50.45", "30.52")}, 6) AS dist_center_km
+    |FROM pos ORDER BY event_id""".stripMargin
+
+  // ---- ta_hourly_activity ------------------------------------------------
+
+  def taHourlyActivity(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      // round(sum,2) not round(avg,4): values carry exactly 2 decimals,
+      // so an avg lands on the half-up boundary (x.xxxx5) whenever the
+      // group size divides evenly and summation-order ulps flip the
+      // rounding between engines; a sum rounded at the data's own
+      // precision is boundary-free.
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("vehicle_id").as("n_vehicles"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour")
+
+  val taHourlyActivitySql: String = PositionView.oracleCte + """
+    |SELECT date_trunc('hour', ts) AS hour,
+    |  count(*) AS n_events,
+    |  count(DISTINCT vehicle_id) AS n_vehicles,
+    |  round(sum(value), 2) AS sum_value
+    |FROM pos GROUP BY 1 ORDER BY hour""".stripMargin
+
+  // ---- ta_sessionize -----------------------------------------------------
+
+  def taSessionize(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.sessionize(pos(s, dir), "vehicle_id", SynthSessionGapS)
+      .select("event_id", "vehicle_id", "session_seq")
+      .orderBy("event_id")
+
+  val taSessionizeSql: String = PositionView.oracleCte + """,
+    |lagged AS (
+    |  SELECT event_id, vehicle_id, ts_s,
+    |    lag(ts_s) OVER (PARTITION BY vehicle_id ORDER BY ts_us, event_id) AS prev_ts_s,
+    |    ts_us
+    |  FROM pos)
+    |SELECT event_id, vehicle_id,
+    |  sum(CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 43200.0
+    |      THEN 1 ELSE 0 END)
+    |    OVER (PARTITION BY vehicle_id ORDER BY ts_us, event_id
+    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    |FROM lagged ORDER BY event_id""".stripMargin
+
+  // ---- ta_asof_weather ---------------------------------------------------
+
+  /** Hourly per-type value series (weather analog), kept only every 3rd
+    * hour so the as-of join genuinely reaches back in time. */
+  private def weatherSeries(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts_h"))
+      .agg(round(sum("value"), 2).as("w_temp"))
+      .filter(hour(col("ts_h")) % 3 === 0)
+      .withColumnRenamed("ts_h", "ts")
+
+  def taAsofWeather(s: SparkSession, dir: String): DataFrame = {
+    val left = pos(s, dir).select("event_id", "event_type", "ts")
+    AsOfJoin.backward(left, weatherSeries(s, dir),
+      keyCols = Seq("event_type"), timeCol = "ts", valueCols = Seq("w_temp"))
+      .select("event_id", "w_temp")
+      .orderBy("event_id")
+  }
+
+  val taAsofWeatherSql: String = PositionView.oracleCte + """,
+    |series AS (
+    |  SELECT event_type, date_trunc('hour', ts) AS h,
+    |         round(sum(value), 2) AS w_temp
+    |  FROM pos GROUP BY 1, 2),
+    |sparse AS (SELECT * FROM series WHERE date_part('hour', h) % 3 = 0)
+    |SELECT p.event_id, s.w_temp
+    |FROM pos p ASOF LEFT JOIN sparse s
+    |  ON p.event_type = s.event_type AND p.ts >= s.h
+    |ORDER BY p.event_id""".stripMargin
+
+  // ---- ta_speed_histogram ------------------------------------------------
+
+  def taSpeedHistogram(s: SparkSession, dir: String): DataFrame =
+    speeds(s, dir)
+      .groupBy(floor(col("speed_kmh") / 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val taSpeedHistogramSql: String = speedsCte + """
+    |SELECT CAST(floor(speed_kmh / 10) AS INT) AS bucket, count(*) AS n
+    |FROM speeds GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- ta_route_labels ---------------------------------------------------
+
+  def taRouteLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // reference kpt/visualize.py:19-23 ROUTE_TYPE_LABELS {1,2,3}
+    val labels = Seq((1, "tram"), (2, "trolleybus"), (3, "bus"))
+      .toDF("route_type", "route_label")
+    pos(s, dir)
+      .withColumn("route_type", (col("route_id") % 3 + 1).cast("int"))
+      .join(broadcast(labels), "route_type")
+      .groupBy("route_id", "route_type", "route_label")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("route_id")
+  }
+
+  val taRouteLabelsSql: String = PositionView.oracleCte + """
+    |SELECT route_id, CAST(route_id % 3 + 1 AS INT) AS route_type,
+    |  CASE CAST(route_id % 3 + 1 AS INT)
+    |    WHEN 1 THEN 'tram' WHEN 2 THEN 'trolleybus' ELSE 'bus' END AS route_label,
+    |  count(*) AS n_events,
+    |  round(sum(value), 2) AS sum_value
+    |FROM pos GROUP BY 1, 2, 3 ORDER BY route_id""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_speed_lag" -> (taSpeedLag _),
+    "ta_route_stats" -> (taRouteStats _),
+    "ta_top_routes" -> (taTopRoutes _),
+    "ta_latest_per_vehicle" -> (taLatestPerVehicle _),
+    "ta_haversine" -> (taHaversine _),
+    "ta_hourly_activity" -> (taHourlyActivity _),
+    "ta_sessionize" -> (taSessionize _),
+    "ta_asof_weather" -> (taAsofWeather _),
+    "ta_speed_histogram" -> (taSpeedHistogram _),
+    "ta_route_labels" -> (taRouteLabels _))
+
+  val oracles: Map[String, String] = Map(
+    "ta_speed_lag" -> taSpeedLagSql,
+    "ta_route_stats" -> taRouteStatsSql,
+    "ta_top_routes" -> taTopRoutesSql,
+    "ta_latest_per_vehicle" -> taLatestPerVehicleSql,
+    "ta_haversine" -> taHaversineSql,
+    "ta_hourly_activity" -> taHourlyActivitySql,
+    "ta_sessionize" -> taSessionizeSql,
+    "ta_asof_weather" -> taAsofWeatherSql,
+    "ta_speed_histogram" -> taSpeedHistogramSql,
+    "ta_route_labels" -> taRouteLabelsSql)
+}

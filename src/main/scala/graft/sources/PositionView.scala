@@ -29,11 +29,15 @@ object PositionView {
       (col("user_id") % 25).cast("int").as("route_id"),
       (lit(50.3) + (col("event_id") * 7919 % 3000) / lit(10000.0)).as("lat"),
       (lit(30.2) + (col("event_id") * 104729 % 6000) / lit(10000.0)).as("lon"),
-      col("ts").as("ts_ns"),
+      // µs, not ns: DuckDB's parquet reader floors TIMESTAMP(NANOS) to a
+      // µs TIMESTAMP, so the oracle can never see sub-µs digits — `div
+      // 1000` applies the identical floor on the Spark side. (Verified:
+      // raw ...999 ns → epoch_us ...275, a floor not a round.)
+      expr("ts div 1000").as("ts_us"),
       // NTZ so Spark's parquet output carries isAdjustedToUTC=false and the
       // DuckDB oracle sees the same naive TIMESTAMP.
       timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"),
-      (col("ts") / lit(1e9)).as("ts_s"),
+      (expr("ts div 1000") / lit(1e6)).as("ts_s"),
       col("event_type"),
       col("value"))
   }
@@ -46,9 +50,9 @@ object PositionView {
       |         CAST(user_id % 25 AS INT) AS route_id,
       |         50.3 + (event_id * 7919 % 3000) / 10000.0 AS lat,
       |         30.2 + (event_id * 104729 % 6000) / 10000.0 AS lon,
-      |         epoch_ns(ts) AS ts_ns,
+      |         epoch_us(ts) AS ts_us,
       |         CAST(ts AS TIMESTAMP) AS ts,
-      |         epoch_ns(ts) / 1e9 AS ts_s,
+      |         epoch_us(ts) / 1e6 AS ts_s,
       |         event_type,
       |         value
       |  FROM events)""".stripMargin
