@@ -1,0 +1,20 @@
+package graft
+
+import graft.plans.BinaryGpsDecode
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's custom Catalyst expressions,
+  * wired via `spark.sql.extensions=graft.GraftExtensions` (set by
+  * GraftSession.builder). Extension-injected functions resolve in SQL
+  * text and through `functions.call_function` alike.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("binary_gps_decode"),
+      new ExpressionInfo(classOf[BinaryGpsDecode].getName, "binary_gps_decode"),
+      (exprs: Seq[Expression]) => BinaryGpsDecode(exprs.head)))
+  }
+}

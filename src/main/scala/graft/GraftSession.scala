@@ -20,6 +20,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as Long (ns since epoch) and convert in-plan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

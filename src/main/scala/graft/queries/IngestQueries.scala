@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import graft.plans.BinaryGpsDecode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion / parsing block (reference: kpt/poller/parsers.py:24-72
+  * CSV + Socket.IO frame parsing, :74-109 nested JSON payloads,
+  * eway/pipeline/ws_interceptor.py:90-139 bounds + binary GPS decode).
+  *
+  * The raw wire strings/bytes are synthesized in-plan from `events`
+  * with pure integer arithmetic, then parsed back with the real
+  * operators (from_json / from_csv / regexp_extract / the custom
+  * BinaryGpsDecode expression). The oracle rebuilds the same lines with
+  * identical integer arithmetic, so the parse round-trip is fully
+  * SQL-checkable — including the binary decode.
+  */
+object IngestQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  // ---- ing_json_props ----------------------------------------------------
+
+  def ingJsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k"))
+      .orderBy("event_id")
+
+  val ingJsonPropsSql: String = """
+    |SELECT event_id,
+    |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+    |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- ing_csv_positions -------------------------------------------------
+
+  /** CSV position line (parsers.py:24-54 format
+    * "vehicle_id,route_id,lat,lon,direction,flag,timestamp"), with
+    * lat/lon carried as e4-scaled integers so string formatting is
+    * engine-independent; the ÷10000.0 happens after the parse. */
+  def ingCsvPositions(s: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws(",",
+      col("user_id"), col("user_id") % 25,
+      col("event_id") * 7919 % 3000 + 503000,
+      col("event_id") * 104729 % 6000 + 302000,
+      col("event_id") % 2, col("event_id") % 4,
+      expr("ts div 1000000000"))
+    val schema = StructType.fromDDL(
+      "vehicle_id BIGINT, route_id BIGINT, lat_e4 BIGINT, " +
+        "lon_e4 BIGINT, direction BIGINT, flag BIGINT, ts_sec BIGINT")
+    events(s, dir)
+      .select(col("event_id"), from_csv(line, schema, Map.empty[String, String]).as("p"))
+      .select(
+        col("event_id"),
+        col("p.vehicle_id").as("vehicle_id"),
+        col("p.route_id").as("route_id"),
+        (col("p.lat_e4") / 10000.0).as("lat"),
+        (col("p.lon_e4") / 10000.0).as("lon"),
+        col("p.direction").as("direction"),
+        col("p.flag").as("flag"),
+        col("p.ts_sec").as("ts_sec"))
+      .orderBy("event_id")
+  }
+
+  val ingCsvPositionsSql: String = """
+    |WITH line AS (
+    |  SELECT event_id, concat_ws(',',
+    |    user_id, user_id % 25,
+    |    event_id * 7919 % 3000 + 503000,
+    |    event_id * 104729 % 6000 + 302000,
+    |    event_id % 2, event_id % 4,
+    |    epoch_us(ts) // 1000000) AS s
+    |  FROM events)
+    |SELECT event_id,
+    |  CAST(split_part(s, ',', 1) AS BIGINT) AS vehicle_id,
+    |  CAST(split_part(s, ',', 2) AS BIGINT) AS route_id,
+    |  CAST(split_part(s, ',', 3) AS BIGINT) / 10000.0 AS lat,
+    |  CAST(split_part(s, ',', 4) AS BIGINT) / 10000.0 AS lon,
+    |  CAST(split_part(s, ',', 5) AS BIGINT) AS direction,
+    |  CAST(split_part(s, ',', 6) AS BIGINT) AS flag,
+    |  CAST(split_part(s, ',', 7) AS BIGINT) AS ts_sec
+    |FROM line ORDER BY event_id""".stripMargin
+
+  // ---- ing_socketio_parse ------------------------------------------------
+
+  /** Socket.IO event frame `42["event",payload]` (parsers.py:14
+    * SOCKET_IO_EVENT_PATTERN, :56-72). */
+  def ingSocketioParse(s: SparkSession, dir: String): DataFrame = {
+    val frame = concat(
+      lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
+      lit(",\"t\":\""), col("event_type"), lit("\"}]"))
+    val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
+    events(s, dir)
+      .select(col("event_id"), frame.as("frame"))
+      .select(
+        col("event_id"),
+        regexp_extract(col("frame"), pattern, 1).as("evt_name"),
+        from_json(regexp_extract(col("frame"), pattern, 2),
+          StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+          .as("p"))
+      .select(col("event_id"), col("evt_name"),
+        col("p.id").as("payload_id"), col("p.t").as("payload_t"))
+      .orderBy("event_id")
+  }
+
+  val ingSocketioParseSql: String = """
+    |WITH f AS (
+    |  SELECT event_id,
+    |    concat('42["position",{"id":', CAST(user_id AS VARCHAR),
+    |           ',"t":"', event_type, '"}]') AS frame
+    |  FROM events),
+    |m AS (
+    |  SELECT event_id,
+    |    regexp_extract(frame, '^42\["(\w+)",(.*)\]\s*$', 1) AS evt_name,
+    |    regexp_extract(frame, '^42\["(\w+)",(.*)\]\s*$', 2) AS payload
+    |  FROM f)
+    |SELECT event_id, evt_name,
+    |  CAST(json_extract_string(payload, '$.id') AS BIGINT) AS payload_id,
+    |  json_extract_string(payload, '$.t') AS payload_t
+    |FROM m ORDER BY event_id""".stripMargin
+
+  // ---- ing_bounds_filter -------------------------------------------------
+
+  /** Region categorization over a wide synthetic coordinate spread
+    * (ws_interceptor.py:90-95 identify_region with kyiv/ukraine/other
+    * buckets; importer.py:15 KYIV_BOUNDS). */
+  def ingBoundsFilter(s: SparkSession, dir: String): DataFrame = {
+    val latW = lit(44.0) + (col("event_id") * 7919 % 9000) / 1000.0
+    val lonW = lit(20.0) + (col("event_id") * 104729 % 22000) / 1000.0
+    events(s, dir)
+      .select(GeoFunctions.regionCategory(latW, lonW).as("region"),
+        col("user_id"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("region")
+  }
+
+  val ingBoundsFilterSql: String = """
+    |WITH c AS (
+    |  SELECT user_id,
+    |    44.0 + (event_id * 7919 % 9000) / 1000.0 AS lat,
+    |    20.0 + (event_id * 104729 % 22000) / 1000.0 AS lon
+    |  FROM events)
+    |SELECT CASE
+    |    WHEN lat BETWEEN 50.3 AND 50.6 AND lon BETWEEN 30.2 AND 30.8 THEN 'kyiv'
+    |    WHEN lat BETWEEN 44.0 AND 52.0 AND lon BETWEEN 22.0 AND 40.0 THEN 'ukraine'
+    |    ELSE 'other' END AS region,
+    |  count(*) AS n,
+    |  count(DISTINCT user_id) AS n_users
+    |FROM c GROUP BY 1 ORDER BY region""".stripMargin
+
+  // ---- ing_binary_gps ----------------------------------------------------
+
+  /** LE-uint32 hex of a non-negative int column (byte-swapped 8-digit
+    * hex), used to synthesize the wire bytes in-plan. */
+  private def hexLe(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Encodes two (lng, lat) uint32 records per event into real bytes,
+    * decodes them with the custom BinaryGpsDecode Catalyst expression,
+    * and explodes the result. The oracle predicts the decoded output
+    * from the same integer arithmetic. */
+  def ingBinaryGps(s: SparkSession, dir: String): DataFrame = {
+    val lng1 = col("event_id") * 104729 % 6000 * 10000 + 3020000000L
+    val lat1 = col("event_id") * 7919 % 3000 * 10000 + 3030000000L
+    val bin = unhex(concat(
+      hexLe(lng1), hexLe(lat1), hexLe(lng1 + 1), hexLe(lat1 + 1)))
+    events(s, dir)
+      .select(col("event_id"), explode(BinaryGpsDecode(bin)).as("c"))
+      .select(col("event_id"), col("c.off").as("off"),
+        col("c.lon").as("lon"), col("c.lat").as("lat"))
+      .orderBy("event_id", "off")
+  }
+
+  val ingBinaryGpsSql: String = """
+    |WITH e AS (
+    |  SELECT event_id,
+    |    event_id * 104729 % 6000 * 10000 + 3020000000 AS lng1,
+    |    event_id * 7919 % 3000 * 10000 + 3030000000 AS lat1
+    |  FROM events),
+    |r AS (
+    |  SELECT event_id, 0 AS off,
+    |         lng1 / 100000000.0 AS lon, lat1 / 100000000.0 AS lat FROM e
+    |  UNION ALL
+    |  SELECT event_id, 8 AS off,
+    |         (lng1 + 1) / 100000000.0, (lat1 + 1) / 100000000.0 FROM e)
+    |SELECT event_id, off, lon, lat FROM r ORDER BY event_id, off""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_json_props" -> (ingJsonProps _),
+    "ing_csv_positions" -> (ingCsvPositions _),
+    "ing_socketio_parse" -> (ingSocketioParse _),
+    "ing_bounds_filter" -> (ingBoundsFilter _),
+    "ing_binary_gps" -> (ingBinaryGps _))
+
+  val oracles: Map[String, String] = Map(
+    "ing_json_props" -> ingJsonPropsSql,
+    "ing_csv_positions" -> ingCsvPositionsSql,
+    "ing_socketio_parse" -> ingSocketioParseSql,
+    "ing_bounds_filter" -> ingBoundsFilterSql,
+    "ing_binary_gps" -> ingBinaryGpsSql)
+}
