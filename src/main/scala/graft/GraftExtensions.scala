@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.BinaryGpsDecode
+import graft.plans.{BinaryGpsDecode, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("binary_gps_decode"),
       new ExpressionInfo(classOf[BinaryGpsDecode].getName, "binary_gps_decode"),
       (exprs: Seq[Expression]) => BinaryGpsDecode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import graft.plans.SimHash64
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-pipeline corpora.
+  *
+  * Scale design (SURVEY §5): every near-dup variant generates candidate
+  * pairs through an inverted index / LSH bucket SHUFFLE — never a global
+  * all-pairs product — and verifies the exact metric only on candidates.
+  * Bucket-size caps bound degenerate keys (a viral shingle, an all-zero
+  * band) so no single task receives a quadratic bucket.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per content fingerprint with the doc
+    * count and the canonical (minimum) id. Single hash shuffle on the
+    * digest with map-side partial aggregation. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(idCol).as("keep_id"))
+
+  /** Word-shingle sets with sizes: (id, sh, sz). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("__id"),
+      TextFunctions.shingleSet(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+
+  /** Exact n-gram Jaccard pairs >= threshold via a shared-shingle
+    * inverted index: explode distinct shingles, self-join on the shingle
+    * (one hash shuffle), count shared shingles per pair, then Jaccard
+    * from |A|+|B|-shared. Pairs sharing no shingle never materialize.
+    *
+    * maxDf drops shingles appearing in more than maxDf docs from the
+    * INDEX (candidate generation only) — at corpus scale a stop-shingle
+    * otherwise creates a quadratic bucket. Pairs are still verified on
+    * their full shingle sets. maxDf <= 0 disables the cap. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val ex0 = sh.select(col("__id"), col("sz"), explode(col("sh")).as("sg"))
+    val ex =
+      if (maxDf <= 0) ex0
+      else {
+        val dfCounts = ex0.groupBy("sg").agg(count(lit(1)).as("__df"))
+        ex0.join(dfCounts.filter(col("__df") <= maxDf), "sg")
+      }
+    val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
+    val b = ex.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
+  }
+
+  /** MinHash + LSH near-dup pairs: k-hash signatures, b bands; docs
+    * sharing any band bucket become candidates (buckets larger than
+    * maxBucket are dropped — degenerate-key guard); candidates are then
+    * verified with the EXACT Jaccard on their full shingle sets. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, threshold: Double,
+                      maxBucket: Long = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh = shingleSets(df, idCol, textCol, n).filter(col("sz") > 0)
+    val sig = sh.select(col("__id"),
+      HashFunctions.minhashSignature(col("sh"), k).as("sig"))
+    val bandDf = sig
+      .select(col("__id"),
+        explode(HashFunctions.bandHashes(col("sig"), bands, k / bands)).as("bh"))
+      .select(col("__id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val sizes = bandDf.groupBy("band", "h").agg(count(lit(1)).as("__bn"))
+    val bounded = bandDf.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "h"))
+    val cand = bounded.select(col("band"), col("h"), col("__id").as("a_id"))
+      .join(bounded.select(col("band"), col("h"), col("__id").as("b_id")),
+        Seq("band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val withSets = cand
+      .join(sh.select(col("__id").as("a_id"), col("sh").as("sh_a"), col("sz").as("a_sz")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("sh").as("sh_b"), col("sz").as("b_sz")), "b_id")
+    withSets
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming (<= 7):
+    * 8-bit chunk join is an exact candidate generator by pigeonhole
+    * (ham <= 7 implies at least one equal chunk of 8), then the true
+    * Hamming distance filters candidates. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8-chunk pigeonhole is only exact for ham <= 7")
+    val sig = df.select(col(idCol).as("__id"),
+      SimHash64(TextFunctions.shingleSet(col(textCol), n)).as("sig"))
+    val chunks = sig.select(col("__id"), col("sig"),
+      explode(HashFunctions.simhashChunks(col("sig"))).as("c"))
+      .select(col("__id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    chunks.select(col("chunk"), col("v"), col("__id").as("a_id"), col("sig").as("a_sig"))
+      .join(chunks.select(col("chunk"), col("v"), col("__id").as("b_id"), col("sig").as("b_sig")),
+        Seq("chunk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig").distinct()
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Exact embedding-cosine pairs >= threshold. This is the CORRECTNESS
+    * BASELINE: an all-pairs product (norms precomputed once, one dot
+    * product per pair). At corpus scale, candidate pruning must come
+    * from LSH/IVF bucketing (see Similarity.lshTopK/ivfTopK) — exact
+    * all-pairs is quadratic by definition and only appropriate for
+    * bounded slices (a shard, a bucket, an oracle check). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("__id"),
+      VectorFunctions.toDouble(col(vecCol)).as("emb"))
+      .withColumn("nrm", VectorFunctions.norm(col("emb")))
+    val a = e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication block over `documents` / `embeddings` (LLM-pipeline
+  * operators; SURVEY §2 "Deduplication").
+  *
+  * dd_exact / dd_ngram_jaccard / dd_embedding carry full DuckDB
+  * oracles. dd_minhash_lsh / dd_simhash hash with xxhash64, which DuckDB
+  * cannot replicate — they get the driver's rows-only check here and
+  * recall assertions against the exact Jaccard pairs in DedupSpec.
+  */
+object DedupQueries {
+
+  /** Shingle size shared by the near-dup text operators. */
+  val ShingleN = 3
+  /** Near-dup Jaccard threshold: the corpus has 25 planted pairs at
+    * jac >= 0.8 with nothing between 0.2 and 0.8 — a wide safety margin
+    * around the cut. */
+  val JaccardThreshold = 0.8
+  /** Embedding near-dup threshold: 14 pairs >= 0.45 at sf0.01, none
+    * within 1e-5 of the cut. */
+  val CosineThreshold = 0.45
+
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  val ddExactSql: String = """
+    |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+    |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+    |  count(*) AS n_docs, min(doc_id) AS keep_id
+    |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      ShingleN, JaccardThreshold)
+      .orderBy("a_id", "b_id")
+
+  val ddNgramJaccardSql: String = """
+    |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    |              FROM documents),
+    |sh AS (
+    |  SELECT doc_id, list_distinct(list(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+    |  GROUP BY doc_id),
+    |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+    |cand AS (
+    |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    |         a.sz AS a_sz, b.sz AS b_sz, count(*) AS shared
+    |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2, 3, 4)
+    |SELECT a_id, b_id, shared,
+    |  CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) AS jac
+    |FROM cand
+    |WHERE CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) >= 0.8
+    |ORDER BY a_id, b_id""".stripMargin
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = ShingleN, k = 64, bands = 16, threshold = JaccardThreshold)
+      .orderBy("a_id", "b_id")
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = ShingleN, maxHamming = 7)
+      .orderBy("a_id", "b_id")
+
+  def ddEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      CosineThreshold)
+      .orderBy("a_id", "b_id")
+
+  val ddEmbeddingSql: String = """
+    |WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    |n AS (SELECT vec_id, e,
+    |        sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+    |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    |        list_sum(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]))
+    |          / (a.nrm * b.nrm) AS cos
+    |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    |SELECT a_id, b_id, round(cos, 6) AS cos
+    |FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_embedding" -> (ddEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embedding" -> ddEmbeddingSql)
+}
