@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale design: the query set / centroid set is always the broadcast
+  * side; the corpus is scanned once with vectors kept packed (zip_with +
+  * aggregate dot products, no element explosion). Brute force is the
+  * exact baseline; LSH and IVF bound the per-query candidate set so the
+  * scan cost drops from N·Q to N + |candidates|.
+  */
+object Similarity {
+
+  /** (id, emb:double[], nrm) projection with the norm computed once. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       prefix: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}id"), toDouble(col(vecCol)).as(s"${prefix}emb"))
+      .withColumn(s"${prefix}nrm", norm(col(s"${prefix}emb")))
+
+  private def cosCol: Column =
+    dot(col("qemb"), col("demb")) / (col("qnrm") * col("dnrm"))
+
+  /** Per-query top-k by rounded cosine with deterministic id tie-break.
+    * Rounding to 6 dp collapses summation-order ulps so ranks are
+    * engine-stable; genuine ties fall back to vec_id order. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("cos", round(cosCol, 6))
+      .select(col("qid").as("q_id"), col("did").as("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set,
+    * one scan of the corpus, shuffle only (q_id, vec_id, cos) triples. */
+  def bruteTopK(data: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val d = withNorm(data, idCol, vecCol, "d")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    topK(d.join(broadcast(q), col("did") =!= col("qid")), k)
+  }
+
+  /** Random-hyperplane LSH ANN top-k: nBits-bit signatures, split into
+    * bands; a corpus vector is a candidate for a query iff they share at
+    * least one band value. Approximate — recall grows with bands. */
+  def lshTopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    def bandCol(sig: Column): Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sig, b * r).bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.withColumn("__b", explode(bandCol(hyperplaneSig(col(s"${prefix}emb"), nBits, dim))))
+        .select(col(s"${prefix}id"), col(s"${prefix}emb"), col(s"${prefix}nrm"),
+          col("__b.band").as("band"), col("__b.v").as("v"))
+    val d = banded(withNorm(data, idCol, vecCol, "d"), "d")
+    val q = banded(withNorm(queries, idCol, vecCol, "q"), "q")
+    val cand = d.join(broadcast(q), Seq("band", "v"))
+      .filter(col("did") =!= col("qid"))
+      .select("qid", "qemb", "qnrm", "did", "demb", "dnrm").distinct()
+    topK(cand, k)
+  }
+
+  /** IVF-style ANN top-k: coarse centroids (mean vector per cluster
+    * column), each query probes its nprobe nearest centroids, and only
+    * those clusters' vectors are scanned. The cluster column plays the
+    * coarse-quantizer role (at scale: a k-means assignment). */
+  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, clusterCol: String, k: Int,
+              nprobe: Int = 2): DataFrame = {
+    val d = data.select(col(idCol).as("did"), toDouble(col(vecCol)).as("demb"),
+      col(clusterCol).as("cluster"))
+      .withColumn("dnrm", norm(col("demb")))
+    // element-wise mean per cluster: explode positions once, re-pack
+    val cent = d.select(col("cluster"), posexplode(col("demb")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg("x").as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cemb"))
+      .withColumn("cnrm", norm(col("cemb")))
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val probeW = Window.partitionBy("qid").orderBy(
+      (dot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm"))).desc,
+      col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "qemb", "qnrm", "cluster")
+    val cand = d.join(broadcast(probes), Seq("cluster"))
+      .filter(col("did") =!= col("qid"))
+    topK(cand, k)
+  }
+}
