@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TrafficQueries.queries ++ TextQueries.queries ++
-      IngestQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      IngestQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ GeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TrafficQueries.oracles ++ TextQueries.oracles ++
-      IngestQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      IngestQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ GeoQueries.oracles
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import graft.sources.PositionView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** Geo / OSM block (reference: open-street-map/pipeline/importer.py —
+  * Overpass signal/crossing fetchers :146-176, tag maps :63-75, bbox
+  * handling; grid binning mirrors the visualize heat-grid idea).
+  */
+object GeoQueries {
+
+  /** Grid cell edge in degrees (~5.5 km at Kyiv latitudes). */
+  val CellDeg = 0.05
+
+  private def pos(s: SparkSession, dir: String): DataFrame =
+    PositionView.fromEvents(Tables.events(s, dir))
+
+  // ---- geo_grid_density --------------------------------------------------
+
+  def geoGridDensity(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir)
+      .groupBy(
+        GeoFunctions.gridX(col("lon"), 30.2, CellDeg).as("gx"),
+        GeoFunctions.gridY(col("lat"), 50.3, CellDeg).as("gy"))
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"))
+      .orderBy("gx", "gy")
+
+  val geoGridDensitySql: String = PositionView.oracleCte + """
+    |SELECT CAST(floor((lon - 30.2) / 0.05) AS INT) AS gx,
+    |       CAST(floor((lat - 50.3) / 0.05) AS INT) AS gy,
+    |  count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles
+    |FROM pos GROUP BY 1, 2 ORDER BY gx, gy""".stripMargin
+
+  // ---- geo_nearest_signal ------------------------------------------------
+
+  /** Synthetic "traffic signal" point set: every 199th event's position
+    * (~50 points — the small dim a signal layer is in practice). */
+  private def signals(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir).filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("signal_id"),
+        col("lat").as("s_lat"), col("lon").as("s_lon"))
+
+  /** Nearest signal per position: broadcast the signal layer, one scan
+    * of the big side, per-position argmin with rounded-distance +
+    * signal_id tie-break. The broadcast-argmin shape is the scale-safe
+    * plan whenever the point layer fits an executor (signals/crossings
+    * always do); grid-bucketed range joins only pay off when BOTH sides
+    * are huge. */
+  def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("dist_km").asc, col("signal_id").asc)
+    pos(s, dir).select("event_id", "lat", "lon")
+      .join(broadcast(signals(s, dir)))
+      .withColumn("dist_km",
+        round(GeoFunctions.haversineKm(col("lat"), col("lon"),
+          col("s_lat"), col("s_lon")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "signal_id", "dist_km")
+      .orderBy("event_id")
+  }
+
+  val geoNearestSignalSql: String = {
+    val a = "(pow(sin(radians(s_lat - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2))"
+    PositionView.oracleCte + s""",
+    |sig AS (
+    |  SELECT event_id AS signal_id, lat AS s_lat, lon AS s_lon
+    |  FROM pos WHERE event_id % 199 = 0),
+    |d AS (
+    |  SELECT p.event_id, sig.signal_id,
+    |    round(12742.0 * atan2(sqrt($a), sqrt(1.0 - $a)), 6) AS dist_km
+    |  FROM pos p CROSS JOIN sig),
+    |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+    |        ORDER BY dist_km, signal_id) AS rn FROM d)
+    |SELECT event_id, signal_id, dist_km FROM r WHERE rn = 1
+    |ORDER BY event_id""".stripMargin
+  }
+
+  // ---- geo_tag_stats -----------------------------------------------------
+
+  /** OSM-style tag-map frequency: parse props as a generic map, explode
+    * every (key, value) entry, bucket values (importer.py:63-75 tag
+    * filters / :128-138 tag-map build). */
+  def geoTagStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(explode(from_json(col("props"), MapType(StringType, IntegerType)))
+        .as(Seq("tag_key", "tag_value")))
+      .groupBy(col("tag_key"), (col("tag_value") % 10).as("value_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tag_key", "value_bucket")
+
+  val geoTagStatsSql: String = """
+    |SELECT 'k' AS tag_key,
+    |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS value_bucket,
+    |  count(*) AS n
+    |FROM events GROUP BY 1, 2 ORDER BY tag_key, value_bucket""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_density" -> (geoGridDensity _),
+    "geo_nearest_signal" -> (geoNearestSignal _),
+    "geo_tag_stats" -> (geoTagStats _))
+
+  val oracles: Map[String, String] = Map(
+    "geo_grid_density" -> geoGridDensitySql,
+    "geo_nearest_signal" -> geoNearestSignalSql,
+    "geo_tag_stats" -> geoTagStatsSql)
+}
