@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TrafficQueries.queries ++ TextQueries.queries ++
       IngestQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ GeoQueries.queries
+      SimilarityQueries.queries ++ GeoQueries.queries ++ MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TrafficQueries.oracles ++ TextQueries.oracles ++
       IngestQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ GeoQueries.oracles
+      SimilarityQueries.oracles ++ GeoQueries.oracles ++ MiscQueries.oracles
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: media ride through the pipeline as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side
+  * plumbing (schema, partitioning, batch shapes, deterministic frame
+  * addressing) is real; the actual media DECODE is stubbed behind
+  * [[decodeFeaturesStub]] because no image/audio codec ships in this
+  * environment — swap that single function for a real decoder (e.g. a
+  * JNI codec or `mapInPandas` on a PySpark front) without touching any
+  * caller.
+  */
+object Multimodal {
+
+  /** Typed metadata for a binary payload: byte length, content digest,
+    * and a magic-bytes sniff of the first 4 bytes. */
+  def metaExtract(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      sha2(col(binCol), 256).as("sha256"),
+      lower(hex(substring(col(binCol), 1, 4))).as("magic"))
+
+  /** Deterministic frame sampling: treat the payload as fixed-size
+    * frames, keep every `stride`-th frame index, address each frame by
+    * byte range, digest it. posexplode keeps (idx, frame) pairs aligned;
+    * the guard keeps short payloads from producing a descending
+    * sequence(0,-1). */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = (length(col(binCol)) / frameBytes).cast("long")
+    val idxs = when(nFrames > 0,
+      filter(sequence(lit(0L), nFrames - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), col(binCol).as("__bin"), explode(idxs).as("frame_idx"))
+      .select(
+        col(idCol),
+        col("frame_idx"),
+        md5(col("__bin").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes))).as("frame_md5"))
+  }
+
+  /** STUB — deterministic fake for the media decode / feature-extract
+    * step (no codecs in this container). Emits a stable pseudo-feature
+    * vector derived from the bytes so downstream schema/partition logic
+    * is exercised end-to-end. A real deployment replaces this body with
+    * an actual decoder; the signature (binary -> array<double>) is the
+    * contract. */
+  def decodeFeaturesStub(bin: Column): Column =
+    array(
+      length(bin).cast("double"),
+      (crc32(bin) % 1000000L).cast("double") / 1000000.0,
+      (xxhash64(bin) % 1000000L).cast("double") / 1000000.0)
+}

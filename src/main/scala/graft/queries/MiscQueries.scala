@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal, streaming, and approximate-aggregate blocks (SURVEY §2
+  * tail sections).
+  *
+  * Multimodal payloads are the documents' UTF-8 bytes (pure ASCII, so
+  * the DuckDB oracle can hash the text directly while Spark operates on
+  * real binary). Streaming queries replay the events parquet through
+  * the file stream source and land in a memory sink; their oracles are
+  * the batch equivalents.
+  */
+object MiscQueries {
+
+  // ---- mm_meta_extract ---------------------------------------------------
+
+  def mmMetaExtract(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metaExtract(
+      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+      .orderBy("doc_id")
+
+  val mmMetaExtractSql: String = """
+    |SELECT doc_id,
+    |  octet_length(encode(text)) AS byte_len,
+    |  sha256(text) AS sha256,
+    |  lower(hex(encode(substring(text, 1, 4)))) AS magic
+    |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- mm_frame_sample ---------------------------------------------------
+
+  val FrameBytes = 16
+  val FrameStride = 4
+
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", FrameBytes, FrameStride)
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFrameSampleSql: String = """
+    |WITH f AS (
+    |  SELECT doc_id, i AS frame_idx,
+    |    md5(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5
+    |  FROM documents,
+    |    LATERAL (SELECT unnest(range(0, length(text) // 16)) AS i) u
+    |  WHERE i % 4 = 0)
+    |SELECT doc_id, frame_idx, frame_md5 FROM f
+    |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- st_windowed_counts ------------------------------------------------
+
+  def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.windowedCounts(StreamOps.eventsStream(s, dir))
+    StreamOps.runToMemory(s, agg, "st_windowed_counts_sink", "complete")
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  val stWindowedCountsSql: String = """
+    |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+    |  event_type, count(*) AS n
+    |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---- st_stream_dedup ---------------------------------------------------
+
+  def stStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val dd = StreamOps.streamDedup(StreamOps.eventsStream(s, dir),
+      Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    StreamOps.runToMemory(s, dd, "st_stream_dedup_sink", "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val stStreamDedupSql: String = """
+    |SELECT DISTINCT user_id, event_type
+    |FROM events ORDER BY user_id, event_type""".stripMargin
+
+  // ---- ag_approx_distinct ------------------------------------------------
+
+  /** HLL++ approximate distinct vs exact, with the relative error —
+    * rows-only check (sketch internals are engine-specific). */
+  def agApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+      .orderBy("event_type")
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta_extract" -> (mmMetaExtract _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "st_windowed_counts" -> (stWindowedCounts _),
+    "st_stream_dedup" -> (stStreamDedup _),
+    "ag_approx_distinct" -> (agApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta_extract" -> mmMetaExtractSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "st_windowed_counts" -> stWindowedCountsSql,
+    "st_stream_dedup" -> stStreamDedupSql)
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (the reference's pollers ARE streams:
+  * kpt/poller/websocket_client.py consumes a realtime feed; these are
+  * the same computations expressed over readStream).
+  *
+  * Tested by replaying the events parquet through the file stream
+  * source with Trigger.AvailableNow — identical code runs against a
+  * socket/Kafka source in production; only the `load` changes.
+  */
+object StreamOps {
+
+  /** events schema as stored (ts is int64 TIMESTAMP(NANOS), read as
+    * Long under the nanosAsLong session conf). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file stream source requires a DIRECTORY; the testdata table is
+    * a single parquet file, so stage a symlink to it under a scratch
+    * directory keyed by the source path (idempotent). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val stage = Paths.get("/tmp/graft-stream",
+      dir.replaceAll("[^A-Za-z0-9]", "_"), "events")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    s.readStream.schema(EventsSchema).parquet(stage.toString)
+  }
+
+  /** Tumbling hourly counts per event_type with a 1 h watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_w", "1 hour")
+      .groupBy(window(col("ts_w"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** First-arrival dedup on a key set. State is bounded by key
+    * cardinality (not stream length); for time-bounded state use
+    * dropDuplicatesWithinWatermark instead — that variant trades exact
+    * global dedup for eviction. */
+  def streamDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** Runs a finite streaming query to a memory sink and returns the
+    * sink table. AvailableNow processes the full backlog then stops —
+    * the batch-replay harness for stream operators. */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                  mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}
