@@ -10,7 +10,9 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // noop sink, not count(): count() lets Catalyst prune every
+      // projection (a haversine query would "bench" as a bare row count)
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         errors += s"$name: ${e.getClass.getSimpleName}"
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-partition sort.
+  *
+  * `Window.orderBy` with no partition key funnels EVERY row through one
+  * task — the canonical scale-killer for row-level data. This operator
+  * computes the same exact global rank / ntile in parallel:
+  *
+  *  1. coarse range-bucket rows on the sort column (boundaries from
+  *     percentile_approx, carried in-plan via a broadcast cross join —
+  *     no driver-side collect);
+  *  2. per-bucket row_number — a window PARTITIONED by bucket, so the
+  *     sort parallelizes across buckets;
+  *  3. bucket counts → cumulative offsets (a window over only B rows);
+  *  4. global rank = bucket offset + in-bucket rank; ntile from the
+  *     rank by the exact SQL ntile formula.
+  *
+  * Bucket-boundary ties are safe: bucket = #(boundaries < value) sends
+  * every row with an equal sort value to the same bucket, and buckets
+  * are monotone in the sort value, so cross-bucket order is total.
+  * Boundary skew only affects balance, never correctness.
+  */
+object RankOps {
+
+  val DefaultBuckets = 64
+
+  /** Adds `__grank` (1-based exact global rank by (sortCol, tieCol)). */
+  def withGlobalRank(df: DataFrame, sortCol: String, tieCol: String,
+                     buckets: Int = DefaultBuckets): DataFrame = {
+    val bounds = df.agg(percentile_approx(col(sortCol),
+      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+      lit(10000)).as("__bounds"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        size(filter(col("__bounds"), b => b < col(sortCol))))
+      .drop("__bounds")
+    val inBucketW = Window.partitionBy("__bucket")
+      .orderBy(col(sortCol).asc, col(tieCol).asc)
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+    // B rows: the unpartitioned window here is over the BUCKET COUNTS,
+    // not the data — bounded by `buckets`, never by |df|.
+    val offW = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum("__bn").over(offW), lit(0L)))
+      .withColumn("__total", sum("__bn").over(
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__bucket", "__off", "__total")
+    bucketed
+      .withColumn("__rn", row_number().over(inBucketW).cast("long"))
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("__grank", col("__off") + col("__rn"))
+      .drop("__bucket", "__rn", "__off")
+  }
+
+  /** Exact SQL-ntile bucket from a 1-based global rank `r` of `total`
+    * rows: the first (total % n) tiles hold one extra row. Column `/`
+    * is double division; floor(a/b) equals integer division exactly
+    * while operands stay below 2^52 (quotient ulp < spacing 1/b) —
+    * i.e. for any realistic row count. */
+  def ntileFromRank(r: Column, total: Column, n: Int): Column = {
+    val q = floor(total / n).cast("long")
+    val rem = (total % n).cast("long")
+    val cut = rem * (q + 1)
+    when(r <= cut, floor((r - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(rem + floor((r - cut - 1) / q).cast("long") + 1)
+  }
+
+  /** Exact distributed ntile: same result as
+    * `ntile(n) OVER (ORDER BY sortCol, tieCol)` with no global-sort
+    * bottleneck. Adds column `tileName`. */
+  def exactNtile(df: DataFrame, sortCol: String, tieCol: String,
+                 n: Int, tileName: String,
+                 buckets: Int = DefaultBuckets): DataFrame =
+    withGlobalRank(df, sortCol, tieCol, buckets)
+      .withColumn(tileName, ntileFromRank(col("__grank"), col("__total"), n))
+      .drop("__grank", "__total")
+}

@@ -57,7 +57,12 @@ object SpeedOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Top-N groups by a metric with deterministic tie-break. */
+  /** Top-N groups by a metric with deterministic tie-break.
+    *
+    * POST-AGGREGATION ONLY: the unpartitioned window is a single-task
+    * sort, acceptable strictly because the input is an already-reduced
+    * per-group frame (|groups| rows, e.g. 25 routes — never the raw
+    * stream). For row-level global ranking use RankOps.withGlobalRank. */
   def topNGroups(grouped: DataFrame, metric: String, tieBreak: String, n: Int): DataFrame = {
     val w = Window.orderBy(col(metric).desc, col(tieBreak).asc)
     grouped.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)

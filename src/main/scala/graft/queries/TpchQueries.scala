@@ -132,10 +132,13 @@ object TpchQueries {
       |WHERE rnk <= 3
       |ORDER BY n_name, rnk""".stripMargin
 
+  /** Decile stats via RankOps.exactNtile — same result as
+    * `ntile(10) OVER (ORDER BY ...)` (the oracle keeps that form) but
+    * computed with a parallel bucketed rank instead of funneling every
+    * order row through one task's global sort. */
   def decileStats(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    graft.operators.RankOps.exactNtile(Tables.orders(s, dir),
+      "o_totalprice", "o_orderkey", 10, "decile")
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n"),

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left(rows: (Long, String, Long)*) =
+    rows.toDF("id", "k", "t")
+  private def right(rows: (String, Long, Double)*) =
+    rows.toDF("k", "t", "v")
+
+  test("backward attaches the most recent right value at or before t") {
+    val l = left((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L))
+    val r = right(("a", 5L, 1.0), ("a", 15L, 2.0))
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    // t=5 sees the right row AT 5 (inclusive), t=10 still 1.0, t=20 -> 2.0
+    assert(out === Map(1L -> 1.0, 2L -> 1.0, 3L -> 2.0))
+  }
+
+  test("backward yields null before the first right row, per key") {
+    val l = left((1L, "a", 1L), (2L, "b", 100L))
+    val r = right(("a", 50L, 9.0))
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+      .select("id", "v").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getDouble(1))))
+      .toMap
+    assert(out === Map(1L -> None, 2L -> None)) // b has no series at all
+  }
+
+  test("backward on empty left returns empty with left schema") {
+    val l = left()
+    val r = right(("a", 1L, 1.0))
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("id", "k", "t", "v"))
+  }
+
+  test("backward rejects valueCols colliding with left columns") {
+    val l = left((1L, "a", 1L)).withColumnRenamed("id", "v")
+    val r = right(("a", 1L, 1.0))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+    }
+  }
+}

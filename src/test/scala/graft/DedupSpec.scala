@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partitions here"),
+    (4L, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today!"), // exact dup of 1 after normalize
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized duplicates under one fingerprint") {
+    val out = Dedup.exactGroups(corpus, "doc_id", "text")
+      .select("n_docs", "keep_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((2L, 1L))) // docs 1+4 share a fingerprint, keep min id
+    assert(out.count(_._1 == 1L) === 3)
+  }
+
+  test("jaccardPairs finds the near-dup pair and nothing else at 0.6") {
+    val out = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardPairs: empty corpus and single-doc corpus yield no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(empty, "doc_id", "text", 3, 0.5).count() === 0)
+    val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(single, "doc_id", "text", 3, 0.5).count() === 0)
+  }
+
+  test("minhashLshPairs recalls every exact-Jaccard pair on the testdata corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // verification on full sets makes LSH precision exact; recall is the
+    // probabilistic part — these band settings must not miss 0.8+ pairs
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhashPairs finds the near-dup pair within hamming 7") {
+    val out = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)) || out.contains((1L, 4L)))
+  }
+
+  test("embeddingPairs finds only pairs above the cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),  // cos ~ 0.994 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f))). // orthogonal to 1
+      toDF("vec_id", "embedding")
+    val out = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.SpeedOps
+import org.apache.spark.sql.Row
+
+class SpeedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_id, vehicle_id, lat, lon, ts_us, ts_s) position frame. */
+  private def pos(rows: (Long, Long, Double, Double, Long)*) =
+    rows.toDF("event_id", "vehicle_id", "lat", "lon", "ts_us")
+      .withColumn("ts_s", $"ts_us" / 1e6)
+
+  test("speeds: empty input yields empty output") {
+    assert(SpeedOps.speeds(pos()).count() === 0)
+  }
+
+  test("speeds: single row per vehicle has no pair") {
+    val df = pos((1L, 1L, 50.4, 30.5, 1000000L))
+    assert(SpeedOps.speeds(df).count() === 0)
+  }
+
+  test("speeds: consecutive pair within gap produces one speed row") {
+    val df = pos(
+      (1L, 1L, 50.40, 30.50, 0L),
+      (2L, 1L, 50.40, 30.51, 60_000_000L)) // 60 s apart, ~0.7 km
+    val out = SpeedOps.speeds(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("dt_s") === 60.0)
+    val v = r.getAs[Double]("speed_kmh")
+    assert(v > 30 && v < 60) // ~0.71 km in 60 s ~ 42.6 km/h
+  }
+
+  test("speeds: pairs over the gap or speed cap are filtered") {
+    val tooSlow = pos( // same point: speed 0 -> filtered by speed > 0
+      (1L, 1L, 50.4, 30.5, 0L),
+      (2L, 1L, 50.4, 30.5, 60_000_000L))
+    assert(SpeedOps.speeds(tooSlow).count() === 0)
+    val tooFast = pos( // ~61 km in 60 s ~ 3660 km/h
+      (1L, 1L, 50.4, 30.5, 0L),
+      (2L, 1L, 50.9, 30.9, 60_000_000L))
+    assert(SpeedOps.speeds(tooFast).count() === 0)
+    val gapTooBig = pos( // dt 400 s > default 300 s
+      (1L, 1L, 50.40, 30.50, 0L),
+      (2L, 1L, 50.40, 30.51, 400_000_000L))
+    assert(SpeedOps.speeds(gapTooBig).count() === 0)
+    assert(SpeedOps.speeds(gapTooBig, maxGapSeconds = 500.0).count() === 1)
+  }
+
+  test("speeds: duplicate timestamps order deterministically by event_id") {
+    val df = pos(
+      (2L, 1L, 50.41, 30.50, 0L), // same ts, higher id -> second
+      (1L, 1L, 50.40, 30.50, 0L),
+      (3L, 1L, 50.42, 30.50, 60_000_000L))
+    val out = SpeedOps.speeds(df).collect()
+    // pair (1,2) has dt 0 (filtered); pair (2,3) survives
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(3L))
+    assert(out.head.getAs[Double]("prev_lat") === 50.41)
+  }
+
+  test("latestPerKey keeps exactly one row per key with id tie-break") {
+    val df = pos(
+      (1L, 1L, 50.1, 30.1, 100L),
+      (2L, 1L, 50.2, 30.2, 100L), // tie on ts -> higher event_id wins
+      (3L, 2L, 50.3, 30.3, 50L))
+    val out = SpeedOps.latestPerKey(df, "vehicle_id", Seq("ts_us", "event_id"))
+      .select("vehicle_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 3L))
+  }
+
+  test("sessionize splits on gaps and numbers sessions from 1") {
+    val df = pos(
+      (1L, 1L, 50.0, 30.0, 0L),
+      (2L, 1L, 50.0, 30.0, 10_000_000L),   // +10 s: same session
+      (3L, 1L, 50.0, 30.0, 400_000_000L),  // +390 s > 300 gap: new session
+      (4L, 2L, 50.0, 30.0, 0L))
+    val out = SpeedOps.sessionize(df, "vehicle_id", 300.0)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("routeStats enforces the min-sample threshold") {
+    val speeds = Seq(
+      (1L, 10.0, 1L), (1L, 20.0, 2L), // route 1: 2 samples < 10 -> dropped
+    ).toDF("route_id", "speed_kmh", "vehicle_id")
+    assert(SpeedOps.routeStats(speeds).count() === 0)
+  }
+
+  test("topNGroups ranks by metric desc with tie-break asc") {
+    val grouped = Seq((1L, 5L), (2L, 9L), (3L, 5L), (4L, 1L))
+      .toDF("route_id", "n_samples")
+    val out = SpeedOps.topNGroups(grouped, "n_samples", "route_id", 3)
+      .select("route_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out === Map(2L -> 1, 1L -> 2, 3L -> 3))
+  }
+}
