@@ -7,8 +7,13 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // projection (a haversine query would "bench" as a bare row count)

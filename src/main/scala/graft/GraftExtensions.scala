@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{BinaryGpsDecode, SimHash64}
+import graft.plans.{ArrayDot, BinaryGpsDecode, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
   }
 }

@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** MinHash signature as array<long> of length k: element j is the
-    * minimum of xxhash64(shingle, j) over the shingle set — the
-    * "k independent permutations" approximation (Broder's scheme with
-    * seeded hashes). Empty shingle sets yield nulls in the signature;
-    * callers should filter empty docs first. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+  /** One xxhash64 per shingle STRING — the only pass that touches
+    * string bytes. Materialize this column once; the k permutations
+    * below re-hash these longs, not the strings. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
+  /** MinHash signature as array<long> of length k from pre-hashed
+    * shingles: element j is min over xxhash64(h, j) — k seeded long
+    * hashes (fixed-width, codegen'd) instead of k string re-hashes, an
+    * order of magnitude off the signature cost (Broder's k-permutation
+    * scheme with seeded hashes). Empty inputs yield null mins; filter
+    * empty docs first. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(hashes, h => xxhash64(h, lit(j))))
+    }: _*)
 
   /** LSH band hashes: array<struct<band:int, h:long>> where h is a hash
     * of the signature slice for that band. Docs sharing any (band, h)

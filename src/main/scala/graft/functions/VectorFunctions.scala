@@ -16,11 +16,18 @@ object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dot product via the custom ArrayDot codegen expression: identical
+    * left-to-right summation (bit-equal to the aggregate/zip_with form
+    * and to a sequential SQL fold) but no per-row intermediate array —
+    * the difference between GC-bound and compute-bound at millions of
+    * candidate pairs. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+    graft.plans.ArrayDot(toDouble(a), toDouble(b))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(graft.plans.ArrayDot(d, d))
+  }
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -45,8 +52,9 @@ object VectorFunctions {
     * packed into a Long (nBits <= 63). */
   def hyperplaneSig(v: Column, nBits: Int, dim: Int): Column = {
     require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
+    val dv = toDouble(v)
     val bits = (0 until nBits).map { i =>
-      val proj = aggregate(zip_with(toDouble(v), hyperplane(i, dim), _ * _), lit(0.0), _ + _)
+      val proj = graft.plans.ArrayDot(dv, hyperplane(i, dim))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import graft.plans.SimHash64
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-pipeline corpora.
@@ -68,14 +69,24 @@ object Dedup {
                       maxBucket: Long = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sh = shingleSets(df, idCol, textCol, n).filter(col("sz") > 0)
-    val sig = sh.select(col("__id"),
-      HashFunctions.minhashSignature(col("sh"), k).as("sig"))
+    // string bytes are hashed exactly once; the k permutations re-hash
+    // the resulting longs (separate select so the hash column is
+    // materialized per row, not re-derived per permutation)
+    val hashed = sh.select(col("__id"),
+      HashFunctions.shingleHashes(col("sh")).as("__hs"))
+    val sig = hashed.select(col("__id"),
+      HashFunctions.minhashFromHashes(col("__hs"), k).as("sig"))
     val bandDf = sig
       .select(col("__id"),
         explode(HashFunctions.bandHashes(col("sig"), bands, k / bands)).as("bh"))
       .select(col("__id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val sizes = bandDf.groupBy("band", "h").agg(count(lit(1)).as("__bn"))
-    val bounded = bandDf.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "h"))
+    // bucket-size guard via a window over the SAME (band, h) partitioning
+    // the pair join shuffles on — no extra groupBy+join recompute branch
+    val sizeW = Window.partitionBy("band", "h")
+    val bounded = bandDf
+      .withColumn("__bn", count(lit(1)).over(sizeW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val cand = bounded.select(col("band"), col("h"), col("__id").as("a_id"))
       .join(bounded.select(col("band"), col("h"), col("__id").as("b_id")),
         Seq("band", "h"))
@@ -125,7 +136,11 @@ object Dedup {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.norm(col("emb")))
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // spread the streamed side before the quadratic product — a
+    // single-split source would otherwise run every pair on one core
     val a = e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+      .repartition(nPart)
     val b = e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))

@@ -52,16 +52,24 @@ object GeoQueries {
     * always do); grid-bucketed range joins only pay off when BOTH sides
     * are huge. */
   def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("dist_km").asc, col("signal_id").asc)
+    // argmin via min(struct(dist, id)) — struct ordering is
+    // lexicographic, so this is exactly "closest, then smallest id",
+    // and unlike a row_number window it partial-aggregates map-side:
+    // the shuffle carries one candidate per (partition, event) instead
+    // of sorting the full |positions| x |signals| product.
+    // fan-out compute-bound join: spread the narrow position rows
+    // across the cluster first — a single-split source file would
+    // otherwise evaluate |positions| x |signals| haversines on one core
     pos(s, dir).select("event_id", "lat", "lon")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .join(broadcast(signals(s, dir)))
       .withColumn("dist_km",
         round(GeoFunctions.haversineKm(col("lat"), col("lon"),
           col("s_lat"), col("s_lon")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_id", "signal_id", "dist_km")
+      .groupBy("event_id")
+      .agg(min(struct(col("dist_km"), col("signal_id"))).as("m"))
+      .select(col("event_id"), col("m.signal_id").as("signal_id"),
+        col("m.dist_km").as("dist_km"))
       .orderBy("event_id")
   }
 
