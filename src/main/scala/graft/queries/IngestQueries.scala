@@ -154,6 +154,59 @@ object IngestQueries {
     |  count(DISTINCT user_id) AS n_users
     |FROM c GROUP BY 1 ORDER BY region""".stripMargin
 
+  // ---- ing_jsonl_positions -----------------------------------------------
+
+  /** Round-trips the reference's nested-positions JSONL envelope
+    * (writer.py:86-91) through PositionLog.parseLines: each event
+    * synthesizes a 2-position record in-plan; the oracle predicts the
+    * parsed output from the same integer arithmetic. Coordinates ride
+    * as e4-scaled integers inside the JSON (format-stable), divided
+    * after the parse. */
+  def ingJsonlPositions(s: SparkSession, dir: String): DataFrame = {
+    def posJson(latE4: Column, lonE4: Column): Column = concat(
+      lit("{\"vehicle_id\":"), col("user_id").cast("string"),
+      lit(",\"route_id\":"), (col("user_id") % 25).cast("string"),
+      lit(",\"lat\":"), latE4.cast("string"),
+      lit(",\"lon\":"), lonE4.cast("string"),
+      lit(",\"direction\":"), (col("event_id") % 2).cast("string"),
+      lit(",\"flag\":"), (col("event_id") % 4).cast("string"),
+      lit(",\"timestamp\":"), expr("ts div 1000000000").cast("string"),
+      lit("}"))
+    val latE4 = col("event_id") * 7919 % 3000 + 503000
+    val lonE4 = col("event_id") * 104729 % 6000 + 302000
+    val line = concat(
+      lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\",\"count\":2,\"positions\":["),
+      posJson(latE4, lonE4), lit(","), posJson(latE4 + 1, lonE4 + 1), lit("]}"))
+    val parsed = graft.sources.PositionLog.parseLines(
+      events(s, dir).select(col("event_id"), line.as("line")), col("line"))
+    parsed.select(
+      col("event_id"), col("pos_idx"), col("rec_count"),
+      col("vehicle_id"), col("route_id"),
+      (col("lat") / 10000.0).as("lat"), (col("lon") / 10000.0).as("lon"),
+      col("direction"), col("flag"), col("pos_ts"))
+      .orderBy("event_id", "pos_idx")
+  }
+
+  val ingJsonlPositionsSql: String = """
+    |WITH e AS (
+    |  SELECT event_id, user_id,
+    |    event_id * 7919 % 3000 + 503000 AS lat_e4,
+    |    event_id * 104729 % 6000 + 302000 AS lon_e4,
+    |    event_id % 2 AS direction, event_id % 4 AS flag,
+    |    epoch_us(ts) // 1000000 AS pos_ts
+    |  FROM events),
+    |r AS (
+    |  SELECT event_id, 0 AS pos_idx, 2 AS rec_count, user_id AS vehicle_id,
+    |    user_id % 25 AS route_id, CAST(lat_e4 AS DOUBLE) / 10000.0 AS lat,
+    |    CAST(lon_e4 AS DOUBLE) / 10000.0 AS lon, direction, flag, pos_ts
+    |  FROM e
+    |  UNION ALL
+    |  SELECT event_id, 1, 2, user_id, user_id % 25,
+    |    CAST(lat_e4 + 1 AS DOUBLE) / 10000.0,
+    |    CAST(lon_e4 + 1 AS DOUBLE) / 10000.0, direction, flag, pos_ts
+    |  FROM e)
+    |SELECT * FROM r ORDER BY event_id, pos_idx""".stripMargin
+
   // ---- ing_binary_gps ----------------------------------------------------
 
   /** LE-uint32 hex of a non-negative int column (byte-swapped 8-digit
@@ -200,6 +253,7 @@ object IngestQueries {
     "ing_csv_positions" -> (ingCsvPositions _),
     "ing_socketio_parse" -> (ingSocketioParse _),
     "ing_bounds_filter" -> (ingBoundsFilter _),
+    "ing_jsonl_positions" -> (ingJsonlPositions _),
     "ing_binary_gps" -> (ingBinaryGps _))
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +261,6 @@ object IngestQueries {
     "ing_csv_positions" -> ingCsvPositionsSql,
     "ing_socketio_parse" -> ingSocketioParseSql,
     "ing_bounds_filter" -> ingBoundsFilterSql,
+    "ing_jsonl_positions" -> ingJsonlPositionsSql,
     "ing_binary_gps" -> ingBinaryGpsSql)
 }

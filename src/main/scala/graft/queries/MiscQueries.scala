@@ -82,6 +82,36 @@ object MiscQueries {
     |SELECT DISTINCT user_id, event_type
     |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  // ---- st_sessionize (stateful flatMapGroupsWithState) -------------------
+
+  /** Streaming counterpart of ta_sessionize: same gap semantics, but
+    * session numbers come from per-key state carried across batches
+    * (StatefulSession), verified against the batch window-SQL oracle. */
+  def stSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      .as[graft.streaming.SessEvent]
+    val assigned = graft.streaming.StatefulSession
+      .assign(ev, gapUs = 43200L * 1000000L).toDF()
+    StreamOps.runToMemory(s, assigned, "st_sessionize_sink", "append")
+      .select("event_id", "user_id", "session_seq")
+      .orderBy("event_id")
+  }
+
+  val stSessionizeSql: String = """
+    |WITH lagged AS (
+    |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+    |      ORDER BY epoch_us(ts), event_id) AS prev
+    |  FROM events)
+    |SELECT event_id, user_id,
+    |  sum(CASE WHEN prev IS NULL OR ts_us - prev > 43200000000 THEN 1 ELSE 0 END)
+    |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    |FROM lagged ORDER BY event_id""".stripMargin
+
   // ---- ag_approx_distinct ------------------------------------------------
 
   /** HLL++ approximate distinct vs exact, with the relative error —
@@ -103,11 +133,13 @@ object MiscQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "st_windowed_counts" -> (stWindowedCounts _),
     "st_stream_dedup" -> (stStreamDedup _),
+    "st_sessionize" -> (stSessionize _),
     "ag_approx_distinct" -> (agApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
-    "st_stream_dedup" -> stStreamDedupSql)
+    "st_stream_dedup" -> stStreamDedupSql,
+    "st_sessionize" -> stSessionizeSql)
 }
