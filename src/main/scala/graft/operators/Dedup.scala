@@ -23,11 +23,17 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(idCol).as("keep_id"))
 
-  /** Word-shingle sets with sizes: (id, sh, sz). */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("__id"),
-      TextFunctions.shingleSet(col(textCol), n).as("sh"))
+  /** Word-shingle sets with sizes: (id, sh, sz). The input is spread
+    * across the cluster FIRST: a single-split source file would
+    * otherwise run all tokenize/shingle/hash work on one core — the
+    * narrow-row repartition is far cheaper than the serial scan. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(nPart)
+      .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
+  }
 
   /** Exact n-gram Jaccard pairs >= threshold via a shared-shingle
     * inverted index: explode distinct shingles, self-join on the shingle
@@ -110,8 +116,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-chunk pigeonhole is only exact for ham <= 7")
-    val sig = df.select(col(idCol).as("__id"),
-      SimHash64(TextFunctions.shingleSet(col(textCol), n)).as("sig"))
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(nPart)
+      .select(col("__id"),
+        SimHash64(TextFunctions.shingleSet(col("__text"), n)).as("sig"))
     val chunks = sig.select(col("__id"), col("sig"),
       explode(HashFunctions.simhashChunks(col("sig"))).as("c"))
       .select(col("__id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))

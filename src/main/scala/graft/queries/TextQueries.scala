@@ -112,6 +112,8 @@ object TextQueries {
     * final top-N runs on the tiny aggregated set. */
   def txNgramFreq(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .select("text")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(explode(wordShingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
