@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.{SessEvent, StatefulSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionizer carries state ACROSS micro-batches") {
+    // two files, processed one per trigger: user 1's events continue in
+    // file B within the gap -> same session; then a gap -> new session
+    val dir = Files.createTempDirectory("graft-sess-").toFile
+    val sink = "sess_x_batches"
+    Seq((1L, 1L, 0L), (2L, 1L, 10_000_000L))
+      .toDF("event_id", "user_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/in/a.parquet")
+    Seq((3L, 1L, 20_000_000L), (4L, 1L, 900_000_000L))
+      .toDF("event_id", "user_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/in/b.parquet")
+    val in = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*/")
+    val q = StatefulSession.assign(in.as[SessEvent], gapUs = 300_000_000L)
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(sink)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    // events 1-3 within 300s gaps -> session 1 even across the file
+    // boundary; event 4 is 880s after event 3 -> session 2
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("windowed counts against batch equivalent on a replay") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = events
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    val streamed = graft.streaming.StreamOps.runToMemory(spark,
+      graft.streaming.StreamOps.windowedCounts(
+        graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
+      "wc_spec_sink", "complete")
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    assert(streamed === expected)
+  }
+}
