@@ -109,15 +109,57 @@ object GeoQueries {
     |  count(*) AS n
     |FROM events GROUP BY 1, 2 ORDER BY tag_key, value_bucket""".stripMargin
 
+  // ---- geo_osm_xml_parse -------------------------------------------------
+
+  /** OSM-XML node parsing (importer.py:258-265 _parse_node: id/lat/lon
+    * attributes + a tag k->v map from child elements), expressed with
+    * Spark's xpath functions over an XML column synthesized in-plan.
+    * Coordinates ride as e4 integers inside the XML; the oracle
+    * predicts the parsed output from the same arithmetic. */
+  def geoOsmXmlParse(s: SparkSession, dir: String): DataFrame = {
+    val latE4 = col("event_id") * 7919 % 3000 + 503000
+    val lonE4 = col("event_id") * 104729 % 6000 + 302000
+    val xml = concat(
+      lit("<node id=\""), col("event_id").cast("string"),
+      lit("\" lat=\""), latE4.cast("string"),
+      lit("\" lon=\""), lonE4.cast("string"),
+      lit("\"><tag k=\"highway\" v=\""), col("event_type"),
+      lit("\"/><tag k=\"ref\" v=\""), col("user_id").cast("string"),
+      lit("\"/></node>"))
+    Tables.events(s, dir)
+      .select(col("event_id"), xml.as("x"))
+      .select(
+        col("event_id"),
+        expr("xpath_long(x, '/node/@id')").as("osm_id"),
+        (expr("xpath_long(x, '/node/@lat')") / 10000.0).as("lat"),
+        (expr("xpath_long(x, '/node/@lon')") / 10000.0).as("lon"),
+        map_from_arrays(expr("xpath(x, '/node/tag/@k')"),
+          expr("xpath(x, '/node/tag/@v')")).as("tags"))
+      .select(col("event_id"), col("osm_id"), col("lat"), col("lon"),
+        col("tags")("highway").as("highway"),
+        col("tags")("ref").as("ref_user"))
+      .orderBy("event_id")
+  }
+
+  val geoOsmXmlParseSql: String = """
+    |SELECT event_id, event_id AS osm_id,
+    |  CAST(event_id * 7919 % 3000 + 503000 AS DOUBLE) / 10000.0 AS lat,
+    |  CAST(event_id * 104729 % 6000 + 302000 AS DOUBLE) / 10000.0 AS lon,
+    |  event_type AS highway,
+    |  CAST(user_id AS VARCHAR) AS ref_user
+    |FROM events ORDER BY event_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
-    "geo_tag_stats" -> (geoTagStats _))
+    "geo_tag_stats" -> (geoTagStats _),
+    "geo_osm_xml_parse" -> (geoOsmXmlParse _))
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
-    "geo_tag_stats" -> geoTagStatsSql)
+    "geo_tag_stats" -> geoTagStatsSql,
+    "geo_osm_xml_parse" -> geoOsmXmlParseSql)
 }
