@@ -21,6 +21,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // managed (bucketed) tables land in scratch, not the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as Long (ns since epoch) and convert in-plan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table writer/reader: co-locates both sides of a recurring
+  * equi-join at WRITE time so every subsequent join on the bucket key
+  * runs shuffle-free (sort-merge over pre-sorted buckets).
+  *
+  * This is the 100 TB answer for fact-to-fact joins that repeat
+  * (orders-lineitem, positions-sessions): pay one shuffle when the data
+  * lands, never again. BucketingSpec asserts the joined physical plan
+  * contains no shuffle Exchange.
+  */
+object Bucketing {
+
+  /** Writes df as a bucketed, per-bucket-sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def read(s: SparkSession, table: String): DataFrame = s.table(table)
+
+  /** Joins two tables bucketed on the same key with the same bucket
+    * count — planner elides both exchanges. */
+  def bucketJoin(s: SparkSession, leftTable: String, rightTable: String,
+                 key: String): DataFrame =
+    read(s, leftTable).join(read(s, rightTable), key)
+}
