@@ -207,6 +207,54 @@ object IngestQueries {
     |  FROM e)
     |SELECT * FROM r ORDER BY event_id, pos_idx""".stripMargin
 
+  // ---- ing_weather_json --------------------------------------------------
+
+  /** Open-Meteo-style response parsing (weather/pipeline/extract.py:
+    * 14-21 WeatherResponse, 49-57: the `hourly` object is PARALLEL
+    * ARRAYS zipped by index — time[i] pairs with temperature_2m[i]).
+    * arrays_zip + posexplode restores the row form. Temperatures ride
+    * as deci-degree integers; ÷10.0 after the parse. */
+  def ingWeatherJson(s: SparkSession, dir: String): DataFrame = {
+    val t0 = expr("ts div 1000000000 div 3600 * 3600")
+    val temp0 = col("event_id") % 400 - 100
+    def arr3(base: Column, step: Column): Column = concat(
+      lit("["), base.cast("string"), lit(","), (base + step).cast("string"),
+      lit(","), (base + step * 2).cast("string"), lit("]"))
+    val json = concat(
+      lit("{\"latitude\":50.45,\"longitude\":30.52,\"elevation\":179.0,"),
+      lit("\"timezone\":\"UTC\",\"hourly\":{\"time\":"), arr3(t0, lit(3600L)),
+      lit(",\"temperature_2m\":"), arr3(temp0, lit(1L)), lit("}}"))
+    val schema = StructType.fromDDL(
+      "latitude DOUBLE, longitude DOUBLE, elevation DOUBLE, timezone STRING, " +
+        "hourly STRUCT<time: ARRAY<BIGINT>, temperature_2m: ARRAY<BIGINT>>")
+    events(s, dir)
+      .select(col("event_id"), from_json(json, schema).as("w"))
+      .select(col("event_id"), col("w.latitude").as("latitude"),
+        posexplode(arrays_zip(col("w.hourly.time"), col("w.hourly.temperature_2m")))
+          .as(Seq("idx", "h")))
+      .select(col("event_id"), col("idx"), col("latitude"),
+        col("h.time").as("hour_epoch"),
+        (col("h.temperature_2m") / 10.0).as("temp_c"))
+      .orderBy("event_id", "idx")
+  }
+
+  val ingWeatherJsonSql: String = """
+    |WITH e AS (
+    |  SELECT event_id,
+    |    epoch_us(ts) // 1000000 // 3600 * 3600 AS t0,
+    |    event_id % 400 - 100 AS temp0
+    |  FROM events),
+    |r AS (
+    |  SELECT event_id, 0 AS idx, 50.45 AS latitude, t0 AS hour_epoch,
+    |         CAST(temp0 AS DOUBLE) / 10.0 AS temp_c FROM e
+    |  UNION ALL
+    |  SELECT event_id, 1, 50.45, t0 + 3600,
+    |         CAST(temp0 + 1 AS DOUBLE) / 10.0 FROM e
+    |  UNION ALL
+    |  SELECT event_id, 2, 50.45, t0 + 7200,
+    |         CAST(temp0 + 2 AS DOUBLE) / 10.0 FROM e)
+    |SELECT * FROM r ORDER BY event_id, idx""".stripMargin
+
   // ---- ing_binary_gps ----------------------------------------------------
 
   /** LE-uint32 hex of a non-negative int column (byte-swapped 8-digit
@@ -254,6 +302,7 @@ object IngestQueries {
     "ing_socketio_parse" -> (ingSocketioParse _),
     "ing_bounds_filter" -> (ingBoundsFilter _),
     "ing_jsonl_positions" -> (ingJsonlPositions _),
+    "ing_weather_json" -> (ingWeatherJson _),
     "ing_binary_gps" -> (ingBinaryGps _))
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +311,6 @@ object IngestQueries {
     "ing_socketio_parse" -> ingSocketioParseSql,
     "ing_bounds_filter" -> ingBoundsFilterSql,
     "ing_jsonl_positions" -> ingJsonlPositionsSql,
+    "ing_weather_json" -> ingWeatherJsonSql,
     "ing_binary_gps" -> ingBinaryGpsSql)
 }
