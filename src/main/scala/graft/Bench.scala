@@ -7,6 +7,14 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm codegen/scheduler/parquet-reader paths so the first measured
+    // query is not charged for session startup (~5 s otherwise)
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

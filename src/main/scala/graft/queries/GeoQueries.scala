@@ -128,6 +128,9 @@ object GeoQueries {
       lit("\"/></node>"))
     Tables.events(s, dir)
       .select(col("event_id"), xml.as("x"))
+      // each xpath call parses the document; spread the rows before the
+      // parse stage or a single-split source runs them all on one core
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(
         col("event_id"),
         expr("xpath_long(x, '/node/@id')").as("osm_id"),
