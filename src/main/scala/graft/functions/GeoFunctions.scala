@@ -18,13 +18,17 @@ object GeoFunctions {
   val KyivBounds: (Double, Double, Double, Double) = (50.3, 50.6, 30.2, 30.8)
   val UkraineBounds: (Double, Double, Double, Double) = (44.0, 52.0, 22.0, 40.0)
 
-  /** Great-circle distance in km (spherical haversine). */
+  /** Great-circle distance in km (spherical haversine). `a` is clamped
+    * to [0, 1]: rounding can push it a few ulps past 1 for
+    * near-antipodal points, and sqrt(negative) would turn the distance
+    * into a NaN that silently fails every downstream filter. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val dlat = radians(lat2 - lat1)
     val dlon = radians(lon2 - lon1)
     val a = pow(sin(dlat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2)
-    lit(2 * EarthRadiusKm) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+    lit(2 * EarthRadiusKm) *
+      atan2(sqrt(least(a, lit(1.0))), sqrt(greatest(lit(1.0) - a, lit(0.0))))
   }
 
   /** True when (lat, lon) falls inside an inclusive bbox. */

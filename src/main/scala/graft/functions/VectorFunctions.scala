@@ -29,6 +29,13 @@ object VectorFunctions {
     sqrt(graft.plans.ArrayDot(d, d))
   }
 
+  /** Pre-cast hot-path variants: callers guarantee array<double> input
+    * (ArrayDot reads raw doubles), skipping the per-row transform-cast
+    * allocation that dot/norm pay for arbitrary numeric arrays — on a
+    * candidate-pair product that cast is two fresh arrays per pair. */
+  def dotPre(a: Column, b: Column): Column = graft.plans.ArrayDot(a, b)
+  def normPre(a: Column): Column = sqrt(graft.plans.ArrayDot(a, a))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random hyperplane component for (bit, j):

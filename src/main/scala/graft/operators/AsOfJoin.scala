@@ -38,24 +38,30 @@ object AsOfJoin {
     // Series produced by groupBy(hour) satisfy this by construction.
     // side=0 sorts right rows before left rows at equal time → a right
     // row at exactly t is visible to a left row at t (inclusive as-of).
+    // Values travel as ONE struct, not independent columns: filling each
+    // column separately with last(ignoreNulls) would mix fields from
+    // DIFFERENT right rows whenever the latest row holds a null in one
+    // field (a "torn" match). The struct is non-null exactly for right
+    // rows, so last(ignoreNulls) always lands on a single right row.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     val taggedRight = right.select(
-      keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side")) ++
-        valueCols.map(col) ++
+      keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__vals")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = taggedRight.unionByName(taggedLeft)
-      .select(Seq(col("*")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__asof_$c").as(c)): _*)
+        valueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

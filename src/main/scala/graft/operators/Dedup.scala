@@ -27,13 +27,23 @@ object Dedup {
     * across the cluster FIRST: a single-split source file would
     * otherwise run all tokenize/shingle/hash work on one core — the
     * narrow-row repartition is far cheaper than the serial scan. */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .repartition(nPart)
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
       .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
-  }
+
+  /** Verifies candidate (a_id, b_id) pairs with the EXACT Jaccard over
+    * the full shingle sets. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("__id").as("a_id"), col("sh").as("sh_a"), col("sz").as("a_sz")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("sh").as("sh_b"), col("sz").as("b_sz")), "b_id")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
 
   /** Exact n-gram Jaccard pairs >= threshold via a shared-shingle
     * inverted index: explode distinct shingles, self-join on the shingle
@@ -41,29 +51,39 @@ object Dedup {
     * from |A|+|B|-shared. Pairs sharing no shingle never materialize.
     *
     * maxDf drops shingles appearing in more than maxDf docs from the
-    * INDEX (candidate generation only) — at corpus scale a stop-shingle
-    * otherwise creates a quadratic bucket. Pairs are still verified on
-    * their full shingle sets. maxDf <= 0 disables the cap. */
+    * INDEX — at corpus scale a stop-shingle otherwise creates a
+    * quadratic bucket. With the cap active, the index only GENERATES
+    * candidates (counting shared shingles there would undercount), and
+    * each candidate is re-verified on its full shingle sets; pairs
+    * whose every shared shingle is capped are missed by construction —
+    * that is the documented recall trade of the cap. maxDf <= 0 is the
+    * exact path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
     val ex0 = sh.select(col("__id"), col("sz"), explode(col("sh")).as("sg"))
-    val ex =
-      if (maxDf <= 0) ex0
-      else {
-        val dfCounts = ex0.groupBy("sg").agg(count(lit(1)).as("__df"))
-        ex0.join(dfCounts.filter(col("__df") <= maxDf), "sg")
-      }
-    val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
-    val b = ex.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
-    a.join(b, Seq("sg"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
-      .filter(col("jac") >= threshold)
-      .select("a_id", "b_id", "shared", "jac")
+    if (maxDf <= 0) {
+      // exact: the per-pair match count over ALL shingles IS the
+      // intersection size — no second pass needed
+      val a = ex0.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
+      val b = ex0.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
+      a.join(b, Seq("sg"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jac",
+          col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+        .filter(col("jac") >= threshold)
+        .select("a_id", "b_id", "shared", "jac")
+    } else {
+      val dfCounts = ex0.groupBy("sg").agg(count(lit(1)).as("__df"))
+      val ex = ex0.join(dfCounts.filter(col("__df") <= maxDf), "sg")
+      val cand = ex.select(col("__id").as("a_id"), col("sg"))
+        .join(ex.select(col("__id").as("b_id"), col("sg")), Seq("sg"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verifyPairs(cand, sh, threshold)
+    }
   }
 
   /** MinHash + LSH near-dup pairs: k-hash signatures, b bands; docs
@@ -98,32 +118,31 @@ object Dedup {
         Seq("band", "h"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val withSets = cand
-      .join(sh.select(col("__id").as("a_id"), col("sh").as("sh_a"), col("sz").as("a_sz")), "a_id")
-      .join(sh.select(col("__id").as("b_id"), col("sh").as("sh_b"), col("sz").as("b_sz")), "b_id")
-    withSets
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
-      .filter(col("jac") >= threshold)
-      .select("a_id", "b_id", "shared", "jac")
+    verifyPairs(cand, sh, threshold)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (<= 7):
     * 8-bit chunk join is an exact candidate generator by pigeonhole
     * (ham <= 7 implies at least one equal chunk of 8), then the true
-    * Hamming distance filters candidates. */
+    * Hamming distance filters candidates.
+    *
+    * Docs with no shingles are excluded (an empty feature set would
+    * hash to the all-ones signature and pair contentless docs with each
+    * other); buckets above maxBucket are dropped — the degenerate-key
+    * guard that keeps any single chunk value from going quadratic. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxHamming: Int): DataFrame = {
+                   n: Int, maxHamming: Int, maxBucket: Long = 1000): DataFrame = {
     require(maxHamming <= 7, "8-chunk pigeonhole is only exact for ham <= 7")
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .repartition(nPart)
-      .select(col("__id"),
-        SimHash64(TextFunctions.shingleSet(col("__text"), n)).as("sig"))
+    val sig = Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
+      .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), SimHash64(col("__sh")).as("sig"))
     val chunks = sig.select(col("__id"), col("sig"),
       explode(HashFunctions.simhashChunks(col("sig"))).as("c"))
       .select(col("__id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("chunk", "v")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     chunks.select(col("chunk"), col("v"), col("__id").as("a_id"), col("sig").as("a_sig"))
       .join(chunks.select(col("chunk"), col("v"), col("__id").as("b_id"), col("sig").as("b_sig")),
         Seq("chunk", "v"))
@@ -144,15 +163,14 @@ object Dedup {
                      threshold: Double): DataFrame = {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
-      .withColumn("nrm", VectorFunctions.norm(col("emb")))
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      .withColumn("nrm", VectorFunctions.normPre(col("emb")))
     // spread the streamed side before the quadratic product — a
     // single-split source would otherwise run every pair on one core
-    val a = e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
-      .repartition(nPart)
+    val a = Par.spread(
+      e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")))
     val b = e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", VectorFunctions.dotPre(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }

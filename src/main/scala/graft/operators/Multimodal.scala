@@ -30,6 +30,9 @@ object Multimodal {
     * sequence(0,-1). */
   def frameSample(df: DataFrame, idCol: String, binCol: String,
                   frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0,
+      s"frameBytes=$frameBytes and stride=$stride must be positive " +
+        "(i % 0 is NULL in SQL — every frame would silently drop)")
     val nFrames = (length(col(binCol)) / frameBytes).cast("long")
     val idxs = when(nFrames > 0,
       filter(sequence(lit(0L), nFrames - 1), i => i % stride === 0))

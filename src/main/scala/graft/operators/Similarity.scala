@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** (id, emb:double[], nrm) projection with the norm computed once. */
+  /** (id, emb:double[], nrm) projection with the cast and the norm each
+    * computed once; downstream pair math uses the pre-cast fast paths. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        prefix: String): DataFrame =
     df.select(col(idCol).as(s"${prefix}id"), toDouble(col(vecCol)).as(s"${prefix}emb"))
-      .withColumn(s"${prefix}nrm", norm(col(s"${prefix}emb")))
+      .withColumn(s"${prefix}nrm", normPre(col(s"${prefix}emb")))
 
   private def cosCol: Column =
-    dot(col("qemb"), col("demb")) / (col("qnrm") * col("dnrm"))
+    dotPre(col("qemb"), col("demb")) / (col("qnrm") * col("dnrm"))
 
   /** Per-query top-k by rounded cosine with deterministic id tie-break.
     * Rounding to 6 dp collapses summation-order ulps so ranks are
@@ -58,15 +59,19 @@ object Similarity {
       struct(lit(b).as("band"),
         shiftrightunsigned(sig, b * r).bitwiseAND(lit(mask)).as("v"))
     }: _*)
+    // band rows carry ONLY ids: the distinct over candidates must not
+    // shuffle and hash full embedding payloads (a pair can be generated
+    // once per band) — vectors rejoin after the id-level dedup
     def banded(df: DataFrame, prefix: String): DataFrame =
       df.withColumn("__b", explode(bandCol(hyperplaneSig(col(s"${prefix}emb"), nBits, dim))))
-        .select(col(s"${prefix}id"), col(s"${prefix}emb"), col(s"${prefix}nrm"),
+        .select(col(s"${prefix}id"),
           col("__b.band").as("band"), col("__b.v").as("v"))
-    val d = banded(withNorm(data, idCol, vecCol, "d"), "d")
-    val q = banded(withNorm(queries, idCol, vecCol, "q"), "q")
-    val cand = d.join(broadcast(q), Seq("band", "v"))
+    val d0 = withNorm(data, idCol, vecCol, "d")
+    val q0 = withNorm(queries, idCol, vecCol, "q")
+    val candIds = banded(d0, "d").join(broadcast(banded(q0, "q")), Seq("band", "v"))
       .filter(col("did") =!= col("qid"))
-      .select("qid", "qemb", "qnrm", "did", "demb", "dnrm").distinct()
+      .select("qid", "did").distinct()
+    val cand = candIds.join(d0, "did").join(broadcast(q0), "qid")
     topK(cand, k)
   }
 
@@ -79,17 +84,17 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     val d = data.select(col(idCol).as("did"), toDouble(col(vecCol)).as("demb"),
       col(clusterCol).as("cluster"))
-      .withColumn("dnrm", norm(col("demb")))
+      .withColumn("dnrm", normPre(col("demb")))
     // element-wise mean per cluster: explode positions once, re-pack
     val cent = d.select(col("cluster"), posexplode(col("demb")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos").agg(avg("x").as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cemb"))
-      .withColumn("cnrm", norm(col("cemb")))
+      .withColumn("cnrm", normPre(col("cemb")))
     val q = withNorm(queries, idCol, vecCol, "q")
     val probeW = Window.partitionBy("qid").orderBy(
-      (dot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm"))).desc,
+      (dotPre(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm"))).desc,
       col("cluster").asc)
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("__pr", row_number().over(probeW))

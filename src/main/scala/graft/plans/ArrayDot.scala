@@ -35,9 +35,15 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 object ArrayDot {
   def apply(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
-  /** Called from generated code. Requires equal-length array<double>. */
+  /** Called from generated code. Requires equal-length array<double> —
+    * a silent min-length truncation would turn dimension mistakes into
+    * plausible-but-wrong numbers instead of errors. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"array_dot: length mismatch ($n vs ${b.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -60,8 +60,7 @@ object GeoQueries {
     // fan-out compute-bound join: spread the narrow position rows
     // across the cluster first — a single-split source file would
     // otherwise evaluate |positions| x |signals| haversines on one core
-    pos(s, dir).select("event_id", "lat", "lon")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.operators.Par.spread(pos(s, dir).select("event_id", "lat", "lon"))
       .join(broadcast(signals(s, dir)))
       .withColumn("dist_km",
         round(GeoFunctions.haversineKm(col("lat"), col("lon"),
@@ -74,15 +73,13 @@ object GeoQueries {
   }
 
   val geoNearestSignalSql: String = {
-    val a = "(pow(sin(radians(s_lat - lat) / 2), 2) + " +
-      "cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2))"
     PositionView.oracleCte + s""",
     |sig AS (
     |  SELECT event_id AS signal_id, lat AS s_lat, lon AS s_lon
     |  FROM pos WHERE event_id % 199 = 0),
     |d AS (
     |  SELECT p.event_id, sig.signal_id,
-    |    round(12742.0 * atan2(sqrt($a), sqrt(1.0 - $a)), 6) AS dist_km
+    |    round(${TrafficQueries.havSql("lat", "lon", "s_lat", "s_lon")}, 6) AS dist_km
     |  FROM pos p CROSS JOIN sig),
     |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
     |        ORDER BY dist_km, signal_id) AS rn FROM d)
@@ -126,11 +123,10 @@ object GeoQueries {
       lit("\"><tag k=\"highway\" v=\""), col("event_type"),
       lit("\"/><tag k=\"ref\" v=\""), col("user_id").cast("string"),
       lit("\"/></node>"))
-    Tables.events(s, dir)
-      .select(col("event_id"), xml.as("x"))
-      // each xpath call parses the document; spread the rows before the
-      // parse stage or a single-split source runs them all on one core
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // each xpath call parses the document; spread the rows before the
+    // parse stage or a single-split source runs them all on one core
+    graft.operators.Par.spread(
+      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
       .select(
         col("event_id"),
         expr("xpath_long(x, '/node/@id')").as("osm_id"),

@@ -111,9 +111,7 @@ object TextQueries {
     * partial count) pairs thanks to map-side partial aggregation; the
     * final top-N runs on the tiny aggregated set. */
   def txNgramFreq(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select("text")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.operators.Par.spread(docs(s, dir).select("text"))
       .select(explode(wordShingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))

@@ -38,10 +38,11 @@ object TrafficQueries {
 
   /** DuckDB haversine with the exact operand order of
     * GeoFunctions.haversineKm(lat1, lon1, lat2, lon2). */
-  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+  private[queries] def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
     val a = s"(pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
       s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))"
-    s"12742.0 * atan2(sqrt($a), sqrt(1.0 - $a))"
+    // least/greatest clamp mirrors GeoFunctions.haversineKm exactly
+    s"12742.0 * atan2(sqrt(least($a, 1.0)), sqrt(greatest(1.0 - $a, 0.0)))"
   }
 
   /** pos → per-vehicle consecutive-pair speeds, mirroring SpeedOps.speeds. */

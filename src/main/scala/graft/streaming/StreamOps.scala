@@ -30,12 +30,18 @@ object StreamOps {
     * directory keyed by the source path (idempotent). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet")
-    val stage = Paths.get("/tmp/graft-stream",
-      dir.replaceAll("[^A-Za-z0-9]", "_"), "events")
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    // stage key = sanitized name + full-path hash: two dirs that
+    // sanitize identically must not share (and silently reuse) a stage
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
+      Integer.toHexString(src.toString.hashCode)
+    val stage = Paths.get("/tmp/graft-stream", key, "events")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // deleteIfExists sees dangling links (Files.exists follows them and
+    // would report false, making createSymbolicLink throw forever)
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, src)
     s.readStream.schema(EventsSchema).parquet(stage.toString)
   }
 

@@ -37,6 +37,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "k", "t", "v"))
   }
 
+  test("backward never tears value columns across different right rows") {
+    // right at t=2 has v1=NULL: a per-column fill would pair v1 from t=1
+    // with v2 from t=2 — a row that never existed
+    val l = Seq((1L, "a", 3L)).toDF("id", "k", "t")
+    val r = Seq(("a", 1L, Some(5.0), Some(3.0)), ("a", 2L, None, Some(7.0)))
+      .toDF("k", "t", "v1", "v2")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v1", "v2"))
+      .select("v1", "v2").collect().head
+    assert(out.isNullAt(0) && out.getDouble(1) === 7.0)
+  }
+
   test("backward rejects valueCols colliding with left columns") {
     val l = left((1L, "a", 1L)).withColumnRenamed("id", "v")
     val r = right(("a", 1L, 1.0))

@@ -33,6 +33,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(single, "doc_id", "text", 3, 0.5).count() === 0)
   }
 
+  test("jaccardPairs with a df cap still verifies on FULL shingle sets") {
+    // docs 1 and 2 share many shingles; with maxDf=1 every shared
+    // shingle is dropped from the index (df=2), so the pair cannot be
+    // GENERATED — but any pair that does surface must carry the true
+    // full-set Jaccard, and lowering the threshold must not resurrect
+    // pairs whose every shared shingle is capped
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 2L)))
+    // with a permissive cap the pair returns with its exact jaccard
+    val loose = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.6, maxDf = 100)
+      .select("a_id", "b_id", "jac").as[(Long, Long, Double)].collect()
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.6)
+      .select("a_id", "b_id", "jac").as[(Long, Long, Double)].collect()
+    assert(loose.sortBy(r => (r._1, r._2)).toSeq ===
+      exact.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("simhashPairs ignores docs with no shingles (no all-ones pairing)") {
+    val tiny = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "e f"), // all shorter than n=3
+      (4L, "the quick brown fox jumps high today")).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(tiny, "doc_id", "text", n = 3, maxHamming = 7)
+      .count() === 0)
+  }
+
   test("minhashLshPairs recalls every exact-Jaccard pair on the testdata corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
