@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, BinaryGpsDecode, SimHash64}
+import graft.plans.{ArrayDot, BinaryGpsDecode, GeoRangeRule, HaversineDist, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[HaversineDist].getName, "haversine_km"),
+      (exprs: Seq[Expression]) =>
+        HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3))))
+    // geo range filters gain a sargable latitude-band prefilter
+    ext.injectOptimizerRule(_ => GeoRangeRule)
   }
 }

@@ -106,6 +106,29 @@ object GeoQueries {
     |  count(*) AS n
     |FROM events GROUP BY 1, 2 ORDER BY tag_key, value_bucket""".stripMargin
 
+  // ---- geo_range_query ---------------------------------------------------
+
+  /** Positions within RangeKm of the Kyiv center, per route — written
+    * against the HaversineDist Catalyst expression so the injected
+    * GeoRangeRule conjoins a sargable latitude-band prefilter (see
+    * GeoRangeSpec for the plan assertion). Results are identical with
+    * or without the rule; the band is implied by the distance cut. */
+  val RangeKm = 5.0
+
+  def geoRangeQuery(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir)
+      .filter(graft.plans.HaversineDist(col("lat"), col("lon"),
+        lit(TrafficQueries.CenterLat), lit(TrafficQueries.CenterLon)) < RangeKm)
+      .groupBy("route_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("route_id")
+
+  val geoRangeQuerySql: String = PositionView.oracleCte + s"""
+    |SELECT route_id, count(*) AS n
+    |FROM pos
+    |WHERE ${TrafficQueries.havSql("lat", "lon", "50.45", "30.52")} < 5.0
+    |GROUP BY route_id ORDER BY route_id""".stripMargin
+
   // ---- geo_osm_xml_parse -------------------------------------------------
 
   /** OSM-XML node parsing (importer.py:258-265 _parse_node: id/lat/lon
@@ -154,11 +177,13 @@ object GeoQueries {
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
+    "geo_range_query" -> (geoRangeQuery _),
     "geo_osm_xml_parse" -> (geoOsmXmlParse _))
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,
+    "geo_range_query" -> geoRangeQuerySql,
     "geo_osm_xml_parse" -> geoOsmXmlParseSql)
 }
