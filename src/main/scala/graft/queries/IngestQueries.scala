@@ -177,8 +177,10 @@ object IngestQueries {
     val line = concat(
       lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\",\"count\":2,\"positions\":["),
       posJson(latE4, lonE4), lit(","), posJson(latE4 + 1, lonE4 + 1), lit("]}"))
+    // spread before the per-row JSON parse (single-split source)
     val parsed = graft.sources.PositionLog.parseLines(
-      events(s, dir).select(col("event_id"), line.as("line")), col("line"))
+      graft.operators.Par.spread(
+        events(s, dir).select(col("event_id"), line.as("line"))), col("line"))
     parsed.select(
       col("event_id"), col("pos_idx"), col("rec_count"),
       col("vehicle_id"), col("route_id"),
