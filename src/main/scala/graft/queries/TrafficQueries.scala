@@ -117,6 +117,43 @@ object TrafficQueries {
     |  FROM stats)
     |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---- ta_slowest_routes / ta_fastest_routes -----------------------------
+
+  /** The reference ranks routes three ways (visualize.py:115-165): by
+    * samples (ta_top_routes), slowest and fastest by average speed, all
+    * over the min-sample-thresholded stats. */
+  private def routeRanking(s: SparkSession, dir: String, asc: Boolean): DataFrame = {
+    val stats = SpeedOps.routeStats(speeds(s, dir))
+    val ord = if (asc) col("avg_speed_kmh").asc else col("avg_speed_kmh").desc
+    import org.apache.spark.sql.expressions.Window
+    stats.withColumn("rank",
+      row_number().over(Window.orderBy(ord, col("route_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("route_id", "avg_speed_kmh", "n_vehicles", "n_samples", "rank")
+      .orderBy("rank")
+  }
+
+  def taSlowestRoutes(s: SparkSession, dir: String): DataFrame =
+    routeRanking(s, dir, asc = true)
+
+  def taFastestRoutes(s: SparkSession, dir: String): DataFrame =
+    routeRanking(s, dir, asc = false)
+
+  private def routeRankingSql(dir: String): String = speedsCte + s""",
+    |stats AS (
+    |  SELECT route_id,
+    |    round(avg(speed_kmh), 4) AS avg_speed_kmh,
+    |    count(DISTINCT vehicle_id) AS n_vehicles,
+    |    count(*) AS n_samples
+    |  FROM speeds GROUP BY route_id HAVING count(*) >= 10)
+    |SELECT * FROM (
+    |  SELECT *, row_number() OVER (ORDER BY avg_speed_kmh $dir, route_id) AS rank
+    |  FROM stats)
+    |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  val taSlowestRoutesSql: String = routeRankingSql("ASC")
+  val taFastestRoutesSql: String = routeRankingSql("DESC")
+
   // ---- ta_latest_per_vehicle ---------------------------------------------
 
   def taLatestPerVehicle(s: SparkSession, dir: String): DataFrame =
@@ -260,6 +297,8 @@ object TrafficQueries {
     "ta_speed_lag" -> (taSpeedLag _),
     "ta_route_stats" -> (taRouteStats _),
     "ta_top_routes" -> (taTopRoutes _),
+    "ta_slowest_routes" -> (taSlowestRoutes _),
+    "ta_fastest_routes" -> (taFastestRoutes _),
     "ta_latest_per_vehicle" -> (taLatestPerVehicle _),
     "ta_haversine" -> (taHaversine _),
     "ta_hourly_activity" -> (taHourlyActivity _),
@@ -272,6 +311,8 @@ object TrafficQueries {
     "ta_speed_lag" -> taSpeedLagSql,
     "ta_route_stats" -> taRouteStatsSql,
     "ta_top_routes" -> taTopRoutesSql,
+    "ta_slowest_routes" -> taSlowestRoutesSql,
+    "ta_fastest_routes" -> taFastestRoutesSql,
     "ta_latest_per_vehicle" -> taLatestPerVehicleSql,
     "ta_haversine" -> taHaversineSql,
     "ta_hourly_activity" -> taHourlyActivitySql,
