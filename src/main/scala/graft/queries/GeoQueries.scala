@@ -51,24 +51,33 @@ object GeoQueries {
     * plan whenever the point layer fits an executor (signals/crossings
     * always do); grid-bucketed range joins only pay off when BOTH sides
     * are huge. */
+  /** Bits reserved for the signal id inside the packed argmin long. */
+  private val IdBits = 24
+
   def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
-    // argmin via min(struct(dist, id)) — struct ordering is
-    // lexicographic, so this is exactly "closest, then smallest id",
-    // and unlike a row_number window it partial-aggregates map-side:
-    // the shuffle carries one candidate per (partition, event) instead
-    // of sorting the full |positions| x |signals| product.
-    // fan-out compute-bound join: spread the narrow position rows
-    // across the cluster first — a single-split source file would
-    // otherwise evaluate |positions| x |signals| haversines on one core
+    // argmin as min() over ONE packed long — (dist_micro << 24 | id) —
+    // so the aggregate is codegen'd primitive min with map-side partial
+    // aggregation (a struct-valued min falls back to interpreted
+    // comparators on the full |positions| x |signals| product). dist
+    // dominates the ordering, id breaks ties — exactly "closest, then
+    // smallest id". The double round reproduces the oracle's decimal
+    // rounding (round(d,6) is not an exact micro multiple in binary;
+    // rounding its *1e6 image recovers the integer). ANSI mode faults
+    // ids >= 2^24 loudly instead of corrupting the packing. The spread
+    // keeps a single-split source from running the whole product on one
+    // core; per-side cosines are computed once before the join.
+    val dist = GeoFunctions.haversineKmPre(col("lat"), col("lon"), col("coslat"),
+      col("s_lat"), col("s_lon"), col("s_coslat"))
+    val distMicro = round(round(dist, 6) * lit(1e6)).cast("long")
     graft.operators.Par.spread(pos(s, dir).select("event_id", "lat", "lon"))
-      .join(broadcast(signals(s, dir)))
-      .withColumn("dist_km",
-        round(GeoFunctions.haversineKm(col("lat"), col("lon"),
-          col("s_lat"), col("s_lon")), 6))
+      .withColumn("coslat", GeoFunctions.cosLat(col("lat")))
+      .join(broadcast(signals(s, dir)
+        .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))))
       .groupBy("event_id")
-      .agg(min(struct(col("dist_km"), col("signal_id"))).as("m"))
-      .select(col("event_id"), col("m.signal_id").as("signal_id"),
-        col("m.dist_km").as("dist_km"))
+      .agg(min(distMicro * lit(1L << IdBits) + col("signal_id")).as("m"))
+      .select(col("event_id"),
+        col("m").bitwiseAND(lit((1L << IdBits) - 1)).as("signal_id"),
+        (shiftrightunsigned(col("m"), IdBits).cast("double") / 1e6).as("dist_km"))
       .orderBy("event_id")
   }
 
