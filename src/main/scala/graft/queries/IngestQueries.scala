@@ -124,6 +124,37 @@ object IngestQueries {
     |  json_extract_string(payload, '$.t') AS payload_t
     |FROM m ORDER BY event_id""".stripMargin
 
+  // ---- ing_handshake_parse -----------------------------------------------
+
+  /** Socket.IO handshake response `<length>:0{json}` → (sid,
+    * pingInterval) (parsers.py:137-153 parse_handshake_response). The
+    * reference brace-counts to find the object end; for the handshake
+    * wire format (no nested objects) a greedy regexp capture is the
+    * declarative equivalent. */
+  def ingHandshakeParse(s: SparkSession, dir: String): DataFrame = {
+    val resp = concat(
+      lit("97:0{\"sid\":\"s"), col("user_id").cast("string"),
+      lit("-"), col("event_id").cast("string"),
+      lit("\",\"upgrades\":[\"websocket\"],\"pingInterval\":"),
+      (lit(25000) + col("event_id") % 10 * 1000).cast("string"), lit("}"))
+    val json = regexp_extract(col("resp"), ":0(\\{.*\\})", 1)
+    events(s, dir)
+      .select(col("event_id"), resp.as("resp"))
+      .select(col("event_id"),
+        from_json(json, StructType(Seq(
+          StructField("sid", StringType),
+          StructField("pingInterval", LongType)))).as("h"))
+      .select(col("event_id"), col("h.sid").as("sid"),
+        col("h.pingInterval").as("ping_interval"))
+      .orderBy("event_id")
+  }
+
+  val ingHandshakeParseSql: String = """
+    |SELECT event_id,
+    |  concat('s', CAST(user_id AS VARCHAR), '-', CAST(event_id AS VARCHAR)) AS sid,
+    |  25000 + event_id % 10 * 1000 AS ping_interval
+    |FROM events ORDER BY event_id""".stripMargin
+
   // ---- ing_bounds_filter -------------------------------------------------
 
   /** Region categorization over a wide synthetic coordinate spread
@@ -302,6 +333,7 @@ object IngestQueries {
     "ing_json_props" -> (ingJsonProps _),
     "ing_csv_positions" -> (ingCsvPositions _),
     "ing_socketio_parse" -> (ingSocketioParse _),
+    "ing_handshake_parse" -> (ingHandshakeParse _),
     "ing_bounds_filter" -> (ingBoundsFilter _),
     "ing_jsonl_positions" -> (ingJsonlPositions _),
     "ing_weather_json" -> (ingWeatherJson _),
@@ -311,6 +343,7 @@ object IngestQueries {
     "ing_json_props" -> ingJsonPropsSql,
     "ing_csv_positions" -> ingCsvPositionsSql,
     "ing_socketio_parse" -> ingSocketioParseSql,
+    "ing_handshake_parse" -> ingHandshakeParseSql,
     "ing_bounds_filter" -> ingBoundsFilterSql,
     "ing_jsonl_positions" -> ingJsonlPositionsSql,
     "ing_weather_json" -> ingWeatherJsonSql,
