@@ -240,6 +240,43 @@ object IngestQueries {
     |  FROM e)
     |SELECT * FROM r ORDER BY event_id, pos_idx""".stripMargin
 
+  // ---- ing_routes_jsonl --------------------------------------------------
+
+  /** Round-trips the routes-file envelope (writer.py write_routes +
+    * models.py RouteRecord) through PositionLog.parseRouteLines. */
+  def ingRoutesJsonl(s: SparkSession, dir: String): DataFrame = {
+    def routeJson(id: Column): Column = concat(
+      lit("{\"id\":"), id.cast("string"),
+      lit(",\"number\":\"T"), (id % 25).cast("string"),
+      lit("\",\"type\":"), (id % 3 + 1).cast("string"), lit("}"))
+    val line = concat(
+      lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\","),
+      lit("\"poll_number\":"), col("event_id").cast("string"),
+      lit(",\"route_count\":2,\"routes\":["),
+      routeJson(col("user_id")), lit(","), routeJson(col("user_id") + 100),
+      lit("]}"))
+    val parsed = graft.sources.PositionLog.parseRouteLines(
+      graft.operators.Par.spread(
+        events(s, dir).select(col("event_id"), line.as("line"))), col("line"))
+    parsed.select("event_id", "poll_number", "route_count", "route_idx",
+      "route_id", "route_number", "route_type")
+      .orderBy("event_id", "route_idx")
+  }
+
+  val ingRoutesJsonlSql: String = """
+    |WITH r AS (
+    |  SELECT event_id, event_id AS poll_number, 2 AS route_count,
+    |    0 AS route_idx, user_id AS route_id,
+    |    concat('T', CAST(user_id % 25 AS VARCHAR)) AS route_number,
+    |    CAST(user_id % 3 + 1 AS INT) AS route_type
+    |  FROM events
+    |  UNION ALL
+    |  SELECT event_id, event_id, 2, 1, user_id + 100,
+    |    concat('T', CAST((user_id + 100) % 25 AS VARCHAR)),
+    |    CAST((user_id + 100) % 3 + 1 AS INT)
+    |  FROM events)
+    |SELECT * FROM r ORDER BY event_id, route_idx""".stripMargin
+
   // ---- ing_weather_json --------------------------------------------------
 
   /** Open-Meteo-style response parsing (weather/pipeline/extract.py:
@@ -336,6 +373,7 @@ object IngestQueries {
     "ing_handshake_parse" -> (ingHandshakeParse _),
     "ing_bounds_filter" -> (ingBoundsFilter _),
     "ing_jsonl_positions" -> (ingJsonlPositions _),
+    "ing_routes_jsonl" -> (ingRoutesJsonl _),
     "ing_weather_json" -> (ingWeatherJson _),
     "ing_binary_gps" -> (ingBinaryGps _))
 
@@ -346,6 +384,7 @@ object IngestQueries {
     "ing_handshake_parse" -> ingHandshakeParseSql,
     "ing_bounds_filter" -> ingBoundsFilterSql,
     "ing_jsonl_positions" -> ingJsonlPositionsSql,
+    "ing_routes_jsonl" -> ingRoutesJsonlSql,
     "ing_weather_json" -> ingWeatherJsonSql,
     "ing_binary_gps" -> ingBinaryGpsSql)
 }

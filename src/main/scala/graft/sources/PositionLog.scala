@@ -32,6 +32,31 @@ object PositionLog {
     StructField("count", IntegerType),
     StructField("positions", ArrayType(PositionSchema))))
 
+  /** Route metadata record (models.py:40-57 RouteRecord.to_dict: an
+    * envelope with poll bookkeeping + a nested `routes` array; route
+    * dicts carry id / number / type with type 1/2/3 = tram/trol/bus). */
+  val RouteSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("number", StringType),
+    StructField("type", IntegerType)))
+
+  val RoutesRecordSchema: StructType = StructType(Seq(
+    StructField("collected_by", StringType),
+    StructField("timestamp", StringType),
+    StructField("poll_number", LongType),
+    StructField("route_count", IntegerType),
+    StructField("routes", ArrayType(RouteSchema))))
+
+  /** One row per nested route with its in-record index. */
+  def parseRouteLines(df: DataFrame, lineCol: Column): DataFrame =
+    df.withColumn("__rec", from_json(lineCol, RoutesRecordSchema))
+      .select(col("*"), col("__rec.poll_number").as("poll_number"),
+        col("__rec.route_count").as("route_count"),
+        posexplode(col("__rec.routes")).as(Seq("route_idx", "__r")))
+      .select(col("*"), col("__r.id").as("route_id"),
+        col("__r.number").as("route_number"), col("__r.type").as("route_type"))
+      .drop("__rec", "__r")
+
   /** Parses a column of JSONL lines into one row per nested position,
     * keeping the in-record index (pos_idx) and the envelope count. */
   def parseLines(df: DataFrame, lineCol: Column): DataFrame =
