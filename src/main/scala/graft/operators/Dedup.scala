@@ -64,11 +64,17 @@ object Dedup {
     val ex0 = sh.select(col("__id"), col("sz"), explode(col("sh")).as("sg"))
     if (maxDf <= 0) {
       // exact: the per-pair match count over ALL shingles IS the
-      // intersection size — no second pass needed
+      // intersection size — no second pass needed. The size-ratio
+      // prefilter is lossless for the threshold: jac >= t forces
+      // min(|A|,|B|) >= t * max(|A|,|B|) (shared <= min and
+      // shared >= t/(1+t)*(|A|+|B|)), so mismatched-size pairs drop
+      // BEFORE the aggregation instead of after.
       val a = ex0.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
       val b = ex0.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
       a.join(b, Seq("sg"))
-        .filter(col("a_id") < col("b_id"))
+        .filter(col("a_id") < col("b_id") &&
+          col("a_sz") >= lit(threshold) * col("b_sz") &&
+          col("b_sz") >= lit(threshold) * col("a_sz"))
         .groupBy("a_id", "b_id", "a_sz", "b_sz")
         .agg(count(lit(1)).as("shared"))
         .withColumn("jac",
