@@ -63,8 +63,10 @@ object SpeedOps {
     * sort, acceptable strictly because the input is an already-reduced
     * per-group frame (|groups| rows, e.g. 25 routes — never the raw
     * stream). For row-level global ranking use RankOps.withGlobalRank. */
-  def topNGroups(grouped: DataFrame, metric: String, tieBreak: String, n: Int): DataFrame = {
-    val w = Window.orderBy(col(metric).desc, col(tieBreak).asc)
+  def topNGroups(grouped: DataFrame, metric: String, tieBreak: String,
+                 n: Int, asc: Boolean = false): DataFrame = {
+    val ord = if (asc) col(metric).asc else col(metric).desc
+    val w = Window.orderBy(ord, col(tieBreak).asc)
     grouped.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
   }
 

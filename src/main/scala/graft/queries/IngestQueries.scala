@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GeoFunctions
 import graft.plans.BinaryGpsDecode
+import graft.sources.PositionView
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,8 +47,8 @@ object IngestQueries {
   def ingCsvPositions(s: SparkSession, dir: String): DataFrame = {
     val line = concat_ws(",",
       col("user_id"), col("user_id") % 25,
-      col("event_id") * 7919 % 3000 + 503000,
-      col("event_id") * 104729 % 6000 + 302000,
+      PositionView.latE4(col("event_id")),
+      PositionView.lonE4(col("event_id")),
       col("event_id") % 2, col("event_id") % 4,
       expr("ts div 1000000000"))
     val schema = StructType.fromDDL(
@@ -132,14 +133,17 @@ object IngestQueries {
     * wire format (no nested objects) a greedy regexp capture is the
     * declarative equivalent. */
   def ingHandshakeParse(s: SparkSession, dir: String): DataFrame = {
-    val resp = concat(
-      lit("97:0{\"sid\":\"s"), col("user_id").cast("string"),
+    val packet = concat(
+      lit("0{\"sid\":\"s"), col("user_id").cast("string"),
       lit("-"), col("event_id").cast("string"),
       lit("\",\"upgrades\":[\"websocket\"],\"pingInterval\":"),
       (lit(25000) + col("event_id") % 10 * 1000).cast("string"), lit("}"))
+    // the length prefix is the REAL packet length per row — a fixed
+    // prefix would violate the length-framed wire format being modeled
     val json = regexp_extract(col("resp"), ":0(\\{.*\\})", 1)
     events(s, dir)
-      .select(col("event_id"), resp.as("resp"))
+      .select(col("event_id"),
+        concat(length(packet).cast("string"), lit(":"), packet).as("resp"))
       .select(col("event_id"),
         from_json(json, StructType(Seq(
           StructField("sid", StringType),
@@ -203,8 +207,8 @@ object IngestQueries {
       lit(",\"flag\":"), (col("event_id") % 4).cast("string"),
       lit(",\"timestamp\":"), expr("ts div 1000000000").cast("string"),
       lit("}"))
-    val latE4 = col("event_id") * 7919 % 3000 + 503000
-    val lonE4 = col("event_id") * 104729 % 6000 + 302000
+    val latE4 = PositionView.latE4(col("event_id"))
+    val lonE4 = PositionView.lonE4(col("event_id"))
     val line = concat(
       lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\",\"count\":2,\"positions\":["),
       posJson(latE4, lonE4), lit(","), posJson(latE4 + 1, lonE4 + 1), lit("]}"))
@@ -339,7 +343,10 @@ object IngestQueries {
     * and explodes the result. The oracle predicts the decoded output
     * from the same integer arithmetic. */
   def ingBinaryGps(s: SparkSession, dir: String): DataFrame = {
-    val lng1 = col("event_id") * 104729 % 6000 * 10000 + 3020000000L
+    // lng: the shared e4 lon scaled to 1e8 (30.2xx -> fits uint32);
+    // lat: its own 30.3-based value — the true 50.3e8 would overflow
+    // the reference's uint32 wire format
+    val lng1 = PositionView.lonE4(col("event_id")) * 10000L
     val lat1 = col("event_id") * 7919 % 3000 * 10000 + 3030000000L
     val bin = unhex(concat(
       hexLe(lng1), hexLe(lat1), hexLe(lng1 + 1), hexLe(lat1 + 1)))

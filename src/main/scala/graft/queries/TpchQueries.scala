@@ -22,9 +22,16 @@ object TpchQueries {
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        // avg_qty: quantities are whole numbers, their sum is exact, so
+        // the avg is a deterministic double and round(.,4) is stable.
+        // avg of 2-DECIMAL money columns instead divides the
+        // cent-rounded sum: round(avg,4) would land exactly on half-up
+        // boundaries whenever sum*2e4 is an odd multiple of the count,
+        // and summation-order ulps across engines/partitionings then
+        // flip the rounding (same hazard ta_hourly_activity documents).
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (round(sum("l_discount"), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -35,8 +42,8 @@ object TpchQueries {
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+      |  round(sum(l_discount), 2) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-02'
@@ -144,7 +151,8 @@ object TpchQueries {
         count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"),
-        round(avg("o_totalprice"), 4).as("avg_price"))
+        // cent-rounded-sum / count: see q1 avg_price boundary note
+        (round(sum("o_totalprice"), 2) / count(lit(1))).as("avg_price"))
       .orderBy("decile")
   }
 
@@ -152,21 +160,24 @@ object TpchQueries {
     """SELECT decile, count(*) AS n,
       |  round(min(o_totalprice), 2) AS min_price,
       |  round(max(o_totalprice), 2) AS max_price,
-      |  round(avg(o_totalprice), 4) AS avg_price
+      |  round(sum(o_totalprice), 2) / count(*) AS avg_price
       |FROM (SELECT o_totalprice,
       |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
       |      FROM orders)
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** One scan per table: a left join against DISTINCT lineitem keys
+    * (no fanout) bucketed on match-null gives both EXISTS and NOT
+    * EXISTS counts — the semi+anti formulation read each table twice. */
   def orderFillRate(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val l = Tables.lineitem(s, dir).select("l_orderkey")
-    val withL = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .agg(count(lit(1)).as("n")).withColumn("bucket", lit("with_lineitems"))
-    val withoutL = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n")).withColumn("bucket", lit("no_lineitems"))
-    withL.unionByName(withoutL).select("bucket", "n").orderBy("bucket")
+    val o = Tables.orders(s, dir).select("o_orderkey")
+    val l = Tables.lineitem(s, dir).select("l_orderkey").distinct()
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(when(col("l_orderkey").isNull, "no_lineitems")
+        .otherwise("with_lineitems").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
   }
 
   val orderFillRateSql: String =

@@ -122,16 +122,12 @@ object TrafficQueries {
   /** The reference ranks routes three ways (visualize.py:115-165): by
     * samples (ta_top_routes), slowest and fastest by average speed, all
     * over the min-sample-thresholded stats. */
-  private def routeRanking(s: SparkSession, dir: String, asc: Boolean): DataFrame = {
-    val stats = SpeedOps.routeStats(speeds(s, dir))
-    val ord = if (asc) col("avg_speed_kmh").asc else col("avg_speed_kmh").desc
-    import org.apache.spark.sql.expressions.Window
-    stats.withColumn("rank",
-      row_number().over(Window.orderBy(ord, col("route_id").asc)).cast("long"))
-      .filter(col("rank") <= 10)
+  private def routeRanking(s: SparkSession, dir: String, asc: Boolean): DataFrame =
+    SpeedOps.topNGroups(SpeedOps.routeStats(speeds(s, dir)),
+      metric = "avg_speed_kmh", tieBreak = "route_id", n = 10, asc = asc)
+      .withColumn("rank", col("rank").cast("long"))
       .select("route_id", "avg_speed_kmh", "n_vehicles", "n_samples", "rank")
       .orderBy("rank")
-  }
 
   def taSlowestRoutes(s: SparkSession, dir: String): DataFrame =
     routeRanking(s, dir, asc = true)

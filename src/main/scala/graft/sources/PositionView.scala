@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object PositionView {
 
+  /** e4-scaled synthetic coordinate INTEGERS, shared by every
+    * wire-format synthesis (CSV lines, JSONL, XML, binary) so the Spark
+    * plans and their oracles derive from one definition and cannot
+    * drift. (fromEvents' double-valued lat/lon below intentionally keep
+    * their own 50.3 + m/1e4 op order in lockstep with oracleCte.) */
+  def latE4(eventId: Column): Column = eventId * 7919 % 3000 + 503000
+  def lonE4(eventId: Column): Column = eventId * 104729 % 6000 + 302000
+  val LatE4Sql = "event_id * 7919 % 3000 + 503000"
+  val LonE4Sql = "event_id * 104729 % 6000 + 302000"
+
   /** Spark-side position columns. The DuckDB-side equivalent is
     * [[oracleCte]] — keep the two in lockstep. */
   def fromEvents(events: DataFrame): DataFrame = {
