@@ -6,7 +6,7 @@ import graft.sources.PositionView
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructType}
 
 /** Geo / OSM block (reference: open-street-map/pipeline/importer.py —
   * Overpass signal/crossing fetchers :146-176, tag maps :63-75, bbox
@@ -152,10 +152,12 @@ object GeoQueries {
   // ---- geo_osm_xml_parse -------------------------------------------------
 
   /** OSM-XML node parsing (importer.py:258-265 _parse_node: id/lat/lon
-    * attributes + a tag k->v map from child elements), expressed with
-    * Spark's xpath functions over an XML column synthesized in-plan.
-    * Coordinates ride as e4 integers inside the XML; the oracle
-    * predicts the parsed output from the same arithmetic. */
+    * attributes + a tag k->v map from child elements) via from_xml —
+    * ONE structured parse per row (per-field xpath calls each re-parse
+    * the document through javax.xml, whose factory contended badly
+    * across executor threads). Coordinates ride as e4 integers inside
+    * the XML; the oracle predicts the parsed output from the same
+    * arithmetic. */
   def geoOsmXmlParse(s: SparkSession, dir: String): DataFrame = {
     val latE4 = PositionView.latE4(col("event_id"))
     val lonE4 = PositionView.lonE4(col("event_id"))
@@ -166,17 +168,21 @@ object GeoQueries {
       lit("\"><tag k=\"highway\" v=\""), col("event_type"),
       lit("\"/><tag k=\"ref\" v=\""), col("user_id").cast("string"),
       lit("\"/></node>"))
-    // each xpath call parses the document; spread the rows before the
-    // parse stage or a single-split source runs them all on one core
+    // attributes surface with the _ prefix; tag children as an array
+    val nodeSchema = StructType.fromDDL(
+      "_id BIGINT, _lat BIGINT, _lon BIGINT, " +
+        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
     graft.operators.Par.spread(
       Tables.events(s, dir).select(col("event_id"), xml.as("x")))
+      .select(col("event_id"),
+        from_xml(col("x"), nodeSchema).as("w"))
       .select(
         col("event_id"),
-        expr("xpath_long(x, '/node/@id')").as("osm_id"),
-        (expr("xpath_long(x, '/node/@lat')") / 10000.0).as("lat"),
-        (expr("xpath_long(x, '/node/@lon')") / 10000.0).as("lon"),
-        map_from_arrays(expr("xpath(x, '/node/tag/@k')"),
-          expr("xpath(x, '/node/tag/@v')")).as("tags"))
+        col("w._id").as("osm_id"),
+        (col("w._lat") / 10000.0).as("lat"),
+        (col("w._lon") / 10000.0).as("lon"),
+        map_from_entries(transform(col("w.tag"),
+          t => struct(t.getField("_k"), t.getField("_v")))).as("tags"))
       .select(col("event_id"), col("osm_id"), col("lat"), col("lon"),
         col("tags")("highway").as("highway"),
         col("tags")("ref").as("ref_user"))
