@@ -11,24 +11,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * text and through `functions.call_function` alike.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity check with a resolvable error instead of a raw
+    * IndexOutOfBoundsException from exprs(i). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("binary_gps_decode"),
       new ExpressionInfo(classOf[BinaryGpsDecode].getName, "binary_gps_decode"),
-      (exprs: Seq[Expression]) => BinaryGpsDecode(exprs.head)))
+      arity("binary_gps_decode", 1)(exprs => BinaryGpsDecode(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+      arity("array_dot", 2)(exprs => ArrayDot(exprs.head, exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineDist].getName, "haversine_km"),
-      (exprs: Seq[Expression]) =>
-        HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3))))
+      arity("haversine_km", 4)(exprs =>
+        HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3)))))
     // geo range filters gain a sargable latitude-band prefilter
     ext.injectOptimizerRule(_ => GeoRangeRule)
   }

@@ -57,11 +57,15 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i),
     * packed into a Long (nBits <= 63). */
-  def hyperplaneSig(v: Column, nBits: Int, dim: Int): Column = {
+  def hyperplaneSig(v: Column, nBits: Int, dim: Int): Column =
+    hyperplaneSigPre(toDouble(v), nBits, dim)
+
+  /** Pre-cast variant: input must already be array<double> (skips the
+    * per-row transform-cast copy — see dotPre). */
+  def hyperplaneSigPre(v: Column, nBits: Int, dim: Int): Column = {
     require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
-    val dv = toDouble(v)
     val bits = (0 until nBits).map { i =>
-      val proj = graft.plans.ArrayDot(dv, hyperplane(i, dim))
+      val proj = graft.plans.ArrayDot(v, hyperplane(i, dim))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)

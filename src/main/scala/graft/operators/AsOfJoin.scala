@@ -36,6 +36,11 @@ object AsOfJoin {
     // Contract: right must be unique per (keyCols, timeCol) — duplicate
     // right timestamps would make which value wins nondeterministic.
     // Series produced by groupBy(hour) satisfy this by construction.
+    //
+    // SQL equality never matches NULL keys, but a window partitionBy
+    // groups NULLs together — drop null-key right rows so a null-key
+    // left row falls through to null values exactly like an ASOF JOIN.
+    val rightNonNull = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     // side=0 sorts right rows before left rows at equal time → a right
     // row at exactly t is visible to a left row at t (inclusive as-of).
     // Values travel as ONE struct, not independent columns: filling each
@@ -45,7 +50,7 @@ object AsOfJoin {
     // rows, so last(ignoreNulls) always lands on a single right row.
     val payloadType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c).copy(name = c)))
-    val taggedRight = right.select(
+    val taggedRight = rightNonNull.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
         struct(valueCols.map(col): _*).as("__vals")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)

@@ -28,16 +28,28 @@ object RankOps {
 
   val DefaultBuckets = 64
 
-  /** Adds `__grank` (1-based exact global rank by (sortCol, tieCol)). */
+  /** Adds `__grank` (1-based exact global rank by (sortCol, tieCol)).
+    *
+    * Buckets are UNIFORM-WIDTH between the exact min and max — not
+    * approx quantiles — because the bucketed frame is evaluated by TWO
+    * plan branches (counts/offsets and ranks) and the boundaries must
+    * come out identical in both: min/max are exact and
+    * merge-order-insensitive, while a percentile_approx sketch can
+    * merge differently per evaluation on a cluster and silently
+    * mis-align offsets against ranks. Value skew only unbalances bucket
+    * SIZES (a perf concern AQE absorbs), never correctness. */
   def withGlobalRank(df: DataFrame, sortCol: String, tieCol: String,
                      buckets: Int = DefaultBuckets): DataFrame = {
-    val bounds = df.agg(percentile_approx(col(sortCol),
-      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
-      lit(10000)).as("__bounds"))
+    val bounds = df.agg(min(col(sortCol)).cast("double").as("__lo"),
+      max(col(sortCol)).cast("double").as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__w", (col("__hi") - col("__lo")) / buckets)
       .withColumn("__bucket",
-        size(filter(col("__bounds"), b => b < col(sortCol))))
-      .drop("__bounds")
+        when(col("__w") <= 0, lit(0)).otherwise(
+          least(greatest(
+            floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
+            lit(0)), lit(buckets - 1))))
+      .drop("__lo", "__hi", "__w")
     val inBucketW = Window.partitionBy("__bucket")
       .orderBy(col(sortCol).asc, col(tieCol).asc)
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))

@@ -63,7 +63,7 @@ object Similarity {
     // shuffle and hash full embedding payloads (a pair can be generated
     // once per band) — vectors rejoin after the id-level dedup
     def banded(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn("__b", explode(bandCol(hyperplaneSig(col(s"${prefix}emb"), nBits, dim))))
+      df.withColumn("__b", explode(bandCol(hyperplaneSigPre(col(s"${prefix}emb"), nBits, dim))))
         .select(col(s"${prefix}id"),
           col("__b.band").as("band"), col("__b.v").as("v"))
     val d0 = withNorm(data, idCol, vecCol, "d")

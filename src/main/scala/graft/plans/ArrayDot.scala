@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product over two array<double> columns as a single tight loop.
   *
@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression stays in whole-stage codegen via one static call and
   * allocates nothing.
   */
-case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+case class ArrayDot(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+  // declared input types: SQL callers passing int arrays get an
+  // analysis-time cast instead of getDouble misreading packed ints
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ArrayDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * expression stays inside whole-stage codegen (no UDF serialization,
   * no fallback to interpreted projection).
   */
-case class BinaryGpsDecode(child: Expression) extends UnaryExpression {
+case class BinaryGpsDecode(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = BinaryGpsDecode.resultType
   override def prettyName: String = "binary_gps_decode"
+  override def inputTypes = Seq(BinaryType)
 
   override def nullSafeEval(input: Any): Any =
     BinaryGpsDecode.decode(input.asInstanceOf[Array[Byte]])

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class HaversineDist(first: Expression, second: Expression,
                          third: Expression, fourth: Expression)
-  extends QuaternaryExpression {
+  extends QuaternaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "haversine_km"
+  // integer SQL literals widen at analysis instead of CCE in eval
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
 
   override def nullSafeEval(lat1: Any, lon1: Any, lat2: Any, lon2: Any): Any =
     HaversineDist.compute(lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],

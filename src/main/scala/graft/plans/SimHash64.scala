@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash over an array<string> of features (tokens/shingles):
   * per bit, count features whose xxhash64 has that bit set vs unset;
@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * pass over the features (vs 64 higher-order-function passes if
   * expressed with transform/filter Column trees).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[ArrayData])

@@ -171,12 +171,18 @@ object TpchQueries {
     * (no fanout) bucketed on match-null gives both EXISTS and NOT
     * EXISTS counts — the semi+anti formulation read each table twice. */
   def orderFillRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val o = Tables.orders(s, dir).select("o_orderkey")
     val l = Tables.lineitem(s, dir).select("l_orderkey").distinct()
-    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+    val counted = o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(when(col("l_orderkey").isNull, "no_lineitems")
         .otherwise("with_lineitems").as("bucket"))
       .agg(count(lit(1)).as("n"))
+    // the oracle's UNION ALL always emits BOTH buckets (possibly 0);
+    // an empty bucket must not vanish from the Spark side
+    Seq("no_lineitems", "with_lineitems").toDF("bucket")
+      .join(broadcast(counted), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("bucket")
   }
 

@@ -25,6 +25,14 @@ case class SessAssign(event_id: Long, user_id: Long, session_seq: Long)
   */
 object StatefulSession {
 
+  /** Contract: agreement with the offline sessionizer requires per-key
+    * event-time-ordered ARRIVAL across batches (the natural property of
+    * time-ordered replay/ingest). A cross-batch LATE event (older than
+    * the stored watermark `lastTsUs`) joins the current session — no
+    * online algorithm with O(1) state can renumber the past — and must
+    * NOT rewind the state watermark: `max` below keeps it monotone so
+    * one late straggler cannot make the next in-order event spuriously
+    * open a new session. */
   def assign(events: Dataset[SessEvent], gapUs: Long): Dataset[SessAssign] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -36,7 +44,7 @@ object StatefulSession {
             .map(s => (s.lastTsUs, s.seq)).getOrElse((Long.MinValue, 0L))
           val out = sorted.map { e =>
             if (last == Long.MinValue || e.ts_us - last > gapUs) seq += 1
-            last = e.ts_us
+            last = math.max(last, e.ts_us)
             SessAssign(e.event_id, uid, seq)
           }
           state.update(SessState(last, seq))
