@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Guards the physical-plan properties the scale design depends on —
+  * a regression here wouldn't change results, only quietly wreck the
+  * 100 TB story. Queries are executed first so AQE finalizes plans.
+  */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  test("q1: the shipdate filter and column pruning reach the parquet scan") {
+    val plan = executed(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("LessThan(l_shipdate"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // 7 of 11 lineitem columns read — pruning active
+    assert(scan.schema.fieldNames.length < 11)
+  }
+
+  test("ta_speed_lag: exactly one data shuffle (per-vehicle window) + final sort") {
+    val plan = executed(SparkEntry.queries("ta_speed_lag")(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"expected window+sort exchanges only:\n$plan")
+  }
+
+  test("ta_asof_weather: the as-of is a single shuffle over the union") {
+    val plan = executed(SparkEntry.queries("ta_asof_weather")(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    // union shuffle + series groupBy + final sort; crucially NOT a
+    // per-key join explosion
+    assert(shuffles.size <= 3, s"as-of shuffle count grew:\n$plan")
+  }
+
+  test("ss_brute_topk: the query set is broadcast, never shuffled") {
+    val plan = executed(SparkEntry.queries("ss_brute_topk")(spark, sf))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.nonEmpty, s"expected a broadcast of the query side:\n$plan")
+  }
+
+  test("q5: dimension tables are broadcast") {
+    val plan = executed(SparkEntry.queries("q5_local_supplier")(spark, sf))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.size >= 2, s"expected broadcast dims in the snowflake:\n$plan")
+  }
+}
