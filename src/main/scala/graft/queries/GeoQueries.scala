@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GeoFunctions
 import graft.sources.PositionView
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructType}
@@ -197,6 +197,43 @@ object GeoQueries {
     |  CAST(user_id AS VARCHAR) AS ref_user
     |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- geo_osm_way_parse -------------------------------------------------
+
+  /** OSM way parsing (importer.py:268-274 _parse_way: id attribute, an
+    * ORDERED list of nd ref children, and the tag map). Each event
+    * synthesizes a 3-node way; the oracle predicts the parsed output. */
+  def geoOsmWayParse(s: SparkSession, dir: String): DataFrame = {
+    def nd(ref: Column): Column =
+      concat(lit("<nd ref=\""), ref.cast("string"), lit("\"/>"))
+    val base = col("event_id") * 31 % 100000
+    val xml = concat(
+      lit("<way id=\""), col("event_id").cast("string"), lit("\">"),
+      nd(base), nd(base + 1), nd(base + 2),
+      lit("<tag k=\"highway\" v=\""), col("event_type"), lit("\"/></way>"))
+    val waySchema = StructType.fromDDL(
+      "_id BIGINT, nd ARRAY<STRUCT<_ref: BIGINT>>, " +
+        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
+    graft.operators.Par.spread(
+      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
+      .select(col("event_id"), from_xml(col("x"), waySchema).as("w"))
+      .select(
+        col("event_id"),
+        col("w._id").as("way_id"),
+        size(col("w.nd")).cast("long").as("n_nodes"),
+        col("w.nd").getItem(0).getField("_ref").as("first_ref"),
+        element_at(col("w.nd"), -1).getField("_ref").as("last_ref"),
+        map_from_entries(transform(col("w.tag"),
+          t => struct(t.getField("_k"), t.getField("_v"))))("highway").as("highway"))
+      .orderBy("event_id")
+  }
+
+  val geoOsmWayParseSql: String = """
+    |SELECT event_id, event_id AS way_id, 3 AS n_nodes,
+    |  event_id * 31 % 100000 AS first_ref,
+    |  event_id * 31 % 100000 + 2 AS last_ref,
+    |  event_type AS highway
+    |FROM events ORDER BY event_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,12 +241,14 @@ object GeoQueries {
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
     "geo_range_query" -> (geoRangeQuery _),
-    "geo_osm_xml_parse" -> (geoOsmXmlParse _))
+    "geo_osm_xml_parse" -> (geoOsmXmlParse _),
+    "geo_osm_way_parse" -> (geoOsmWayParse _))
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,
     "geo_range_query" -> geoRangeQuerySql,
-    "geo_osm_xml_parse" -> geoOsmXmlParseSql)
+    "geo_osm_xml_parse" -> geoOsmXmlParseSql,
+    "geo_osm_way_parse" -> geoOsmWayParseSql)
 }
