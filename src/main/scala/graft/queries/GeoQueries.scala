@@ -234,6 +234,42 @@ object GeoQueries {
     |  event_type AS highway
     |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- geo_geojson_roundtrip ---------------------------------------------
+
+  /** GeoJSON feature conversion (importer.py:192-212 to_geojson /
+    * _node_to_geojson_feature: Feature with [lon, lat] Point geometry
+    * and tags as properties), built with to_json and round-tripped back
+    * through from_json — shortest-repr double serialization makes the
+    * coordinates survive bit-exactly, so the oracle checks the parsed
+    * FIELDS and formatting cancels out. */
+  def geoGeojsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = pos(s, dir)
+    val feature = to_json(struct(
+      lit("Feature").as("type"),
+      col("event_id").as("id"),
+      struct(lit("Point").as("type"),
+        array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+      struct(col("event_type").as("highway")).as("properties")))
+    val schema = StructType.fromDDL(
+      "type STRING, id BIGINT, " +
+        "geometry STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>, " +
+        "properties STRUCT<highway: STRING>")
+    p.select(col("event_id"), from_json(feature, schema).as("f"))
+      .select(
+        col("event_id"),
+        col("f.type").as("feat_type"),
+        col("f.geometry.type").as("geom_type"),
+        col("f.geometry.coordinates").getItem(0).as("lon"),
+        col("f.geometry.coordinates").getItem(1).as("lat"),
+        col("f.properties.highway").as("highway"))
+      .orderBy("event_id")
+  }
+
+  val geoGeojsonRoundtripSql: String = PositionView.oracleCte + """
+    |SELECT event_id, 'Feature' AS feat_type, 'Point' AS geom_type,
+    |  lon, lat, event_type AS highway
+    |FROM pos ORDER BY event_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,7 +278,8 @@ object GeoQueries {
     "geo_tag_stats" -> (geoTagStats _),
     "geo_range_query" -> (geoRangeQuery _),
     "geo_osm_xml_parse" -> (geoOsmXmlParse _),
-    "geo_osm_way_parse" -> (geoOsmWayParse _))
+    "geo_osm_way_parse" -> (geoOsmWayParse _),
+    "geo_geojson_roundtrip" -> (geoGeojsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" -> geoGridDensitySql,
@@ -250,5 +287,6 @@ object GeoQueries {
     "geo_tag_stats" -> geoTagStatsSql,
     "geo_range_query" -> geoRangeQuerySql,
     "geo_osm_xml_parse" -> geoOsmXmlParseSql,
-    "geo_osm_way_parse" -> geoOsmWayParseSql)
+    "geo_osm_way_parse" -> geoOsmWayParseSql,
+    "geo_geojson_roundtrip" -> geoGeojsonRoundtripSql)
 }
