@@ -112,6 +112,32 @@ object MiscQueries {
     |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
     |FROM lagged ORDER BY event_id""".stripMargin
 
+  // ---- mm_decode_features ------------------------------------------------
+
+  /** Drives the documented decode STUB through the registry so the
+    * swap-in point for a real codec is exercised end-to-end (rows-only:
+    * the fake features are hash-derived). */
+  def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.decodeFeaturesStub(col("text").cast("binary")).as("features"))
+      .select(col("doc_id"), col("features").getItem(0).as("f_len"),
+        col("features").getItem(1).as("f_crc"), col("features").getItem(2).as("f_hash"))
+      .orderBy("doc_id")
+
+  // ---- ag_approx_quantile ------------------------------------------------
+
+  /** Approximate percentiles vs exact medians per event_type (rows-only:
+    * sketch internals are engine-specific). */
+  def agApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        expr("percentile(value, 0.5)").as("exact_median"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+      .orderBy("event_type")
+
   // ---- ag_approx_distinct ------------------------------------------------
 
   /** HLL++ approximate distinct vs exact, with the relative error —
@@ -134,6 +160,8 @@ object MiscQueries {
     "st_windowed_counts" -> (stWindowedCounts _),
     "st_stream_dedup" -> (stStreamDedup _),
     "st_sessionize" -> (stSessionize _),
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
