@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes to stdout RAW (no "[info] " decoration): the
+// bench/verify drivers parse the JSON metric line from stdout and the
+// sbt logger prefix breaks json.loads on it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 55 codegen-heavy queries in one JVM overflow the default 240 MB
+  // code cache; when it fills, the JIT disables itself and every
+  // later query runs interpreted (~10-30x slower — exactly the decay
+  // the round-2 bench showed on the late-alphabet queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -228,7 +228,7 @@ object GeoQueries {
   }
 
   val geoOsmWayParseSql: String = """
-    |SELECT event_id, event_id AS way_id, 3 AS n_nodes,
+    |SELECT event_id, event_id AS way_id, CAST(3 AS BIGINT) AS n_nodes,
     |  event_id * 31 % 100000 AS first_ref,
     |  event_id * 31 % 100000 + 2 AS last_ref,
     |  event_type AS highway

@@ -319,7 +319,7 @@ object IngestQueries {
     |    event_id % 400 - 100 AS temp0
     |  FROM events),
     |r AS (
-    |  SELECT event_id, 0 AS idx, 50.45 AS latitude, t0 AS hour_epoch,
+    |  SELECT event_id, 0 AS idx, CAST(50.45 AS DOUBLE) AS latitude, t0 AS hour_epoch,
     |         CAST(temp0 AS DOUBLE) / 10.0 AS temp_c FROM e
     |  UNION ALL
     |  SELECT event_id, 1, 50.45, t0 + 3600,

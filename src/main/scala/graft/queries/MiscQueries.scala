@@ -107,9 +107,10 @@ object MiscQueries {
     |      ORDER BY epoch_us(ts), event_id) AS prev
     |  FROM events)
     |SELECT event_id, user_id,
-    |  sum(CASE WHEN prev IS NULL OR ts_us - prev > 43200000000 THEN 1 ELSE 0 END)
+    |  CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 43200000000 THEN 1 ELSE 0 END)
     |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    |    AS BIGINT) AS session_seq
     |FROM lagged ORDER BY event_id""".stripMargin
 
   // ---- mm_decode_features ------------------------------------------------

@@ -216,10 +216,11 @@ object TrafficQueries {
     |    ts_us
     |  FROM pos)
     |SELECT event_id, vehicle_id,
-    |  sum(CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 43200.0
+    |  CAST(sum(CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 43200.0
     |      THEN 1 ELSE 0 END)
     |    OVER (PARTITION BY vehicle_id ORDER BY ts_us, event_id
-    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    |    AS BIGINT) AS session_seq
     |FROM lagged ORDER BY event_id""".stripMargin
 
   // ---- ta_asof_weather ---------------------------------------------------

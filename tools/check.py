@@ -65,9 +65,23 @@ def main():
             n_rows_only += 1
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            exp_rel = con.sql(oracle[name])
+            exp = exp_rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Type parity: the driver's hash compare is dtype-sensitive
+        # (DuckDB sum(INTEGER) -> HUGEINT -> pandas float -> "1.0" != "1"
+        # even when every value matches). Catch any drift here.
+        res_rel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        rtypes = dict(zip(res_rel.columns, [str(t) for t in res_rel.types]))
+        etypes = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+        tdiff = {c: (rtypes.get(c), etypes.get(c))
+                 for c in set(rtypes) | set(etypes)
+                 if rtypes.get(c) != etypes.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: column type drift spark!=oracle: {tdiff}")
             n_fail += 1
             continue
         rcols, rrows = rows_of(res)
