@@ -21,6 +21,25 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer[String]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query JIT/codegen warmup at the smallest SF: each plan shape
+    // compiles its codegen classes and lets C2 profile them on tiny
+    // data, so the measured run below executes compiled code (first
+    // execution of a cold plan is dominated by janino + interpreter
+    // time, not by the engine). Skipped when the warmup SF is absent
+    // or when it IS the bench target.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      selected.foreach { case (_, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every

@@ -113,7 +113,7 @@ object GeoQueries {
     * every (key, value) entry, bucket values (importer.py:63-75 tag
     * filters / :128-138 tag-map build). */
   def geoTagStats(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    graft.operators.Par.spread(Tables.events(s, dir).select("props"))
       .select(explode(from_json(col("props"), MapType(StringType, IntegerType)))
         .as(Seq("tag_key", "tag_value")))
       .groupBy(col("tag_key"), (col("tag_value") % 10).as("value_bucket"))
@@ -243,7 +243,8 @@ object GeoQueries {
     * coordinates survive bit-exactly, so the oracle checks the parsed
     * FIELDS and formatting cancels out. */
   def geoGeojsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val p = pos(s, dir)
+    val p = graft.operators.Par.spread(
+      pos(s, dir).select("event_id", "lat", "lon", "event_type"))
     val feature = to_json(struct(
       lit("Feature").as("type"),
       col("event_id").as("id"),

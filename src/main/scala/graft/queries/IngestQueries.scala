@@ -24,10 +24,18 @@ object IngestQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** Narrow projection spread across the session parallelism before a
+    * per-row parse stage: the testdata tables are single-split parquet
+    * (one row group), so without this every from_json/regexp stage runs
+    * on ONE core. On a real multi-file source the scan already splits
+    * and AQE coalesces the (tiny) extra shuffle. */
+  private def spreadEv(s: SparkSession, dir: String, cols: Column*): DataFrame =
+    graft.operators.Par.spread(events(s, dir).select(cols: _*))
+
   // ---- ing_json_props ----------------------------------------------------
 
   def ingJsonProps(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).select(
+    spreadEv(s, dir, col("event_id"), col("props")).select(
       col("event_id"),
       from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").as("k"))
@@ -54,7 +62,7 @@ object IngestQueries {
     val schema = StructType.fromDDL(
       "vehicle_id BIGINT, route_id BIGINT, lat_e4 BIGINT, " +
         "lon_e4 BIGINT, direction BIGINT, flag BIGINT, ts_sec BIGINT")
-    events(s, dir)
+    spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
       .select(col("event_id"), from_csv(line, schema, Map.empty[String, String]).as("p"))
       .select(
         col("event_id"),
@@ -96,7 +104,7 @@ object IngestQueries {
       lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
       lit(",\"t\":\""), col("event_type"), lit("\"}]"))
     val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
-    events(s, dir)
+    spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(
         col("event_id"),
@@ -141,7 +149,7 @@ object IngestQueries {
     // the length prefix is the REAL packet length per row — a fixed
     // prefix would violate the length-framed wire format being modeled
     val json = regexp_extract(col("resp"), ":0(\\{.*\\})", 1)
-    events(s, dir)
+    spreadEv(s, dir, col("event_id"), col("user_id"))
       .select(col("event_id"),
         concat(length(packet).cast("string"), lit(":"), packet).as("resp"))
       .select(col("event_id"),
@@ -212,10 +220,10 @@ object IngestQueries {
     val line = concat(
       lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\",\"count\":2,\"positions\":["),
       posJson(latE4, lonE4), lit(","), posJson(latE4 + 1, lonE4 + 1), lit("]}"))
-    // spread before the per-row JSON parse (single-split source)
+    // spread before the per-row synthesis + JSON parse (single-split source)
     val parsed = graft.sources.PositionLog.parseLines(
-      graft.operators.Par.spread(
-        events(s, dir).select(col("event_id"), line.as("line"))), col("line"))
+      spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), line.as("line")), col("line"))
     parsed.select(
       col("event_id"), col("pos_idx"), col("rec_count"),
       col("vehicle_id"), col("route_id"),
@@ -260,8 +268,8 @@ object IngestQueries {
       routeJson(col("user_id")), lit(","), routeJson(col("user_id") + 100),
       lit("]}"))
     val parsed = graft.sources.PositionLog.parseRouteLines(
-      graft.operators.Par.spread(
-        events(s, dir).select(col("event_id"), line.as("line"))), col("line"))
+      spreadEv(s, dir, col("event_id"), col("user_id"))
+        .select(col("event_id"), line.as("line")), col("line"))
     parsed.select("event_id", "poll_number", "route_count", "route_idx",
       "route_id", "route_number", "route_type")
       .orderBy("event_id", "route_idx")
@@ -301,7 +309,7 @@ object IngestQueries {
     val schema = StructType.fromDDL(
       "latitude DOUBLE, longitude DOUBLE, elevation DOUBLE, timezone STRING, " +
         "hourly STRUCT<time: ARRAY<BIGINT>, temperature_2m: ARRAY<BIGINT>>")
-    events(s, dir)
+    spreadEv(s, dir, col("event_id"), col("ts"))
       .select(col("event_id"), from_json(json, schema).as("w"))
       .select(col("event_id"), col("w.latitude").as("latitude"),
         posexplode(arrays_zip(col("w.hourly.time"), col("w.hourly.temperature_2m")))
@@ -350,7 +358,7 @@ object IngestQueries {
     val lat1 = col("event_id") * 7919 % 3000 * 10000 + 3030000000L
     val bin = unhex(concat(
       hexLe(lng1), hexLe(lat1), hexLe(lng1 + 1), hexLe(lat1 + 1)))
-    events(s, dir)
+    spreadEv(s, dir, col("event_id"))
       .select(col("event_id"), explode(BinaryGpsDecode(bin)).as("c"))
       .select(col("event_id"), col("c.off").as("off"),
         col("c.lon").as("lon"), col("c.lat").as("lat"))

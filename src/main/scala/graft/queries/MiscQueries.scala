@@ -19,10 +19,14 @@ object MiscQueries {
 
   // ---- mm_meta_extract ---------------------------------------------------
 
+  /** (doc_id, payload) spread across the session parallelism before the
+    * per-row digest stages (single-split source otherwise). */
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
   def mmMetaExtract(s: SparkSession, dir: String): DataFrame =
-    Multimodal.metaExtract(
-      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload")
+    Multimodal.metaExtract(payloads(s, dir), "doc_id", "payload")
       .orderBy("doc_id")
 
   val mmMetaExtractSql: String = """
@@ -38,8 +42,7 @@ object MiscQueries {
   val FrameStride = 4
 
   def mmFrameSample(s: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(
-      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+    Multimodal.frameSample(payloads(s, dir),
       "doc_id", "payload", FrameBytes, FrameStride)
       .orderBy("doc_id", "frame_idx")
 
@@ -119,9 +122,9 @@ object MiscQueries {
     * swap-in point for a real codec is exercised end-to-end (rows-only:
     * the fake features are hash-derived). */
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    payloads(s, dir)
       .select(col("doc_id"),
-        Multimodal.decodeFeaturesStub(col("text").cast("binary")).as("features"))
+        Multimodal.decodeFeaturesStub(col("payload")).as("features"))
       .select(col("doc_id"), col("features").getItem(0).as("f_len"),
         col("features").getItem(1).as("f_crc"), col("features").getItem(2).as("f_hash"))
       .orderBy("doc_id")
@@ -131,7 +134,8 @@ object MiscQueries {
   /** Approximate percentiles vs exact medians per event_type (rows-only:
     * sketch internals are engine-specific). */
   def agApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    graft.operators.Par.spread(
+      Tables.events(s, dir).select("event_type", "value"))
       .groupBy("event_type")
       .agg(
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
@@ -144,7 +148,8 @@ object MiscQueries {
   /** HLL++ approximate distinct vs exact, with the relative error —
     * rows-only check (sketch internals are engine-specific). */
   def agApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    graft.operators.Par.spread(
+      Tables.events(s, dir).select("event_type", "user_id"))
       .groupBy("event_type")
       .agg(
         approx_count_distinct("user_id", 0.02).as("approx_users"),

@@ -19,13 +19,19 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** (doc_id, text) spread across the session parallelism: documents is
+    * single-split parquet, and the per-row tokenize/score trees are the
+    * dominant cost — without the spread they run on one core. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Par.spread(docs(s, dir).select("doc_id", "text"))
+
   /** Shared DuckDB token list expression (mirror of TextFunctions.tokens). */
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
 
   // ---- tx_token_count ----------------------------------------------------
 
   def txTokenCount(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
@@ -40,7 +46,7 @@ object TextQueries {
   // ---- tx_quality_score --------------------------------------------------
 
   def txQualityScore(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       stopwordRatio(col("text")).as("stopword_ratio"),
@@ -66,7 +72,7 @@ object TextQueries {
   // ---- tx_lang_id --------------------------------------------------------
 
   def txLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"),
       langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
@@ -94,7 +100,7 @@ object TextQueries {
   // ---- tx_fingerprint ----------------------------------------------------
 
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"),
       fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
