@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, BinaryGpsDecode, GeoRangeRule, HaversineDist, SimHash64}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HaversineDist].getName, "haversine_km"),
       arity("haversine_km", 4)(exprs =>
         HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3)))))
+    // int/boolean parameters arrive as foldable literals from lit()/SQL;
+    // evaluate them at build time (they parameterize generated code).
+    def litInt(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    def litBool(e: Expression, what: String): Boolean = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Boolean]
+    }
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      arity("word_shingles", 3)(exprs => WordShingles(exprs.head,
+        litInt(exprs(1), "word_shingles n"),
+        litBool(exprs(2), "word_shingles distinct")))))
+    ext.injectFunction((
+      FunctionIdentifier("array_xxhash64"),
+      new ExpressionInfo(classOf[ArrayXxHash64].getName, "array_xxhash64"),
+      arity("array_xxhash64", 1)(exprs => ArrayXxHash64(exprs.head))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
+        litInt(exprs(1), "minhash_sig k")))))
     // geo range filters gain a sargable latitude-band prefilter
     ext.injectOptimizerRule(_ => GeoRangeRule)
   }

@@ -13,7 +13,7 @@ object HashFunctions {
     * string bytes. Materialize this column once; the k permutations
     * below re-hash these longs, not the strings. */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => xxhash64(s))
+    graft.plans.ArrayXxHash64(shingles)
 
   /** MinHash signature as array<long> of length k from pre-hashed
     * shingles: element j is min over xxhash64(h, j) — k seeded long
@@ -22,9 +22,7 @@ object HashFunctions {
     * scheme with seeded hashes). Empty inputs yield null mins; filter
     * empty docs first. */
   def minhashFromHashes(hashes: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(hashes, h => xxhash64(h, lit(j))))
-    }: _*)
+    graft.plans.MinHashSig(hashes, k)
 
   /** LSH band hashes: array<struct<band:int, h:long>> where h is a hash
     * of the signature slice for that band. Docs sharing any (band, h)

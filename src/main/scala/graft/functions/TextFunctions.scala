@@ -48,20 +48,21 @@ object TextFunctions {
     * identical across Spark and DuckDB → oracle-checkable). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Word n-gram shingles as an array<string>. Guarded for short texts:
-    * fewer than n tokens yields an empty array (sequence(1,0) would
-    * otherwise produce a descending [1,0] and slice(start=0) throws). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // sequence(1, size-n+1) start indices; slice is 1-based.
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles as an array<string>; fewer than n tokens (or a
+    * null text) yields an empty array. Native codegen expression
+    * (graft.plans.WordShingles) — the equivalent
+    * transform/sequence/slice HOF tree is interpreted and Catalyst
+    * duplicates it into pushed-down filters and parallel branches,
+    * which made the dedup pipelines quadratic-ish in practice. */
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(graft.plans.WordShingles(text, n, distinct = false),
+      array().cast("array<string>"))
 
-  /** Distinct word shingles (set semantics for Jaccard). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+  /** Distinct word shingles (set semantics for Jaccard); first-occurrence
+    * order, same as array_distinct. */
+  def shingleSet(text: Column, n: Int): Column =
+    coalesce(graft.plans.WordShingles(text, n, distinct = true),
+      array().cast("array<string>"))
 
   /** Marker-word language-ID heuristic: score per language by counting
     * marker-token occurrences, argmax with deterministic tie order.
