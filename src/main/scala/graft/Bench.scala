@@ -28,7 +28,10 @@ object Bench {
     // time, not by the engine). Skipped when the warmup SF is absent
     // or when it IS the bench target.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+    // canonical paths: a trailing slash or symlink must not let the
+    // warmup silently run against the bench target itself
+    def canon(p: String): String = new java.io.File(p).getCanonicalPath
+    if (canon(warmDir) != canon(sfDir) && new java.io.File(warmDir).isDirectory) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       selected.foreach { case (_, fn) =>
         pool.submit(new Runnable {
@@ -38,7 +41,13 @@ object Bench {
         })
       }
       pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      // a warmup overrunning the cap must not overlap (and skew) the
+      // measured loop — kill stragglers and wait for them to die
+      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        System.err.println("[bench] warmup timed out; cancelling stragglers")
+        pool.shutdownNow()
+        pool.awaitTermination(2, java.util.concurrent.TimeUnit.MINUTES)
+      }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

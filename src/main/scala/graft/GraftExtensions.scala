@@ -9,8 +9,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * wired via `spark.sql.extensions=graft.GraftExtensions` (set by
   * GraftSession.builder). Extension-injected functions resolve in SQL
   * text and through `functions.call_function` alike.
+  *
+  * For sessions NOT built with the extension, the same function list is
+  * registered post-hoc by [[GraftSession.ensureFunctions]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(ext.injectFunction)
+    // geo range filters gain a sargable latitude-band prefilter
+    ext.injectOptimizerRule(_ => GeoRangeRule)
+  }
+}
+
+object GraftExtensions {
 
   /** Arity check with a resolvable error instead of a raw
     * IndexOutOfBoundsException from exprs(i). */
@@ -22,50 +33,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build(exprs)
     }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("binary_gps_decode"),
+  // int/boolean parameters arrive as foldable literals from lit()/SQL;
+  // evaluate them at build time (they parameterize generated code). A
+  // foldable NULL must fail loudly: intValue would NPE and a silent
+  // asInstanceOf would coerce null to false.
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null literal")
+    v.asInstanceOf[Number].intValue()
+  }
+  private def litBool(e: Expression, what: String): Boolean = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null literal")
+    v.asInstanceOf[Boolean]
+  }
+
+  /** (identifier, info, builder) triples — shared by the extension
+    * injection path and [[GraftSession.ensureFunctions]]' post-hoc
+    * registration. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("binary_gps_decode"),
       new ExpressionInfo(classOf[BinaryGpsDecode].getName, "binary_gps_decode"),
-      arity("binary_gps_decode", 1)(exprs => BinaryGpsDecode(exprs.head))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+      arity("binary_gps_decode", 1)(exprs => BinaryGpsDecode(exprs.head))),
+    (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
-    ext.injectFunction((
-      FunctionIdentifier("array_dot"),
+      arity("simhash64", 1)(exprs => SimHash64(exprs.head))),
+    (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      arity("array_dot", 2)(exprs => ArrayDot(exprs.head, exprs(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("haversine_km"),
+      arity("array_dot", 2)(exprs => ArrayDot(exprs.head, exprs(1)))),
+    (FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineDist].getName, "haversine_km"),
       arity("haversine_km", 4)(exprs =>
-        HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3)))))
-    // int/boolean parameters arrive as foldable literals from lit()/SQL;
-    // evaluate them at build time (they parameterize generated code).
-    def litInt(e: Expression, what: String): Int = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Number].intValue()
-    }
-    def litBool(e: Expression, what: String): Boolean = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Boolean]
-    }
-    ext.injectFunction((
-      FunctionIdentifier("word_shingles"),
+        HaversineDist(exprs(0), exprs(1), exprs(2), exprs(3)))),
+    (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       arity("word_shingles", 3)(exprs => WordShingles(exprs.head,
         litInt(exprs(1), "word_shingles n"),
-        litBool(exprs(2), "word_shingles distinct")))))
-    ext.injectFunction((
-      FunctionIdentifier("array_xxhash64"),
+        litBool(exprs(2), "word_shingles distinct")))),
+    (FunctionIdentifier("array_xxhash64"),
       new ExpressionInfo(classOf[ArrayXxHash64].getName, "array_xxhash64"),
-      arity("array_xxhash64", 1)(exprs => ArrayXxHash64(exprs.head))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
+      arity("array_xxhash64", 1)(exprs => ArrayXxHash64(exprs.head))),
+    (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))))
-    // geo range filters gain a sargable latitude-band prefilter
-    ext.injectOptimizerRule(_ => GeoRangeRule)
-  }
 }

@@ -49,4 +49,27 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Idempotently equips an EXISTING session (one not built via
+    * [[builder]], so without `spark.sql.extensions=graft.GraftExtensions`)
+    * to run every SparkEntry query: registers the custom Catalyst
+    * functions, adds the GeoRange optimizer rule, and sets the two
+    * non-static confs correctness depends on (ns-as-long parquet reads
+    * and the UTC session timezone the oracles assume). Called from
+    * SparkEntry on every query dispatch; a GraftSession-built session
+    * short-circuits on the functionExists probe. */
+  def ensureFunctions(spark: SparkSession): SparkSession = {
+    if (!spark.catalog.functionExists("array_dot")) {
+      GraftExtensions.functions.foreach { case (id, info, b) =>
+        org.apache.spark.sql.GraftRegistryBridge.register(spark, id, info, b)
+      }
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.GeoRangeRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.GeoRangeRule
+      }
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    spark
+  }
 }

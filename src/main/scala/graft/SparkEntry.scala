@@ -13,11 +13,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TpchQueries.q5LocalSupplier(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ TrafficQueries.queries ++ TextQueries.queries ++
-      IngestQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ GeoQueries.queries ++ MiscQueries.queries
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every dispatch first runs [[GraftSession.ensureFunctions]], so the
+    * dd_/ss_/geo_range/ing_binary queries (which call graft's custom
+    * Catalyst functions) work on ANY session — not only one built with
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val raw =
+      TpchQueries.queries ++ TrafficQueries.queries ++ TextQueries.queries ++
+        IngestQueries.queries ++ DedupQueries.queries ++
+        SimilarityQueries.queries ++ GeoQueries.queries ++ MiscQueries.queries
+    raw.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(GraftSession.ensureFunctions(s), dir))
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -44,11 +44,17 @@ object RankOps {
       max(col(sortCol)).cast("double").as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__w", (col("__hi") - col("__lo")) / buckets)
+      // null sort values get their own lowest bucket (-1): ASC ordering
+      // in Spark SQL is NULLS FIRST, and the floor arithmetic would
+      // otherwise yield a null bucket that silently drops the row at
+      // the offsets join. The null test must come first — with an
+      // all-null column the min/max bounds are null too.
       .withColumn("__bucket",
-        when(col("__w") <= 0, lit(0)).otherwise(
-          least(greatest(
-            floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
-            lit(0)), lit(buckets - 1))))
+        when(col(sortCol).isNull, lit(-1)).otherwise(
+          when(col("__w") <= 0, lit(0)).otherwise(
+            least(greatest(
+              floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
+              lit(0)), lit(buckets - 1)))))
       .drop("__lo", "__hi", "__w")
     val inBucketW = Window.partitionBy("__bucket")
       .orderBy(col(sortCol).asc, col(tieCol).asc)

@@ -40,9 +40,11 @@ case class ArrayDot(left: Expression, right: Expression)
 object ArrayDot {
   def apply(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
-  /** Called from generated code. Requires equal-length array<double> —
-    * a silent min-length truncation would turn dimension mistakes into
-    * plausible-but-wrong numbers instead of errors. */
+  /** Called from generated code. Requires equal-length array<double>
+    * with no null elements — a silent min-length truncation (or
+    * getDouble on a null slot, which returns whatever bits sit there)
+    * would turn dimension/data mistakes into plausible-but-wrong
+    * numbers instead of errors. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (b.numElements() != n) {
@@ -52,6 +54,9 @@ object ArrayDot {
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) {
+        throw new IllegalArgumentException(s"array_dot: null element at index $i")
+      }
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

@@ -20,11 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * single-pass native expression makes every such copy harmless, which
   * is the property that survives a 100x scale-up.
   *
-  * Semantics replicate the previous Column trees bit-for-bit (verified
-  * by the unchanged DuckDB oracles): Spark `trim` removes ASCII spaces
-  * only; `split` on java-regex "\\s+" with limit -1; shingles are
-  * n-token windows joined by a single space; `distinct` keeps first
-  * occurrence (array_distinct order).
+  * Semantics replicate the previous Column trees bit-for-bit:
+  * WordShingles is covered by the unchanged DuckDB oracles of the
+  * shingle queries; ArrayXxHash64/MinHashSig feed only the rows-only
+  * LSH/SimHash queries, so their equality with the legacy
+  * transform/xxhash64 trees is asserted directly in TextShinglesSpec.
+  * Shared rules: Spark `trim` removes ASCII spaces only; `split` on
+  * java-regex "\\s+" with limit -1; shingles are n-token windows joined
+  * by a single space; `distinct` keeps first occurrence
+  * (array_distinct order).
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   extends UnaryExpression with ImplicitCastInputTypes {
@@ -122,8 +126,8 @@ object ArrayXxHash64 {
   * `array((0 until k).map(j => array_min(transform(hs, h =>
   * xxhash64(h, lit(j))))))`, which is k interpreted passes. Spark's
   * xxhash64(h, j) folds children left-to-right from seed 42:
-  * hashLong(j_int, hashLong(h, 42)); `lit(j)` is an IntegerType literal
-  * and Spark hashes integers through the long path. Empty input yields
+  * hashInt(j, hashLong(h, 42)) — `lit(j)` is an IntegerType literal,
+  * which Spark hashes via XXH64.hashInt. Empty input yields
   * k nulls (array_min of empty is null) — callers filter empty docs. */
 case class MinHashSig(child: Expression, k: Int)
   extends UnaryExpression with ImplicitCastInputTypes {

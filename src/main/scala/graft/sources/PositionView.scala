@@ -30,6 +30,9 @@ object PositionView {
   val LatE4Sql = "event_id * 7919 % 3000 + 503000"
   val LonE4Sql = "event_id * 104729 % 6000 + 302000"
 
+  /** ns → µs as an exact FLOOR division (see the ts_us comment below). */
+  val TsUsSql = "(ts - pmod(ts, 1000)) div 1000"
+
   /** Spark-side position columns. The DuckDB-side equivalent is
     * [[oracleCte]] — keep the two in lockstep. */
   def fromEvents(events: DataFrame): DataFrame = {
@@ -40,14 +43,16 @@ object PositionView {
       (lit(50.3) + (col("event_id") * 7919 % 3000) / lit(10000.0)).as("lat"),
       (lit(30.2) + (col("event_id") * 104729 % 6000) / lit(10000.0)).as("lon"),
       // µs, not ns: DuckDB's parquet reader floors TIMESTAMP(NANOS) to a
-      // µs TIMESTAMP, so the oracle can never see sub-µs digits — `div
-      // 1000` applies the identical floor on the Spark side. (Verified:
-      // raw ...999 ns → epoch_us ...275, a floor not a round.)
-      expr("ts div 1000").as("ts_us"),
+      // µs TIMESTAMP, so the oracle can never see sub-µs digits. A bare
+      // `div 1000` truncates toward zero, which IS the floor for ts >= 0
+      // but diverges for pre-1970 (negative) nanos; subtracting the
+      // non-negative pmod first makes it an exact floor for all inputs.
+      // (Verified: raw ...999 ns → epoch_us ...275, a floor not a round.)
+      expr(TsUsSql).as("ts_us"),
       // NTZ so Spark's parquet output carries isAdjustedToUTC=false and the
       // DuckDB oracle sees the same naive TIMESTAMP.
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"),
-      (expr("ts div 1000") / lit(1e6)).as("ts_s"),
+      timestamp_micros(expr(TsUsSql)).cast("timestamp_ntz").as("ts"),
+      (expr(TsUsSql) / lit(1e6)).as("ts_s"),
       col("event_type"),
       col("value"))
   }

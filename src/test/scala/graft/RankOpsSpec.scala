@@ -36,4 +36,21 @@ class RankOpsSpec extends SparkSpec {
     val df = Seq.empty[(Double, Long)].toDF("v", "id")
     assert(RankOps.withGlobalRank(df, "v", "id").count() === 0)
   }
+
+  test("withGlobalRank keeps null sort values, ranked first (NULLS FIRST)") {
+    val df = Seq((Some(2.0), 1L), (None, 2L), (Some(1.0), 3L), (None, 4L))
+      .toDF("v", "id")
+    val got = RankOps.withGlobalRank(df, "v", "id", buckets = 2)
+      .select("id", "__grank").as[(Long, Long)].collect().toMap
+    // same order row_number() OVER (ORDER BY v ASC, id ASC) produces:
+    // ASC is NULLS FIRST in Spark SQL
+    assert(got === Map(2L -> 1L, 4L -> 2L, 3L -> 3L, 1L -> 4L))
+  }
+
+  test("withGlobalRank on an all-null sort column ranks by tie column") {
+    val df = Seq((Option.empty[Double], 3L), (None, 1L), (None, 2L)).toDF("v", "id")
+    val got = RankOps.withGlobalRank(df, "v", "id")
+      .select("id", "__grank").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }

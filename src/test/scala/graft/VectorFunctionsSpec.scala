@@ -43,4 +43,25 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
     assert(df.select(norm(col("v"))).as[Double].head() === 0.0)
   }
+
+  test("ArrayDot rejects null elements instead of emitting garbage") {
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(graft.plans.ArrayDot(col("v"), col("v"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("null element")))
+  }
+
+  test("ArrayDot rejects length mismatch") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.plans.ArrayDot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")))
+  }
 }
