@@ -54,4 +54,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
     assert(bcasts.size >= 2, s"expected broadcast dims in the snowflake:\n$plan")
   }
+
+  test("Par.spread: no exchange for a multi-split source, one for a single split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    val df = (1L to 4000L).map(i => (i, s"payload_$i")).toDF("id", "s")
+    df.repartition(8).write.parquet(s"$dir/multi")   // 8 files -> >= 4 splits
+    df.coalesce(1).write.parquet(s"$dir/single")     // 1 file  ->    1 split
+
+    val multi = graft.operators.Par.spread(spark.read.parquet(s"$dir/multi"))
+    val multiShuffles = collectWithSubqueries(executed(multi)) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(multiShuffles.isEmpty,
+      s"spread must not re-shuffle an already-split source:\n${multi.queryExecution.executedPlan}")
+
+    val single = graft.operators.Par.spread(spark.read.parquet(s"$dir/single"))
+    val singleShuffles = collectWithSubqueries(executed(single)) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(singleShuffles.nonEmpty,
+      s"spread must fan out a single-split source:\n${single.queryExecution.executedPlan}")
+  }
 }
