@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact nearest-neighbor join from a large point set to a point layer
+  * (traffic signals, crossings — reference:
+  * open-street-map/pipeline/importer.py:146-176 fetches such layers)
+  * via grid bucketing.
+  *
+  * A broadcast-cartesian argmin computes |positions| x |layer|
+  * distances — O(N²/k) once the layer grows with the data. Here both
+  * sides are bucketed into cellDeg grid cells and each position only
+  * meets the signals of nearby cells, so the work is linear in the big
+  * side at fixed layer density.
+  *
+  * Exactness: a candidate min at distance d is the global min when
+  * every point outside the searched neighborhood is provably farther.
+  * Outside a ring-r neighborhood (Chebyshev cell distance <= r), a
+  * point differs by >= r full cell widths in latitude or longitude, so
+  * its haversine distance is >= 2R·sin(r·θ/2)·cos(maxAbsLat)
+  * (θ = cellDeg in radians; longitude at the largest |lat| is the
+  * weakest direction, and sin/asin monotonicity makes the bound valid
+  * for mixed lat+lon separations too). Three passes:
+  *
+  *   1. ring-1 candidates — the SMALL side (signals) is exploded to its
+  *      9 neighbor cells and joined on the cell key (the planner picks
+  *      broadcast for a small layer, shuffle-hash for a huge one);
+  *   2. unresolved positions widen to ring `widenRing` — by then the
+  *      position side is the small one, so IT is exploded and signals
+  *      stay bucketed 1x1;
+  *   3. any survivor (a (2·widenRing+1)²-cell hole in the layer) scans
+  *      the whole broadcast layer — the exactness net. It only fires
+  *      when the layer is locally empty at ring-widenRing scale; pick
+  *      cellDeg against layer density so passes 2-3 see ~0 rows.
+  *
+  * Plan shape: each pass is a LEFT join + one aggregation, and the
+  * resolved/unresolved split is a FILTER over that aggregation — the
+  * position attributes (lat/lon/cell) ride through the aggregate as
+  * first() of functionally-dependent columns, so no pass needs an
+  * anti-join back to the input (each anti-join would cost two more
+  * shuffles). The two filter branches over one aggregation share a
+  * single shuffle via ReusedExchange (asserted in GeoNearestSpec).
+  *
+  * The per-pass argmin is a codegen'd primitive min over ONE packed
+  * long (dist_micro << IdBits | dense_signal_idx): distance dominates,
+  * the dense surrogate (row_number over the layer — a bounded,
+  * dim-side-only unpartitioned window) breaks ties order-isomorphically
+  * to signal_id.
+  *
+  * Contract: `positions(event_id PK, lat, lon)`, `signals(signal_id
+  * UNIQUE, s_lat, s_lon)`, and |lat| <= maxAbsLatDeg on BOTH sides —
+  * a violated latitude bound voids the exactness guarantee. Positions
+  * with no signal anywhere in the layer are dropped (inner-join
+  * semantics of the final pass).
+  */
+object GeoNearest {
+
+  /** Bits reserved for the dense signal surrogate inside the packed
+    * argmin long; a broadcastable layer is far below 2^24 ids. */
+  val IdBits = 24
+
+  def nearest(positions: DataFrame, signals: DataFrame,
+              cellDeg: Double, originLat: Double, originLon: Double,
+              maxAbsLatDeg: Double, widenRing: Int = 8): DataFrame = {
+    require(widenRing >= 1, s"widenRing=$widenRing must be >= 1")
+    require(cellDeg > 0, s"cellDeg=$cellDeg must be positive")
+
+    // lower bound on the distance to anything outside a ring-r
+    // neighborhood; the 0.999 slack absorbs the 6-dp distance rounding
+    // and evaluation-order ulps, and keeps the accepted min STRICTLY
+    // below every outside distance so the id tie-break can never be
+    // stolen by an unseen equidistant signal
+    def safeKm(r: Int): Double =
+      2 * GeoFunctions.EarthRadiusKm *
+        math.sin(r * math.toRadians(cellDeg) / 2) *
+        math.cos(math.toRadians(maxAbsLatDeg)) * 0.999
+
+    val sig = signals
+      .select(col("signal_id"), col("s_lat"), col("s_lon"))
+      .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))
+      .withColumn("sig_idx",
+        row_number().over(Window.orderBy("signal_id")).cast("long") - 1)
+      .withColumn("sgx", GeoFunctions.gridX(col("s_lon"), originLon, cellDeg))
+      .withColumn("sgy", GeoFunctions.gridY(col("s_lat"), originLat, cellDeg))
+
+    val p = Par.spread(positions.select("event_id", "lat", "lon"))
+      .withColumn("coslat", GeoFunctions.cosLat(col("lat")))
+      .withColumn("gx", GeoFunctions.gridX(col("lon"), originLon, cellDeg))
+      .withColumn("gy", GeoFunctions.gridY(col("lat"), originLat, cellDeg))
+
+    val dist = GeoFunctions.haversineKmPre(
+      col("lat"), col("lon"), col("coslat"),
+      col("s_lat"), col("s_lon"), col("s_coslat"))
+    // the double round reproduces the oracle's decimal rounding
+    // (round(d,6) is not an exact micro multiple in binary; rounding
+    // its *1e6 image recovers the integer)
+    val packed = round(round(dist, 6) * lit(1e6)).cast("long") *
+      lit(1L << IdBits) + col("sig_idx")
+    // min(packed) as "m" (null when the LEFT join matched nothing);
+    // the position attributes are functionally dependent on event_id,
+    // so first() is deterministic and lets the unresolved branch feed
+    // the next pass without re-joining the input
+    def argmin(cand: DataFrame): DataFrame =
+      cand.groupBy("event_id").agg(min(packed).as("m"),
+        first("lat").as("lat"), first("lon").as("lon"),
+        first("coslat").as("coslat"),
+        first("gx").as("gx"), first("gy").as("gy"))
+    def distKmOf(m: Column): Column =
+      shiftrightunsigned(m, IdBits).cast("double") / 1e6
+    def isResolved(r: Int): Column =
+      col("m").isNotNull && distKmOf(col("m")) <= safeKm(r)
+
+    // ring offsets as two chained explodes of sequence(-r, r): the
+    // generated code is O(1) in r — an array-of-structs literal would
+    // put (2r+1)² struct constructors into one codegen unit, and at
+    // r=8 the janino compile time alone cost ~1 s per run
+    def withRing(df: DataFrame, r: Int, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+ col("gx") :+ col("gy") :+
+          explode(sequence(lit(-r), lit(r))).as("__dx"): _*)
+        .select(keep.map(col) :+ (col("gx") + col("__dx")).as("gx") :+
+          col("gy") :+ explode(sequence(lit(-r), lit(r))).as("__dy"): _*)
+        .select(keep.map(col) :+ col("gx") :+
+          (col("gy") + col("__dy")).as("gy"): _*)
+
+    // pass 1: ring-1, signal side exploded x9
+    val sig9 = withRing(
+      sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
+        col("sgx").as("gx"), col("sgy").as("gy")),
+      1, Seq("sig_idx", "s_lat", "s_lon", "s_coslat"))
+    val m1 = argmin(p.join(sig9, Seq("gx", "gy"), "left_outer"))
+    val resolved1 = m1.filter(isResolved(1))
+    val un1 = m1.filter(!isResolved(1))
+
+    // pass 2: survivors widen; position side exploded, signals 1x1
+    val pWide = withRing(un1, widenRing,
+      Seq("event_id", "lat", "lon", "coslat"))
+    val m2 = argmin(pWide.join(
+      sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
+        col("sgx").as("gx"), col("sgy").as("gy")), Seq("gx", "gy"), "left_outer"))
+    val resolved2 = m2.filter(isResolved(widenRing))
+    val un2 = m2.filter(!isResolved(widenRing))
+
+    // pass 3: exactness net over the whole broadcast layer
+    val m3 = argmin(un2.select("event_id", "lat", "lon", "coslat", "gx", "gy")
+      .join(broadcast(
+        sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat")))))
+
+    resolved1.unionByName(resolved2).unionByName(m3)
+      .select(col("event_id"),
+        col("m").bitwiseAND(lit((1L << IdBits) - 1)).as("sig_idx"),
+        distKmOf(col("m")).as("dist_km"))
+      .join(broadcast(sig.select("sig_idx", "signal_id")), "sig_idx")
+      .select("event_id", "signal_id", "dist_km")
+  }
+}

@@ -45,52 +45,23 @@ object GeoQueries {
       .select(col("event_id").as("signal_id"),
         col("lat").as("s_lat"), col("lon").as("s_lon"))
 
-  /** Nearest signal per position: broadcast the signal layer, one scan
-    * of the big side, per-position argmin with rounded-distance +
-    * signal_id tie-break. The broadcast-argmin shape is the scale-safe
-    * plan whenever the point layer fits an executor (signals/crossings
-    * always do); grid-bucketed range joins only pay off when BOTH sides
-    * are huge. */
-  /** Bits reserved for the signal SURROGATE index inside the packed
-    * argmin long. The surrogate is a dense row_number over the signal
-    * layer, so its width is bounded by |signals| — a broadcastable
-    * point layer is orders of magnitude below 2^24 by construction
-    * (raw ids could silently exceed the width at scale; dense indexes
-    * cannot). */
-  private val IdBits = 24
-
-  def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
-    // argmin as min() over ONE packed long — (dist_micro << 24 | idx) —
-    // so the aggregate is codegen'd primitive min with map-side partial
-    // aggregation (a struct-valued min falls back to interpreted
-    // comparators on the full |positions| x |signals| product). dist
-    // dominates the ordering; the surrogate breaks ties and, being
-    // assigned by row_number ORDER BY signal_id, is order-isomorphic to
-    // the original id — the argmin is exactly "closest, then smallest
-    // id". The double round reproduces the oracle's decimal rounding
-    // (round(d,6) is not an exact micro multiple in binary; rounding
-    // its *1e6 image recovers the integer). The spread keeps a
-    // single-split source from running the whole product on one core;
-    // per-side cosines are computed once before the join.
-    val sig = signals(s, dir)
-      .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))
-      .withColumn("sig_idx", row_number().over(
-        Window.orderBy("signal_id")).cast("long") - 1)
-    val dist = GeoFunctions.haversineKmPre(col("lat"), col("lon"), col("coslat"),
-      col("s_lat"), col("s_lon"), col("s_coslat"))
-    val distMicro = round(round(dist, 6) * lit(1e6)).cast("long")
-    graft.operators.Par.spread(pos(s, dir).select("event_id", "lat", "lon"))
-      .withColumn("coslat", GeoFunctions.cosLat(col("lat")))
-      .join(broadcast(sig))
-      .groupBy("event_id")
-      .agg(min(distMicro * lit(1L << IdBits) + col("sig_idx")).as("m"))
-      .select(col("event_id"),
-        col("m").bitwiseAND(lit((1L << IdBits) - 1)).as("sig_idx"),
-        (shiftrightunsigned(col("m"), IdBits).cast("double") / 1e6).as("dist_km"))
-      .join(broadcast(sig.select("sig_idx", "signal_id")), "sig_idx")
-      .select("event_id", "signal_id", "dist_km")
+  /** Nearest signal per position via the grid-bucketed candidate join
+    * (operators/GeoNearest.scala): ring-1 cell join, ring-widening for
+    * sparse neighborhoods, broadcast exactness net. The synthetic
+    * signal layer GROWS with the data (|events|/199), so the old
+    * broadcast-cartesian argmin was O(N²/199) — the bucketed plan is
+    * linear in |positions| at fixed layer density. KyivBounds' latMax
+    * bounds every synthetic latitude, which is the contract the
+    * exactness guarantee needs. */
+  def geoNearestSignal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GeoNearest.nearest(
+      pos(s, dir).select("event_id", "lat", "lon"),
+      signals(s, dir),
+      cellDeg = CellDeg,
+      originLat = GeoFunctions.KyivBounds._1,
+      originLon = GeoFunctions.KyivBounds._3,
+      maxAbsLatDeg = GeoFunctions.KyivBounds._2)
       .orderBy("event_id")
-  }
 
   val geoNearestSignalSql: String = {
     PositionView.oracleCte + s""",

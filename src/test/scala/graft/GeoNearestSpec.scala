@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.GeoNearest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GeoNearest vs the brute-force argmin: exact equality (distance AND
+  * id tie-break) on layouts that exercise every pass — dense cells
+  * (ring-1), sparse neighborhoods (ring widening), and a layer hole
+  * bigger than the widening ring (broadcast net).
+  */
+class GeoNearestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  // positions across the Kyiv bbox; deterministic pseudo-random spread
+  private def positions(n: Int): DataFrame =
+    spark.range(1, n + 1).select(
+      col("id").as("event_id"),
+      (lit(50.3) + (col("id") * 7919 % 3000) / lit(10000.0)).as("lat"),
+      (lit(30.2) + (col("id") * 104729 % 6000) / lit(10000.0)).as("lon"))
+
+  private def brute(pos: DataFrame, sig: DataFrame): Map[Long, (Long, Double)] = {
+    val d = GeoFunctions.haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon"))
+    val w = Window.partitionBy("event_id").orderBy(col("dist_km").asc, col("signal_id").asc)
+    pos.crossJoin(sig)
+      .select(col("event_id"), col("signal_id"), round(d, 6).as("dist_km"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "signal_id", "dist_km")
+      .as[(Long, Long, Double)].collect()
+      .map { case (e, s, dk) => e -> (s, dk) }.toMap
+  }
+
+  private def run(pos: DataFrame, sig: DataFrame, widenRing: Int): Map[Long, (Long, Double)] =
+    GeoNearest.nearest(pos, sig, cellDeg = 0.05,
+      originLat = 50.3, originLon = 30.2,
+      maxAbsLatDeg = 50.6, widenRing = widenRing)
+      .as[(Long, Long, Double)].collect()
+      .map { case (e, s, dk) => e -> (s, dk) }.toMap
+
+  test("matches brute force on a dense layer (ring-1 resolves)") {
+    val pos = positions(400)
+    val sig = positions(400).filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("signal_id"),
+        col("lat").as("s_lat"), col("lon").as("s_lon"))
+    assert(run(pos, sig, widenRing = 8) === brute(pos, sig))
+  }
+
+  test("matches brute force on a sparse layer (widening + broadcast net)") {
+    val pos = positions(300)
+    // 3 signals clustered in one corner: most positions are > ring-1
+    // away, and with widenRing=2 (~7 km guarantee) many are past the
+    // widening ring too — pass 3 must fire and still be exact
+    val sig = Seq(
+      (1L, 50.31, 30.21), (2L, 50.312, 30.207), (3L, 50.32, 30.23)
+    ).toDF("signal_id", "s_lat", "s_lon")
+    assert(run(pos, sig, widenRing = 2) === brute(pos, sig))
+  }
+
+  test("equidistant tie goes to the smaller signal_id") {
+    val pos = Seq((1L, 50.45, 30.5)).toDF("event_id", "lat", "lon")
+    // two signals symmetric in longitude around the position
+    val sig = Seq((9L, 50.45, 30.52), (4L, 50.45, 30.48))
+      .toDF("signal_id", "s_lat", "s_lon")
+    val got = run(pos, sig, widenRing = 8)
+    assert(got(1L)._1 === 4L)
+  }
+
+  test("the resolved/unresolved branches reuse one aggregation shuffle") {
+    val pos = positions(200)
+    val sig = positions(200).filter(col("event_id") % 11 === 0)
+      .select(col("event_id").as("signal_id"),
+        col("lat").as("s_lat"), col("lon").as("s_lon"))
+    val df = GeoNearest.nearest(pos, sig, 0.05, 50.3, 30.2, 50.6)
+    df.collect()
+    val reused = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case r: ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      s"pass-1 argmin shuffle not reused across branches:\n${df.queryExecution.executedPlan}")
+  }
+}
