@@ -62,6 +62,30 @@ object GeoFunctions {
       .when(inBounds(lat, lon, UkraineBounds), "ukraine")
       .otherwise("other")
 
+  /** Ordered named-region table mirroring the reference's
+    * FOUND_REGIONS_BOUNDS (eway/pipeline/ws_interceptor.py:30-34) —
+    * consulted, in order, for positions outside the kyiv/ukraine
+    * buckets. Bounds are (latMin, latMax, lonMin, lonMax). */
+  val NamedRegionBounds: Seq[((Double, Double, Double, Double), String)] = Seq(
+    ((35.0, 40.0, 35.0, 42.0), "Turkey/Syria"),
+    ((15.0, 25.0, 30.0, 40.0), "Red Sea/Sudan"),
+    ((30.0, 35.0, 15.0, 25.0), "Libya/Egypt"))
+
+  /** Full identify_region semantics (ws_interceptor.py:90-94): the
+    * kyiv/ukraine buckets first, then the named-region table in order,
+    * else "Unknown region" — folded into ONE codegen'd conditional
+    * chain. A bounds dim this small as a broadcast join would cost a
+    * nested-loop row multiply plus a first-match aggregate per input
+    * row; folding the ordered table into the expression keeps
+    * categorization shuffle-free at any scale (the dim stays data —
+    * extend NamedRegionBounds, not SQL). */
+  def regionCategoryNamed(lat: Column, lon: Column): Column =
+    NamedRegionBounds.foldLeft(
+      when(inBounds(lat, lon, KyivBounds), "kyiv")
+        .when(inBounds(lat, lon, UkraineBounds), "ukraine")) {
+      case (acc, (bounds, name)) => acc.when(inBounds(lat, lon, bounds), name)
+    }.otherwise("Unknown region")
+
   /** Integer grid cell ids for spatial binning / bucketed spatial joins.
     * cellDeg is the cell edge in degrees. */
   def gridX(lon: Column, originLon: Double, cellDeg: Double): Column =

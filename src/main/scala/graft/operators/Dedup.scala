@@ -162,9 +162,19 @@ object Dedup {
   /** Exact embedding-cosine pairs >= threshold. This is the CORRECTNESS
     * BASELINE: an all-pairs product (norms precomputed once, one dot
     * product per pair). At corpus scale, candidate pruning must come
-    * from LSH/IVF bucketing (see Similarity.lshTopK/ivfTopK) — exact
-    * all-pairs is quadratic by definition and only appropriate for
-    * bounded slices (a shard, a bucket, an oracle check). */
+    * from LSH bucketing ([[embeddingPairsLsh]]) — exact all-pairs is
+    * quadratic by definition and only appropriate for bounded slices
+    * (a shard, a bucket, an oracle check).
+    *
+    * Why the REGISTERED dd_embedding stays on this baseline: its 0.45
+    * threshold sits inside the random-pair cosine noise floor of the
+    * 64-dim synthetic embeddings (measured: non-pair cosines reach
+    * 0.4497, threshold pairs start at 0.4501). At that separation any
+    * hyperplane-LSH (r, b) with near-1 recall yields band buckets whose
+    * pair product exceeds the all-pairs square itself — bucketing
+    * cannot bound candidates AND keep the oracle-exact output. The LSH
+    * route is registered alongside as dd_embedding_lsh with a
+    * self-auditing recall column instead. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val e = df.select(col(idCol).as("__id"),
@@ -176,6 +186,57 @@ object Dedup {
       e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")))
     val b = e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.dotPre(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-candidate embedding near-dup pairs: fixed seeded
+    * random-hyperplane signatures, banded bucket self-join (band rows
+    * carry ids only — vectors rejoin after the id-level distinct, so
+    * the candidate dedup never shuffles embedding payloads), the
+    * degenerate-bucket cap, then EXACT cosine verification of every
+    * candidate — output pairs are never false positives.
+    *
+    * This is the 100 TB route: pairs sharing no band bucket never
+    * materialize, so the join is bounded by bucket occupancy instead of
+    * the corpus square. The price is recall at the threshold: a pair at
+    * cosine c becomes a candidate with
+    * p(c) = 1 - (1 - (1 - acos(c)/pi)^r)^b, r = nBits/bands — ~1 for
+    * genuine near-dups (c >= ~0.9 at the defaults) and deliberately
+    * lossy near the noise floor (see [[embeddingPairs]] for why that is
+    * unavoidable). Callers that need the recall actually achieved
+    * should compare against the exact baseline on a sample —
+    * DedupQueries.ddEmbeddingLsh emits exactly that audit column. */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        nBits: Int = 32, bands: Int = 8,
+                        maxBucket: Long = 1000): DataFrame = {
+    require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val e = df.select(col(idCol).as("__id"),
+      VectorFunctions.toDouble(col(vecCol)).as("emb"))
+      .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+    val banded = Par.spread(e.select(col("__id"), col("emb")))
+      .withColumn("sig", VectorFunctions.hyperplaneSigPre(col("emb"), nBits, dim))
+      .select(col("__id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("bh"))
+      .select(col("__id"), col("bh.band").as("band"), col("bh.v").as("v"))
+    val bounded = banded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "v")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"))
+      .join(bounded.select(col("band"), col("v"), col("__id").as("b_id")),
+        Seq("band", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")), "a_id")
+      .join(e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb")), "b_id")
       .withColumn("cos", VectorFunctions.dotPre(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))

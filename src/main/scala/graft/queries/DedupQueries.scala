@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Audit, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deduplication block over `documents` / `embeddings` (LLM-pipeline
@@ -58,19 +58,41 @@ object DedupQueries {
     |WHERE CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) >= 0.8
     |ORDER BY a_id, b_id""".stripMargin
 
+  /** Exact-Jaccard pair set — the ground truth the approximate text
+    * near-dup queries audit themselves against. */
+  private def exactJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      ShingleN, JaccardThreshold)
+
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = ShingleN, k = 64, bands = 16, threshold = JaccardThreshold)
+    Audit.withRecall(
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = ShingleN, k = 64, bands = 16, threshold = JaccardThreshold),
+      exactJaccard(s, dir), Seq("a_id", "b_id"))
       .orderBy("a_id", "b_id")
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = ShingleN, maxHamming = 7)
+    Audit.withRecall(
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = ShingleN, maxHamming = 7),
+      exactJaccard(s, dir), Seq("a_id", "b_id"))
       .orderBy("a_id", "b_id")
 
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       CosineThreshold)
+      .orderBy("a_id", "b_id")
+
+  /** The LSH-routed embedding near-dup (the scale path; see the
+    * embeddingPairs scaladoc for why the exact baseline cannot be
+    * replaced at this threshold). Every output pair is exact-verified
+    * (precision 1 by construction); the recall column audits the
+    * candidate generator against the all-pairs truth. */
+  def ddEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Audit.withRecall(
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = SimilarityQueries.Dim, threshold = CosineThreshold),
+      ddEmbedding(s, dir), Seq("a_id", "b_id"))
       .orderBy("a_id", "b_id")
 
   val ddEmbeddingSql: String = """
@@ -89,7 +111,8 @@ object DedupQueries {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
-    "dd_embedding" -> (ddEmbedding _))
+    "dd_embedding" -> (ddEmbedding _),
+    "dd_embedding_lsh" -> (ddEmbeddingLsh _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,

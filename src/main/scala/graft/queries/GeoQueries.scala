@@ -205,6 +205,58 @@ object GeoQueries {
     |  event_type AS highway
     |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- geo_osm_relation_parse ----------------------------------------------
+
+  /** OSM relation parsing (importer.py:277-292 _parse_relation: id
+    * attribute, an ORDERED member list of (type, ref, role) structs,
+    * and the tag map) — turn restrictions / route relations. Each event
+    * synthesizes a 3-member relation; the oracle predicts the parsed
+    * output from the same arithmetic. */
+  def geoOsmRelationParse(s: SparkSession, dir: String): DataFrame = {
+    def member(tpe: String, ref: Column, role: String): Column =
+      concat(lit("<member type=\"" + tpe + "\" ref=\""), ref.cast("string"),
+        lit("\" role=\"" + role + "\"/>"))
+    val base = col("event_id") * 37 % 99991
+    val xml = concat(
+      lit("<relation id=\""), col("event_id").cast("string"), lit("\">"),
+      member("way", base, "outer"), member("way", base + 1, "inner"),
+      member("node", base + 2, "stop"),
+      lit("<tag k=\"type\" v=\""), col("event_type"),
+      lit("\"/><tag k=\"route_ref\" v=\""), col("user_id").cast("string"),
+      lit("\"/></relation>"))
+    val relSchema = StructType.fromDDL(
+      "_id BIGINT, member ARRAY<STRUCT<_type: STRING, _ref: BIGINT, _role: STRING>>, " +
+        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
+    graft.operators.Par.spread(
+      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
+      .select(col("event_id"), from_xml(col("x"), relSchema).as("w"))
+      .select(
+        col("event_id"),
+        col("w._id").as("relation_id"),
+        size(col("w.member")).cast("long").as("n_members"),
+        concat_ws(",", col("w.member._type")).as("member_types"),
+        col("w.member").getItem(0).getField("_ref").as("first_ref"),
+        element_at(col("w.member"), -1).getField("_ref").as("last_ref"),
+        concat_ws(",", col("w.member._role")).as("roles"),
+        map_from_entries(transform(col("w.tag"),
+          t => struct(t.getField("_k"), t.getField("_v")))).as("tags"))
+      .select(col("event_id"), col("relation_id"), col("n_members"),
+        col("member_types"), col("first_ref"), col("last_ref"), col("roles"),
+        col("tags")("type").as("rel_type"),
+        col("tags")("route_ref").as("route_ref"))
+      .orderBy("event_id")
+  }
+
+  val geoOsmRelationParseSql: String = """
+    |SELECT event_id, event_id AS relation_id, CAST(3 AS BIGINT) AS n_members,
+    |  'way,way,node' AS member_types,
+    |  event_id * 37 % 99991 AS first_ref,
+    |  event_id * 37 % 99991 + 2 AS last_ref,
+    |  'outer,inner,stop' AS roles,
+    |  event_type AS rel_type,
+    |  CAST(user_id AS VARCHAR) AS route_ref
+    |FROM events ORDER BY event_id""".stripMargin
+
   // ---- geo_geojson_roundtrip ---------------------------------------------
 
   /** GeoJSON feature conversion (importer.py:192-212 to_geojson /
@@ -251,6 +303,7 @@ object GeoQueries {
     "geo_range_query" -> (geoRangeQuery _),
     "geo_osm_xml_parse" -> (geoOsmXmlParse _),
     "geo_osm_way_parse" -> (geoOsmWayParse _),
+    "geo_osm_relation_parse" -> (geoOsmRelationParse _),
     "geo_geojson_roundtrip" -> (geoGeojsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +313,6 @@ object GeoQueries {
     "geo_range_query" -> geoRangeQuerySql,
     "geo_osm_xml_parse" -> geoOsmXmlParseSql,
     "geo_osm_way_parse" -> geoOsmWayParseSql,
+    "geo_osm_relation_parse" -> geoOsmRelationParseSql,
     "geo_geojson_roundtrip" -> geoGeojsonRoundtripSql)
 }

@@ -169,14 +169,16 @@ object IngestQueries {
 
   // ---- ing_bounds_filter -------------------------------------------------
 
-  /** Region categorization over a wide synthetic coordinate spread
-    * (ws_interceptor.py:90-95 identify_region with kyiv/ukraine/other
-    * buckets; importer.py:15 KYIV_BOUNDS). */
+  /** Full identify_region categorization over a wide synthetic
+    * coordinate spread (ws_interceptor.py:90-94: kyiv/ukraine buckets,
+    * then the ordered FOUND_REGIONS_BOUNDS table, else "Unknown
+    * region"). The spread covers lat [15, 53) x lon [15, 42) so every
+    * named oblast-table entry actually receives rows. */
   def ingBoundsFilter(s: SparkSession, dir: String): DataFrame = {
-    val latW = lit(44.0) + (col("event_id") * 7919 % 9000) / 1000.0
-    val lonW = lit(20.0) + (col("event_id") * 104729 % 22000) / 1000.0
+    val latW = lit(15.0) + (col("event_id") * 7919 % 38000) / 1000.0
+    val lonW = lit(15.0) + (col("event_id") * 104729 % 27000) / 1000.0
     events(s, dir)
-      .select(GeoFunctions.regionCategory(latW, lonW).as("region"),
+      .select(GeoFunctions.regionCategoryNamed(latW, lonW).as("region"),
         col("user_id"))
       .groupBy("region")
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
@@ -186,16 +188,48 @@ object IngestQueries {
   val ingBoundsFilterSql: String = """
     |WITH c AS (
     |  SELECT user_id,
-    |    44.0 + (event_id * 7919 % 9000) / 1000.0 AS lat,
-    |    20.0 + (event_id * 104729 % 22000) / 1000.0 AS lon
+    |    15.0 + (event_id * 7919 % 38000) / 1000.0 AS lat,
+    |    15.0 + (event_id * 104729 % 27000) / 1000.0 AS lon
     |  FROM events)
     |SELECT CASE
     |    WHEN lat BETWEEN 50.3 AND 50.6 AND lon BETWEEN 30.2 AND 30.8 THEN 'kyiv'
     |    WHEN lat BETWEEN 44.0 AND 52.0 AND lon BETWEEN 22.0 AND 40.0 THEN 'ukraine'
-    |    ELSE 'other' END AS region,
+    |    WHEN lat BETWEEN 35.0 AND 40.0 AND lon BETWEEN 35.0 AND 42.0 THEN 'Turkey/Syria'
+    |    WHEN lat BETWEEN 15.0 AND 25.0 AND lon BETWEEN 30.0 AND 40.0 THEN 'Red Sea/Sudan'
+    |    WHEN lat BETWEEN 30.0 AND 35.0 AND lon BETWEEN 15.0 AND 25.0 THEN 'Libya/Egypt'
+    |    ELSE 'Unknown region' END AS region,
     |  count(*) AS n,
     |  count(DISTINCT user_id) AS n_users
     |FROM c GROUP BY 1 ORDER BY region""".stripMargin
+
+  // ---- ing_dated_write -----------------------------------------------------
+
+  /** Writer-rotation round-trip (writer.py:18-57): positions land
+    * date-partitioned (sources/DatedWriter.scala), then the reader
+    * prunes a 4-day window and aggregates per day. The date filter
+    * reaches the scan as a PartitionFilter (DatedWriterSpec asserts
+    * it), so 26 of the 30 date directories are never opened — the
+    * property the reference's file rotation exists to provide. */
+  def ingDatedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft-dated/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val posDf = PositionView.fromEvents(events(s, dir))
+      .select("event_id", "vehicle_id", "ts", "value")
+    graft.sources.DatedWriter.writeDated(posDf, "ts", out)
+    graft.sources.DatedWriter.readDated(s, out)
+      .filter(col("date_key") >= "20240105" && col("date_key") <= "20240108")
+      .groupBy("date_key")
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("date_key")
+  }
+
+  val ingDatedWriteSql: String = """
+    |SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS date_key,
+    |  count(*) AS n, count(DISTINCT user_id) AS n_vehicles,
+    |  round(sum(value), 2) AS sum_value
+    |FROM events
+    |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') BETWEEN '20240105' AND '20240108'
+    |GROUP BY 1 ORDER BY date_key""".stripMargin
 
   // ---- ing_jsonl_positions -----------------------------------------------
 
@@ -390,7 +424,8 @@ object IngestQueries {
     "ing_jsonl_positions" -> (ingJsonlPositions _),
     "ing_routes_jsonl" -> (ingRoutesJsonl _),
     "ing_weather_json" -> (ingWeatherJson _),
-    "ing_binary_gps" -> (ingBinaryGps _))
+    "ing_binary_gps" -> (ingBinaryGps _),
+    "ing_dated_write" -> (ingDatedWrite _))
 
   val oracles: Map[String, String] = Map(
     "ing_json_props" -> ingJsonPropsSql,
@@ -401,5 +436,6 @@ object IngestQueries {
     "ing_jsonl_positions" -> ingJsonlPositionsSql,
     "ing_routes_jsonl" -> ingRoutesJsonlSql,
     "ing_weather_json" -> ingWeatherJsonSql,
-    "ing_binary_gps" -> ingBinaryGpsSql)
+    "ing_binary_gps" -> ingBinaryGpsSql,
+    "ing_dated_write" -> ingDatedWriteSql)
 }

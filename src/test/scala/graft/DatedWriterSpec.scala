@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.DatedWriter
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** Date-rotation semantics of the partitioned landing writer: per-date
+  * directories, append lands in the right partition, and — the point
+  * of rotating at all — a date filter prunes the scan to the asked-for
+  * partitions.
+  */
+class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("dated").toString + "/land"
+
+  private def day(d: Int, id: Long) =
+    (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"))
+
+  test("writes one directory per date and reads back the same rows") {
+    val dir = freshDir()
+    val df = Seq(day(1, 1L), day(1, 2L), day(2, 3L)).toDF("id", "ts")
+    DatedWriter.writeDated(df, "ts", dir)
+    val dates = new java.io.File(dir).list().filter(_.startsWith("date_key="))
+    assert(dates.toSet === Set("date_key=20240101", "date_key=20240102"))
+    val back = DatedWriter.readDated(spark, dir)
+      .select("id", "date_key").as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "20240101"), (2L, "20240101"), (3L, "20240102")))
+  }
+
+  test("append rotates into the new date without touching existing ones") {
+    val dir = freshDir()
+    DatedWriter.writeDated(Seq(day(1, 1L)).toDF("id", "ts"), "ts", dir)
+    DatedWriter.writeDated(Seq(day(2, 2L)).toDF("id", "ts"), "ts", dir,
+      mode = "append")
+    val back = DatedWriter.readDated(spark, dir)
+      .select("id", "date_key").as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "20240101"), (2L, "20240102")))
+  }
+
+  test("a date filter reaches the scan as a partition filter") {
+    val dir = freshDir()
+    val df = (1 to 10).map(d => day(d, d.toLong)).toDF("id", "ts")
+    DatedWriter.writeDated(df, "ts", dir)
+    val q = DatedWriter.readDated(spark, dir)
+      .filter(col("date_key") >= "20240103" && col("date_key") <= "20240104")
+    assert(q.collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L))
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PartitionFilters").nonEmpty)
+    // pruning happened: of the 10 date partitions, only the 2 asked-for
+    // ones were actually opened (numFiles counts post-pruning files)
+    assert(scans.head.metrics("numFiles").value === 2)
+  }
+}

@@ -91,4 +91,33 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("embeddingPairsLsh: subset of exact pairs, full recall on high-cos near-dups") {
+    // 8-dim near-identical pairs (cos ~ 0.999) plus unrelated axes:
+    // at the default (nBits=32, bands=8) the survival probability of a
+    // 0.99+ pair is 1 - (1 - (1 - acos(.99)/pi)^4)^8 ~ 0.9999997
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1.0f, 0.02f, 0f, 0f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 0f, 0f, 0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L), (3L, 4L)))
+    assert(lsh.subsetOf(exact)) // exact verify: no false positives, ever
+    assert(lsh === exact)       // deterministic hyperplanes: full recall here
+  }
+
+  test("ddEmbeddingLsh audit column reports recall in [0, 1]") {
+    val out = graft.queries.DedupQueries
+      .ddEmbeddingLsh(spark, "/root/testdata/sf0.001")
+      .select("recall").as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r >= 0.0 && r <= 1.0))
+    assert(out.distinct.length === 1) // constant audit column
+  }
 }
