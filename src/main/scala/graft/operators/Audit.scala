@@ -14,20 +14,30 @@ import org.apache.spark.sql.functions._
 object Audit {
 
   /** Appends a constant `recall` column to `approx`: the fraction of
-    * `exact`'s rows (keyed by keyCols) that approx found. Both inputs
-    * are small post-aggregation RESULT sets, so the audit joins are
-    * trivial next to the queries they grade. An empty exact set yields
-    * recall 1.0 (nothing to find). At corpus scale, pass a sampled
-    * exact set — recall is a statistic, not part of the result grain. */
+    * `exact`'s rows (keyed by keyCols) that approx found. An empty
+    * exact set yields recall 1.0 (nothing to find). At corpus scale,
+    * pass a sampled exact set — recall is a statistic, not part of the
+    * result grain.
+    *
+    * Both inputs are materialized ONCE via localCheckpoint before the
+    * audit joins: each appears in two plan branches below (the found
+    * join and the output / the total count), and without lineage
+    * truncation Spark recomputes the full upstream pipeline — an LSH
+    * candidate join, an all-pairs exact baseline — per branch, roughly
+    * doubling the cost of every audited query. The checkpointed blocks
+    * are the tiny post-aggregation RESULT sets (the expensive lineage
+    * runs exactly once) and are released by the ContextCleaner when the
+    * result DataFrame is dropped. */
   def withRecall(approx: DataFrame, exact: DataFrame,
                  keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    val found = exact.select(keys: _*)
-      .join(approx.select(keys: _*).distinct(), keyCols)
-    val stats = exact.agg(count(lit(1)).cast("double").as("__ne"))
+    val a = approx.localCheckpoint()
+    val e = exact.select(keys: _*).localCheckpoint()
+    val found = e.join(a.select(keys: _*).distinct(), keyCols)
+    val stats = e.agg(count(lit(1)).cast("double").as("__ne"))
       .crossJoin(found.agg(count(lit(1)).cast("double").as("__nf")))
       .select(when(col("__ne") === 0, lit(1.0))
         .otherwise(round(col("__nf") / col("__ne"), 4)).as("recall"))
-    approx.crossJoin(broadcast(stats))
+    a.crossJoin(broadcast(stats))
   }
 }

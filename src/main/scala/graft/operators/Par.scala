@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Shared fan-out helper. */
 object Par {
@@ -14,11 +15,41 @@ object Par {
     * unconditional repartition there would be a pure extra full shuffle
     * of every input byte — at 100 TB, the dominant cost of the query.
     *
-    * The probe plans `df` (no job runs) and reads the scan's partition
-    * count; callers apply spread directly over source scans, so the
-    * count reflects input splits, not prior exchanges. */
+    * The probe reads file-listing METADATA from the analyzed plan's
+    * file relations (already cached by the scan's FileIndex) — it never
+    * touches `df.rdd`, because materializing the probe's physical plan
+    * compiles its whole-stage-codegen classes, a per-call Janino tax
+    * that showed up as a 0.5-2.5 s regression across every spread
+    * caller in the round-4 bench. Split estimate per leaf:
+    * ceil(fileSize / maxPartitionBytes) summed over files — the number
+    * of independently consumable chunks a columnar scan yields (a small
+    * parquet file is ONE row group regardless of how many sub-file
+    * splits the scheduler plans, so planned-partition counts
+    * overestimate effective parallelism). Non-file leaves (in-memory
+    * test relations) estimate 1 and keep the pre-probe unconditional
+    * behavior. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val sess = df.sparkSession
+    val target = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    if (estimatedScanSplits(df) >= target) df else df.repartition(target)
+  }
+
+  /** Estimated effective input splits of `df`'s scan: min over source
+    * leaves (the narrowest leaf gates a downstream zip/join). */
+  private def estimatedScanSplits(df: DataFrame): Long = {
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).iterator
+              .flatMap(_.files)
+              .map(f => math.max(1L, (f.getLen + maxSplit - 1) / maxSplit))
+              .sum
+          case _ => 1L
+        }
+    }
+    if (leaves.isEmpty) 1L else leaves.min
   }
 }
