@@ -85,4 +85,41 @@ object TextFunctions {
           when(score > bestScore, lit(lang)).otherwise(bestLang))
     }._2
   }
+
+  /** PII patterns shared by the Spark and oracle sides. Kept inside the
+    * Java/RE2 common subset (no lookaround, no \b) so the same literal
+    * string drives both engines. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{1,7}"
+  val Ipv4Regex = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Occurrences of a PII pattern (codegen regexp_extract_all). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redacts emails, then IPv4 addresses, then phone numbers — in that
+    * order, because the email pattern can span dots/digits that the
+    * narrower patterns would otherwise bite into, and the placeholder
+    * tokens contain neither digits nor '@' so later passes never match
+    * inside earlier redactions. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRegex, "<EMAIL>"),
+        Ipv4Regex, "<IP>"),
+      PhoneRegex, "<PHONE>")
+
+  /** Deterministic hash-based train/val/test assignment from the first
+    * hex nibble of md5(key): 12/16 train, 2/16 val, 2/16 test. Keyed on
+    * the doc id (not row order, not rand()) so a document keeps its
+    * split across reruns, engines, and corpus growth — eval sets must
+    * never silently absorb training docs. md5 is the one hash both
+    * Spark and DuckDB compute identically, which makes the assignment
+    * oracle-checkable. */
+  def trainSplit(key: Column): Column = {
+    val nibble = substring(md5(key.cast("string")), 1, 1)
+    when(nibble.isin("c", "d"), "val")
+      .when(nibble.isin("e", "f"), "test")
+      .otherwise("train")
+  }
 }

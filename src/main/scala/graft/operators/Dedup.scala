@@ -241,4 +241,53 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Connected components over the near-dup pair graph: assigns every
+    * vertex the MINIMUM id reachable from it, i.e. the canonical
+    * representative of its duplicate cluster — the step that turns
+    * pairwise near-dup output into "keep one doc per cluster".
+    *
+    * Distributed min-label propagation: labels start as the vertex id;
+    * each round every vertex takes the min of its own label and its
+    * neighbors' labels (one hash shuffle on vertex id per round), until
+    * a round changes nothing. Labels are localCheckpoint'ed per round —
+    * without lineage truncation an iterative DataFrame loop re-executes
+    * every prior round per action, turning O(rounds) into O(rounds²).
+    *
+    * Rounds needed = the graph diameter. Near-dup clusters are
+    * quasi-cliques (every member pairs with most others — that is what
+    * "near-duplicate" means), so the diameter is 1-3 hops and this
+    * converges in 2-4 rounds of narrow (id, label) shuffles regardless
+    * of corpus size; the star-contraction family (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) drops the
+    * bound to O(log n) rounds but rewrites the EDGE set (wider shuffles
+    * per round) — the wrong trade for flat dedup graphs. maxIter guards
+    * the pathological chain case; non-convergence throws rather than
+    * returning silently-wrong upper-approximation labels. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the near-dup quasi-clique assumption")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Audit, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Deduplication block over `documents` / `embeddings` (LLM-pipeline
   * operators; SURVEY §2 "Deduplication").
@@ -95,6 +96,51 @@ object DedupQueries {
       ddEmbedding(s, dir), Seq("a_id", "b_id"))
       .orderBy("a_id", "b_id")
 
+  /** Duplicate-cluster assignment: connected components over the exact
+    * Jaccard pair graph — every doc labeled with the minimum doc_id
+    * reachable through near-dup pairs (its canonical representative)
+    * plus the cluster size. This is the step a real pipeline runs after
+    * pair generation: "of these 3 mutually-similar docs, keep doc 17".
+    * The DuckDB oracle computes the same labels with a recursive CTE
+    * over the same edges, so the component structure is hash-verified,
+    * not just row-counted. */
+  def ddCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Tables.documents(s, dir), "doc_id",
+      exactJaccard(s, dir), "a_id", "b_id")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val ddClusterSql: String = """
+    |WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    |              FROM documents),
+    |sh AS (
+    |  SELECT doc_id, list_distinct(list(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+    |  GROUP BY doc_id),
+    |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+    |cand AS (
+    |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    |         a.sz AS a_sz, b.sz AS b_sz, count(*) AS shared
+    |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2, 3, 4),
+    |pr AS (SELECT a_id, b_id FROM cand
+    |       WHERE CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) >= 0.8),
+    |edges AS (SELECT a_id AS a, b_id AS b FROM pr
+    |          UNION ALL SELECT b_id, a_id FROM pr),
+    |reach(src, node) AS (
+    |  SELECT doc_id, doc_id FROM documents
+    |  UNION
+    |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+    |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+    |SELECT l.doc_id, l.cluster_id, s.cluster_size
+    |FROM lab l JOIN sz s USING (cluster_id)
+    |ORDER BY doc_id""".stripMargin
+
   val ddEmbeddingSql: String = """
     |WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     |n AS (SELECT vec_id, e,
@@ -112,10 +158,12 @@ object DedupQueries {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_embedding" -> (ddEmbedding _),
-    "dd_embedding_lsh" -> (ddEmbeddingLsh _))
+    "dd_embedding_lsh" -> (ddEmbeddingLsh _),
+    "dd_cluster" -> (ddCluster _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
-    "dd_embedding" -> ddEmbeddingSql)
+    "dd_embedding" -> ddEmbeddingSql,
+    "dd_cluster" -> ddClusterSql)
 }

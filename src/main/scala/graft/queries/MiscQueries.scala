@@ -162,6 +162,38 @@ object MiscQueries {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy("event_type")
 
+  // ---- q_skew_join -------------------------------------------------------
+
+  /** Weighted fact-dim join on `event_type` — a 5-value key over the
+    * whole events table, i.e. the textbook skewed shuffle join (a plain
+    * hash-partitioned join lands ALL rows on 5 tasks no matter the
+    * cluster size). Routed through Skew.saltedJoin so each hot key
+    * fans out over 32 salted sub-keys; the oracle is the plain join,
+    * proving the salt is invisible in the result. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // power-of-two weights: value*weight stays an exact double, so the
+    // rounded sums hit no cross-engine half-up boundaries
+    val weights = Seq(("signup", 2.0), ("purchase", 4.0), ("view", 0.5),
+      ("click", 1.0), ("error", 0.25)).toDF("event_type", "weight")
+    graft.operators.Skew.saltedJoin(
+      graft.operators.Par.spread(
+        Tables.events(s, dir).select("event_type", "value")),
+      weights, "event_type", nSalts = 32)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("weight")), 2).as("wsum"))
+      .orderBy("event_type")
+  }
+
+  val qSkewJoinSql: String = """
+    |SELECT event_type, count(*) AS n,
+    |  round(sum(value * CASE event_type
+    |    WHEN 'signup' THEN 2.0 WHEN 'purchase' THEN 4.0
+    |    WHEN 'view' THEN 0.5 WHEN 'click' THEN 1.0
+    |    ELSE 0.25 END), 2) AS wsum
+    |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,12 +204,14 @@ object MiscQueries {
     "st_sessionize" -> (stSessionize _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "ag_approx_quantile" -> (agApproxQuantile _),
-    "ag_approx_distinct" -> (agApproxDistinct _))
+    "ag_approx_distinct" -> (agApproxDistinct _),
+    "q_skew_join" -> (qSkewJoin _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
     "st_stream_dedup" -> stStreamDedupSql,
-    "st_sessionize" -> stSessionizeSql)
+    "st_sessionize" -> stSessionizeSql,
+    "q_skew_join" -> qSkewJoinSql)
 }

@@ -132,6 +132,80 @@ object TextQueries {
     |FROM b GROUP BY bigram
     |ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  // ---- tx_pii_scrub ------------------------------------------------------
+
+  /** PII detection + redaction — the scrub every training corpus runs
+    * before anything else. The documents table carries no real PII, so
+    * each doc gets a deterministic synthetic email/phone/IP appended
+    * in-plan (same integer arithmetic on both engines) and the REAL
+    * operators (TextFunctions.piiCount / scrubPii, shared Java∩RE2
+    * pattern strings) detect and redact them; counts and the scrubbed
+    * text are both hash-verified against the oracle. */
+  def txPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org tel +380-"),
+      (col("doc_id") * 73 % 900 + 100).cast("string"), lit("-"),
+      (col("doc_id") * 577 % 10000).cast("string"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") * 7 % 256).cast("string"), lit(".1"))
+    docsSpread(s, dir)
+      .select(col("doc_id"), withPii.as("t"))
+      .select(col("doc_id"),
+        TextFunctions.piiCount(col("t"), TextFunctions.EmailRegex).as("n_emails"),
+        TextFunctions.piiCount(col("t"), TextFunctions.PhoneRegex).as("n_phones"),
+        TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Regex).as("n_ips"),
+        TextFunctions.scrubPii(col("t")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val txPiiScrubSql: String = """
+    |WITH p AS (
+    |  SELECT doc_id,
+    |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+    |      || '@mail.example.org tel +380-'
+    |      || CAST(doc_id * 73 % 900 + 100 AS VARCHAR) || '-'
+    |      || CAST(doc_id * 577 % 10000 AS VARCHAR)
+    |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+    |      || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.1' AS t
+    |  FROM documents)
+    |SELECT doc_id,
+    |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    |  len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{1,7}')) AS n_phones,
+    |  len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+    |  regexp_replace(regexp_replace(regexp_replace(t,
+    |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+    |    '\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{1,7}', '<PHONE>', 'g') AS scrubbed
+    |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---- tx_train_split ----------------------------------------------------
+
+  /** Deterministic hash-keyed train/val/test split with per-split
+    * corpus stats. One narrow groupBy on a 3-value key; the md5-nibble
+    * assignment is engine-identical, so the split SIZES and the token
+    * mass per split are hash-verified — the property that matters is
+    * that an eval doc can never silently migrate into train. */
+  def txTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    docsSpread(s, dir)
+      .select(TextFunctions.trainSplit(col("doc_id")).as("split"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .orderBy("split")
+  }
+
+  val txTrainSplitSql: String = s"""
+    |SELECT CASE
+    |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+    |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+    |    ELSE 'train' END AS split,
+    |  count(*) AS n_docs,
+    |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+    |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,12 +213,16 @@ object TextQueries {
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
     "tx_fingerprint" -> (txFingerprint _),
-    "tx_ngram_freq" -> (txNgramFreq _))
+    "tx_ngram_freq" -> (txNgramFreq _),
+    "tx_pii_scrub" -> (txPiiScrub _),
+    "tx_train_split" -> (txTrainSplit _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
     "tx_fingerprint" -> txFingerprintSql,
-    "tx_ngram_freq" -> txNgramFreqSql)
+    "tx_ngram_freq" -> txNgramFreqSql,
+    "tx_pii_scrub" -> txPiiScrubSql,
+    "tx_train_split" -> txTrainSplitSql)
 }

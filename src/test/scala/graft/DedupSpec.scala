@@ -120,4 +120,35 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r >= 0.0 && r <= 1.0))
     assert(out.distinct.length === 1) // constant audit column
   }
+
+  test("connectedComponents labels chains, triangles and singletons") {
+    // component {1,2,3} as a CHAIN (1-2, 2-3: needs propagation across
+    // 2 hops), triangle {5,6,7}, singleton 4
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(verts, "doc_id", pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain within maxIter") {
+    val n = 12
+    val verts = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(verts, "doc_id", pairs, "a_id", "b_id",
+      maxIter = 15).as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(1L))
+  }
+
+  test("connectedComponents throws rather than returning unconverged labels") {
+    val n = 10
+    val verts = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(verts, "doc_id", pairs, "a_id", "b_id",
+        maxIter = 2).collect()
+    }
+  }
 }
