@@ -162,6 +162,30 @@ object MiscQueries {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy("event_type")
 
+  // ---- st_stream_join ----------------------------------------------------
+
+  /** Watermarked stream-stream interval join (click → purchase within
+    * 1 h per user), replayed over the events backlog and verified
+    * against the equivalent batch join in DuckDB. The watermark bounds
+    * the join state (see StreamOps.intervalJoin). */
+  def stStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = StreamOps.intervalJoin(
+      StreamOps.eventsStream(s, dir), "click", "purchase", "1 hour")
+      .select(col("user_id"), col("left_id").as("click_id"),
+        col("right_id").as("purchase_id"))
+    StreamOps.runToMemory(s, joined, "st_stream_join_sink", "append")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val stStreamJoinSql: String = """
+    |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    |FROM events c JOIN events p
+    |  ON c.user_id = p.user_id
+    | AND c.event_type = 'click' AND p.event_type = 'purchase'
+    | AND epoch_us(p.ts) > epoch_us(c.ts)
+    | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   // ---- q_skew_join -------------------------------------------------------
 
   /** Weighted fact-dim join on `event_type` — a 5-value key over the
@@ -205,7 +229,8 @@ object MiscQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _),
-    "q_skew_join" -> (qSkewJoin _))
+    "q_skew_join" -> (qSkewJoin _),
+    "st_stream_join" -> (stStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
@@ -213,5 +238,6 @@ object MiscQueries {
     "st_windowed_counts" -> stWindowedCountsSql,
     "st_stream_dedup" -> stStreamDedupSql,
     "st_sessionize" -> stSessionizeSql,
-    "q_skew_join" -> qSkewJoinSql)
+    "q_skew_join" -> qSkewJoinSql,
+    "st_stream_join" -> stStreamJoinSql)
 }

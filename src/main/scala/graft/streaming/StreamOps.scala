@@ -60,6 +60,33 @@ object StreamOps {
   def streamDedup(events: DataFrame, keys: Seq[String]): DataFrame =
     events.dropDuplicates(keys)
 
+  /** Watermarked stream-stream interval self-join: for every `leftType`
+    * event, the `rightType` events of the same user inside
+    * (left_ts, left_ts + window]. Both sides carry a watermark equal to
+    * the join window, which is what lets Spark BOUND the join state:
+    * a buffered left row can be evicted once the right watermark passes
+    * left_ts + window, so state is O(events per window), not O(stream).
+    * An un-watermarked stream-stream join would grow state forever —
+    * the difference between a demo and an operator that survives an
+    * unbounded 100 TB/day feed. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   window: String): DataFrame = {
+    val tsUs = graft.sources.PositionView.TsUsSql
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        timestamp_micros(expr(tsUs)).as("left_ts"))
+      .withWatermark("left_ts", window)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"), col("user_id").as("__ru"),
+        timestamp_micros(expr(tsUs)).as("right_ts"))
+      .withWatermark("right_ts", window)
+    left.join(right,
+      col("user_id") === col("__ru") &&
+        col("right_ts") > col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $window"))
+      .drop("__ru")
+  }
+
   /** Runs a finite streaming query to a memory sink and returns the
     * sink table. AvailableNow processes the full backlog then stops —
     * the batch-replay harness for stream operators. */

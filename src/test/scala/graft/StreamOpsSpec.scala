@@ -52,4 +52,22 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r._1.getTime, r._2) -> r._3).toMap
     assert(streamed === expected)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val sf = "/root/testdata/sf0.001"
+    val tsUs = graft.sources.PositionView.TsUsSql
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", expr(tsUs).as("cts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), expr(tsUs).as("pts"))
+    val expected = c.join(p, $"user_id" === $"pu" &&
+        $"pts" > $"cts" && $"pts" <= $"cts" + 3600000000L)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty) // 5 pairs planted at this SF
+    val streamed = graft.queries.MiscQueries.stStreamJoin(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === expected)
+  }
 }
