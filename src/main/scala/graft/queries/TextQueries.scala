@@ -206,6 +206,51 @@ object TextQueries {
     |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
     |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---- tx_repetition -----------------------------------------------------
+
+  /** Repetition-based quality signals (the Gopher/MassiveText family of
+    * filters: heavily repetitive docs are low-quality): per doc, the
+    * fraction of tokens that are repeats of an earlier token and the
+    * share of all bigrams taken by the single most frequent bigram.
+    * Exact integer ratios, left unrounded — both engines divide the
+    * same exact ints, so the doubles are bit-identical. The per-doc
+    * bigram mode is one (doc, bigram) count with map-side partial agg
+    * and one (doc) max — the same shuffle shape as tx_ngram_freq, just
+    * keyed per doc. The most-frequent bigram STRING is deliberately not
+    * emitted: mode ties would make it engine-dependent. */
+  def txRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tokenStats = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      size(array_distinct(col("toks"))).cast("long").as("nd"))
+    val bigramStats = docsSpread(s, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("totb"))
+    tokenStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("nd").cast("double") / col("n"))
+          .as("dup_token_frac"),
+        (col("topc").cast("double") / col("totb")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val txRepetitionSql: String = s"""
+    |WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    |tok AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+    |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+    |      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u),
+    |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+    |topb AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS totb
+    |         FROM bc GROUP BY 1)
+    |SELECT tok.doc_id,
+    |  CASE WHEN n = 0 THEN NULL
+    |       ELSE 1.0 - CAST(nd AS DOUBLE) / n END AS dup_token_frac,
+    |  CAST(topc AS DOUBLE) / totb AS top_bigram_frac
+    |FROM tok LEFT JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,7 +260,8 @@ object TextQueries {
     "tx_fingerprint" -> (txFingerprint _),
     "tx_ngram_freq" -> (txNgramFreq _),
     "tx_pii_scrub" -> (txPiiScrub _),
-    "tx_train_split" -> (txTrainSplit _))
+    "tx_train_split" -> (txTrainSplit _),
+    "tx_repetition" -> (txRepetition _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -224,5 +270,6 @@ object TextQueries {
     "tx_fingerprint" -> txFingerprintSql,
     "tx_ngram_freq" -> txNgramFreqSql,
     "tx_pii_scrub" -> txPiiScrubSql,
-    "tx_train_split" -> txTrainSplitSql)
+    "tx_train_split" -> txTrainSplitSql,
+    "tx_repetition" -> txRepetitionSql)
 }

@@ -195,7 +195,41 @@ object TpchQueries {
       |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
       |ORDER BY bucket""".stripMargin
 
+  // ---- q_orphan_check ----------------------------------------------------
+
+  /** Referential-integrity audit via shuffled LEFT ANTI joins
+    * (operators/Quality): orphan counts for orders→customer and
+    * lineitem→orders, against parent sets thinned in-plan (every 97th
+    * customer / 89th order dropped) so the checks actually catch
+    * something. Anti-join is the shape that holds at 100 TB — no
+    * collected key sets, no billion-row broadcast. */
+  def orphanCheck(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_custkey") % 97 =!= 0)
+    val ord = Tables.orders(s, dir)
+    val ordThin = ord.filter(col("o_orderkey") % 89 =!= 0)
+    graft.operators.Quality.fkAudit(Seq(
+      (ord, "o_custkey", cust, "c_custkey", "orders_customer"),
+      (Tables.lineitem(s, dir), "l_orderkey", ordThin, "o_orderkey",
+        "lineitem_orders")))
+      .orderBy("check_name")
+  }
+
+  val orphanCheckSql: String = """
+    |SELECT 'lineitem_orders' AS check_name,
+    |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    |    (SELECT 1 FROM orders o
+    |     WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 89 <> 0)) AS n_orphans,
+    |  (SELECT count(*) FROM lineitem) AS n_total
+    |UNION ALL
+    |SELECT 'orders_customer',
+    |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+    |    (SELECT 1 FROM customer c
+    |     WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 97 <> 0)),
+    |  (SELECT count(*) FROM orders)
+    |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orphan_check" -> (orphanCheck _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -204,6 +238,7 @@ object TpchQueries {
     "q_order_fill_rate" -> (orderFillRate _))
 
   val oracles: Map[String, String] = Map(
+    "q_orphan_check" -> orphanCheckSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
