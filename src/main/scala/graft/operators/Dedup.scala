@@ -272,20 +272,28 @@ object Dedup {
       .localCheckpoint()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence probe: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any vertex changed — one overflow-safe
+    // decimal agg over the checkpointed set instead of a per-round
+    // labels⋈labels comparison join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val next = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the near-dup quasi-clique assumption")
     labels.select(col("id"), col("label").as("cluster_id"))
