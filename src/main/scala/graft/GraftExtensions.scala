@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -78,5 +78,11 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
-        litInt(exprs(1), "minhash_sig k")))))
+        litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      // raw AggregateFunction: the analyzer wraps it into an
+      // AggregateExpression (and owns DISTINCT/FILTER handling)
+      arity("top_k_pairs", 3)(exprs =>
+        TopKPairs(exprs(0), exprs(1), litInt(exprs(2), "top_k_pairs k")))))
 }

@@ -27,15 +27,22 @@ object Similarity {
 
   /** Per-query top-k by rounded cosine with deterministic id tie-break.
     * Rounding to 6 dp collapses summation-order ulps so ranks are
-    * engine-stable; genuine ties fall back to vec_id order. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    * engine-stable; genuine ties fall back to vec_id order.
+    *
+    * Ranked through the top_k_pairs bounded-heap aggregate
+    * (plans/TopKPairs): partial aggregation caps what leaves each map
+    * partition at k pairs per query, where the equivalent
+    * row_number() window would shuffle EVERY scored candidate to its
+    * query's partition and sort there — |corpus|·|queries| rows vs
+    * k·|queries|·mappers. Same output, including ties. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("cos", round(cosCol, 6))
-      .select(col("qid").as("q_id"), col("did").as("vec_id"), col("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
+      .groupBy(col("qid").as("q_id"))
+      .agg(call_function("top_k_pairs", col("cos"), col("did"), lit(k)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("r0", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"), col("s.score").as("cos"),
+        (col("r0") + 1).cast("long").as("rank"))
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set,
     * one scan of the corpus, shuffle only (q_id, vec_id, cos) triples. */
