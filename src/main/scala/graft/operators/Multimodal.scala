@@ -56,4 +56,23 @@ object Multimodal {
       length(bin).cast("double"),
       (crc32(bin) % 1000000L).cast("double") / 1000000.0,
       (xxhash64(bin) % 1000000L).cast("double") / 1000000.0)
+
+  /** Resize planning: aspect-preserving fit of (w, h) so the LONG side
+    * becomes `target`, plus the tile-batch shape a vision encoder
+    * consumes (ceil-div tile counts). Pure integer floor math — no
+    * float scale factor, so the planned dims are bit-identical across
+    * engines and cluster sizes. The pixel resample itself belongs to
+    * the decode stub's swap-in point ([[decodeFeaturesStub]]); what the
+    * ENGINE owns is the deterministic geometry every downstream batch
+    * shape depends on. */
+  def resizePlan(df: DataFrame, idCol: String, wCol: String, hCol: String,
+                 target: Int, tile: Int): DataFrame = {
+    require(target > 0 && tile > 0,
+      s"target=$target and tile=$tile must be positive")
+    df.select(col(idCol), col(wCol), col(hCol),
+      expr(s"($wCol * $target) div greatest($wCol, $hCol)").as("new_w"),
+      expr(s"($hCol * $target) div greatest($wCol, $hCol)").as("new_h"))
+      .withColumn("n_tiles",
+        expr(s"((new_w + ${tile - 1}) div $tile) * ((new_h + ${tile - 1}) div $tile)"))
+  }
 }

@@ -56,6 +56,36 @@ object MiscQueries {
     |SELECT doc_id, frame_idx, frame_md5 FROM f
     |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- mm_resize_plan ----------------------------------------------------
+
+  /** Aspect-preserving resize + tile-batch geometry for synthetic image
+    * dims (derived from doc_id with engine-identical integer
+    * arithmetic); fits the long side to 224 and counts 16px tiles —
+    * the batch shape a vision encoder consumes. All floor math, fully
+    * SQL-checkable. */
+  def mmResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      graft.operators.Par.spread(Tables.documents(s, dir).select(col("doc_id")))
+        .withColumn("w", (col("doc_id") * 7 % 1280 + 640).cast("long"))
+        .withColumn("h", (col("doc_id") * 13 % 800 + 360).cast("long")),
+      "doc_id", "w", "h", target = 224, tile = 16)
+      .orderBy("doc_id")
+
+  val mmResizePlanSql: String = """
+    |WITH d AS (
+    |  SELECT doc_id,
+    |    CAST(doc_id * 7 % 1280 + 640 AS BIGINT) AS w,
+    |    CAST(doc_id * 13 % 800 + 360 AS BIGINT) AS h
+    |  FROM documents),
+    |r AS (
+    |  SELECT doc_id, w, h,
+    |    (w * 224) // greatest(w, h) AS new_w,
+    |    (h * 224) // greatest(w, h) AS new_h
+    |  FROM d)
+    |SELECT doc_id, w, h, new_w, new_h,
+    |  ((new_w + 15) // 16) * ((new_h + 15) // 16) AS n_tiles
+    |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- st_windowed_counts ------------------------------------------------
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
@@ -227,6 +257,7 @@ object MiscQueries {
     "st_stream_dedup" -> (stStreamDedup _),
     "st_sessionize" -> (stSessionize _),
     "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_resize_plan" -> (mmResizePlan _),
     "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _),
     "q_skew_join" -> (qSkewJoin _),
@@ -239,5 +270,6 @@ object MiscQueries {
     "st_stream_dedup" -> stStreamDedupSql,
     "st_sessionize" -> stSessionizeSql,
     "q_skew_join" -> qSkewJoinSql,
-    "st_stream_join" -> stStreamJoinSql)
+    "st_stream_join" -> stStreamJoinSql,
+    "mm_resize_plan" -> mmResizePlanSql)
 }

@@ -35,4 +35,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f.as[Seq[Double]].collect().toSeq === twice.as[Seq[Double]].collect().toSeq)
     assert(f.schema("f").dataType.simpleString === "array<double>")
   }
+
+  test("resizePlan fits the long side, preserves aspect, counts tiles") {
+    val dims = Seq((1L, 1280L, 720L), (2L, 224L, 224L), (3L, 100L, 400L))
+      .toDF("id", "w", "h")
+    val out = Multimodal.resizePlan(dims, "id", "w", "h", target = 224, tile = 16)
+      .select("id", "new_w", "new_h", "n_tiles")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 1280x720 -> long side 1280 -> 224x126; tiles 14x8=112
+    assert(out(1L) === ((224L, 126L, 112L)))
+    // already target-sized: unchanged, 14x14 tiles
+    assert(out(2L) === ((224L, 224L, 196L)))
+    // portrait: 100x400 -> 56x224; tiles 4x14=56
+    assert(out(3L) === ((56L, 224L, 56L)))
+  }
 }
