@@ -27,6 +27,9 @@ object Dedup {
     * across the cluster FIRST: a single-split source file would
     * otherwise run all tokenize/shingle/hash work on one core — the
     * narrow-row repartition is far cheaper than the serial scan. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
     Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
       .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("sh"))
@@ -59,8 +62,15 @@ object Dedup {
     * that is the documented recall trade of the cap. maxDf <= 0 is the
     * exact path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
+                   n: Int, threshold: Double, maxDf: Long = 0): DataFrame =
+    jaccardPairsFromShingles(shingleSets(df, idCol, textCol, n),
+      threshold, maxDf)
+
+  /** [[jaccardPairs]] over precomputed [[shingles]] — callers holding a
+    * materialized shingle frame (e.g. a query plus its exact audit)
+    * skip the tokenize+shingle pass entirely. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+                               maxDf: Long = 0): DataFrame = {
     val ex0 = sh.select(col("__id"), col("sz"), explode(col("sh")).as("sg"))
     if (maxDf <= 0) {
       // exact: the per-pair match count over ALL shingles IS the
@@ -98,9 +108,16 @@ object Dedup {
     * verified with the EXACT Jaccard on their full shingle sets. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double,
-                      maxBucket: Long = 1000): DataFrame = {
+                      maxBucket: Long = 1000): DataFrame =
+    minhashLshPairsFromShingles(shingleSets(df, idCol, textCol, n),
+      k, bands, threshold, maxBucket)
+
+  /** [[minhashLshPairs]] over precomputed [[shingles]]. */
+  def minhashLshPairsFromShingles(sh0: DataFrame, k: Int, bands: Int,
+                                  threshold: Double,
+                                  maxBucket: Long = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh = shingleSets(df, idCol, textCol, n).filter(col("sz") > 0)
+    val sh = sh0.filter(col("sz") > 0)
     // string bytes are hashed exactly once; the k permutations re-hash
     // the resulting longs (separate select so the hash column is
     // materialized per row, not re-derived per permutation)
@@ -137,12 +154,16 @@ object Dedup {
     * other); buckets above maxBucket are dropped — the degenerate-key
     * guard that keeps any single chunk value from going quadratic. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxHamming: Int, maxBucket: Long = 1000): DataFrame = {
+                   n: Int, maxHamming: Int, maxBucket: Long = 1000): DataFrame =
+    simhashPairsFromShingles(shingleSets(df, idCol, textCol, n),
+      maxHamming, maxBucket)
+
+  /** [[simhashPairs]] over precomputed [[shingles]]. */
+  def simhashPairsFromShingles(sh: DataFrame, maxHamming: Int,
+                               maxBucket: Long = 1000): DataFrame = {
     require(maxHamming <= 7, "8-chunk pigeonhole is only exact for ham <= 7")
-    val sig = Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
-      .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("__id"), SimHash64(col("__sh")).as("sig"))
+    val sig = sh.filter(col("sz") > 0)
+      .select(col("__id"), SimHash64(col("sh")).as("sig"))
     val chunks = sig.select(col("__id"), col("sig"),
       explode(HashFunctions.simhashChunks(col("sig"))).as("c"))
       .select(col("__id"), col("sig"), col("c.chunk").as("chunk"), col("c.v").as("v"))

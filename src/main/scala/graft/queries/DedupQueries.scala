@@ -65,19 +65,32 @@ object DedupQueries {
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       ShingleN, JaccardThreshold)
 
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Audit.withRecall(
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = ShingleN, k = 64, bands = 16, threshold = JaccardThreshold),
-      exactJaccard(s, dir), Seq("a_id", "b_id"))
-      .orderBy("a_id", "b_id")
+  /** Shingle sets materialized ONCE per audited query: the approximate
+    * pipeline and its exact audit both consume them, and tokenize +
+    * shingle is the dominant per-row cost — without the checkpoint each
+    * side would rescan and re-shingle the corpus. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)
+      .localCheckpoint()
 
-  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
     Audit.withRecall(
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = ShingleN, maxHamming = 7),
-      exactJaccard(s, dir), Seq("a_id", "b_id"))
+      Dedup.minhashLshPairsFromShingles(sh,
+        k = 64, bands = 16, threshold = JaccardThreshold),
+      Dedup.jaccardPairsFromShingles(sh, JaccardThreshold),
+      Seq("a_id", "b_id"))
       .orderBy("a_id", "b_id")
+  }
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    Audit.withRecall(
+      Dedup.simhashPairsFromShingles(sh, maxHamming = 7),
+      Dedup.jaccardPairsFromShingles(sh, JaccardThreshold),
+      Seq("a_id", "b_id"))
+      .orderBy("a_id", "b_id")
+  }
 
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
