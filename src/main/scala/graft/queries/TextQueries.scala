@@ -251,6 +251,58 @@ object TextQueries {
     |  CAST(topc AS DOUBLE) / totb AS top_bigram_frac
     |FROM tok LEFT JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- tx_contamination --------------------------------------------------
+
+  /** Benchmark-decontamination check: an eval (val/test) doc is
+    * CONTAMINATED if it shares any 8-token shingle with any train doc
+    * under the md5 split of tx_train_split. The train shingle
+    * vocabulary is one distinct set and the check is one
+    * inverted-index join on the shingle — the dedup-family shuffle
+    * shape, so a 100 TB train corpus meets eval docs only where
+    * shingles collide, never pairwise. */
+  val ContaminationShingle = 8
+
+  def txContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val tagged = graft.operators.Dedup
+      .shingles(docs(s, dir), "doc_id", "text", ContaminationShingle)
+      .withColumn("split", TextFunctions.trainSplit(col("__id")))
+    val trainSh = tagged.filter(col("split") === "train")
+      .select(explode(col("sh")).as("sg")).distinct()
+    val hits = tagged.filter(col("split") =!= "train")
+      .select(col("__id"), explode(col("sh")).as("sg"))
+      .join(trainSh, Seq("sg"))
+      .select(col("__id")).distinct()
+      .withColumn("contaminated", lit(true))
+    tagged.filter(col("split") =!= "train")
+      .select(col("__id").as("doc_id"), col("split"))
+      .join(hits.withColumnRenamed("__id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val txContaminationSql: String = s"""
+    |WITH t AS (
+    |  SELECT doc_id, $toksSql AS toks,
+    |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+    |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+    |         ELSE 'train' END AS split
+    |  FROM documents),
+    |sh AS (
+    |  SELECT doc_id, split, list_distinct(list(
+    |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+    |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+    |      || ' ' || toks[i+7])) AS s
+    |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+    |  GROUP BY doc_id, split),
+    |tr AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE split = 'train'),
+    |ev AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE split <> 'train'),
+    |hit AS (SELECT DISTINCT ev.doc_id FROM ev JOIN tr USING (sg))
+    |SELECT t.doc_id, t.split,
+    |  coalesce(t.doc_id IN (SELECT doc_id FROM hit), FALSE) AS contaminated
+    |FROM t WHERE t.split <> 'train' ORDER BY doc_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -261,7 +313,8 @@ object TextQueries {
     "tx_ngram_freq" -> (txNgramFreq _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_train_split" -> (txTrainSplit _),
-    "tx_repetition" -> (txRepetition _))
+    "tx_repetition" -> (txRepetition _),
+    "tx_contamination" -> (txContamination _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -271,5 +324,6 @@ object TextQueries {
     "tx_ngram_freq" -> txNgramFreqSql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_train_split" -> txTrainSplitSql,
-    "tx_repetition" -> txRepetitionSql)
+    "tx_repetition" -> txRepetitionSql,
+    "tx_contamination" -> txContaminationSql)
 }
