@@ -92,4 +92,34 @@ object GeoFunctions {
     floor((lon - originLon) / cellDeg).cast("int")
   def gridY(lat: Column, originLat: Double, cellDeg: Double): Column =
     floor((lat - originLat) / cellDeg).cast("int")
+
+  /** Point-in-CONVEX-polygon containment (landuse/bbox layers,
+    * importer.py:146-176 polygon feature handling): the point lies
+    * inside iff it is on the left of (or on) every edge of the
+    * counter-clockwise vertex ring — per-edge cross product
+    * (x2-x1)(py-y1) - (y2-y1)(px-x1) >= 0. Vertices are compile-time
+    * literals, so the whole test folds into one codegen'd boolean
+    * expression per row: no join, no UDF, and the identical literal
+    * arithmetic is emitted by [[convexPolySql]] for the oracle —
+    * per-row expression trees have no summation-order float risk. */
+  def pointInConvexPoly(lat: Column, lon: Column,
+                        polyLonLat: Seq[(Double, Double)]): Column = {
+    require(polyLonLat.length >= 3, "polygon needs >= 3 vertices")
+    polyLonLat.indices.map { i =>
+      val (x1, y1) = polyLonLat(i)
+      val (x2, y2) = polyLonLat((i + 1) % polyLonLat.length)
+      (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
+    }.reduce(_ && _)
+  }
+
+  /** The same containment test as a SQL boolean over column names
+    * `latCol`/`lonCol` — built from the SAME vertex list so the engine
+    * and the oracle share one source of truth. */
+  def convexPolySql(latCol: String, lonCol: String,
+                    polyLonLat: Seq[(Double, Double)]): String =
+    polyLonLat.indices.map { i =>
+      val (x1, y1) = polyLonLat(i)
+      val (x2, y2) = polyLonLat((i + 1) % polyLonLat.length)
+      s"(${x2 - x1} * ($latCol - $y1) - ${y2 - y1} * ($lonCol - $x1)) >= 0"
+    }.mkString("(", " AND ", ")")
 }

@@ -294,9 +294,36 @@ object GeoQueries {
     |  lon, lat, event_type AS highway
     |FROM pos ORDER BY event_id""".stripMargin
 
+  // ---- geo_point_in_poly -------------------------------------------------
+
+  /** Convex landuse-style polygon over central Kyiv (CCW lon/lat ring).
+    * One source of truth: the engine's Column tree and the oracle SQL
+    * are both generated from this list. */
+  val KyivPentagon: Seq[(Double, Double)] = Seq(
+    (30.3, 50.35), (30.55, 50.33), (30.75, 50.45),
+    (30.6, 50.58), (30.35, 50.55))
+
+  /** Point-in-polygon containment (importer.py landuse polygon
+    * features): per-position boolean folded into one codegen'd
+    * expression (no join, no UDF), aggregated to containment counts per
+    * route type. */
+  def geoPointInPoly(s: SparkSession, dir: String): DataFrame =
+    pos(s, dir)
+      .withColumn("inside",
+        GeoFunctions.pointInConvexPoly(col("lat"), col("lon"), KyivPentagon))
+      .groupBy("route_id", "inside")
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"))
+      .orderBy("route_id", "inside")
+
+  val geoPointInPolySql: String = PositionView.oracleCte + s"""
+    |SELECT route_id, ${GeoFunctions.convexPolySql("lat", "lon", KyivPentagon)} AS inside,
+    |  count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles
+    |FROM pos GROUP BY 1, 2 ORDER BY route_id, inside""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_point_in_poly" -> (geoPointInPoly _),
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
@@ -307,6 +334,7 @@ object GeoQueries {
     "geo_geojson_roundtrip" -> (geoGeojsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "geo_point_in_poly" -> geoPointInPolySql,
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,

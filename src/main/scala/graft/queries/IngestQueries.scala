@@ -231,6 +231,41 @@ object IngestQueries {
     |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') BETWEEN '20240105' AND '20240108'
     |GROUP BY 1 ORDER BY date_key""".stripMargin
 
+  // ---- ing_upsert ----------------------------------------------------------
+
+  /** CDC latest-wins merge (operators/Cdc.latestWins): an update batch
+    * (every 10th event, bumped value, +1h timestamp) upserted into the
+    * base snapshot — one hash shuffle on the key, newest (ts, src) row
+    * wins, src tag breaks exact-ts ties deterministically. The poller's
+    * "re-deliver the newest position record" semantic as a batch
+    * operator. */
+  def ingUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tsUs = PositionView.TsUsSql
+    val base = events(s, dir)
+      .select(col("event_id"), expr(tsUs).as("tu"), col("value"),
+        lit("base").as("src"))
+    val updates = events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), (expr(tsUs) + 3600000000L).as("tu"),
+        (col("value") + 1000).as("value"), lit("update").as("src"))
+    graft.operators.Cdc.latestWins(base, updates,
+      keyCols = Seq("event_id"), orderCols = Seq("tu", "src"))
+      .select("event_id", "value", "src")
+      .orderBy("event_id")
+  }
+
+  val ingUpsertSql: String = """
+    |WITH base AS (
+    |  SELECT event_id, epoch_us(ts) AS tu, value, 'base' AS src FROM events),
+    |upd AS (
+    |  SELECT event_id, epoch_us(ts) + 3600000000 AS tu,
+    |    value + 1000 AS value, 'update' AS src
+    |  FROM events WHERE event_id % 10 = 0),
+    |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    |r AS (SELECT *, row_number() OVER (
+    |        PARTITION BY event_id ORDER BY tu DESC, src DESC) AS rn FROM u)
+    |SELECT event_id, value, src FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // ---- ing_jsonl_positions -----------------------------------------------
 
   /** Round-trips the reference's nested-positions JSONL envelope
@@ -425,7 +460,8 @@ object IngestQueries {
     "ing_routes_jsonl" -> (ingRoutesJsonl _),
     "ing_weather_json" -> (ingWeatherJson _),
     "ing_binary_gps" -> (ingBinaryGps _),
-    "ing_dated_write" -> (ingDatedWrite _))
+    "ing_dated_write" -> (ingDatedWrite _),
+    "ing_upsert" -> (ingUpsert _))
 
   val oracles: Map[String, String] = Map(
     "ing_json_props" -> ingJsonPropsSql,
@@ -437,5 +473,6 @@ object IngestQueries {
     "ing_routes_jsonl" -> ingRoutesJsonlSql,
     "ing_weather_json" -> ingWeatherJsonSql,
     "ing_binary_gps" -> ingBinaryGpsSql,
-    "ing_dated_write" -> ingDatedWriteSql)
+    "ing_dated_write" -> ingDatedWriteSql,
+    "ing_upsert" -> ingUpsertSql)
 }

@@ -253,6 +253,37 @@ object TrafficQueries {
     |  ON p.event_type = s.event_type AND p.ts >= s.h
     |ORDER BY p.event_id""".stripMargin
 
+  // ---- ta_weather_corr ---------------------------------------------------
+
+  /** Weather-vs-measurement correlation per route type (the reference's
+    * weather pipeline exists to ask exactly this; weather/extract.py
+    * hourly series). Pearson r over the as-of-joined pairs — r is
+    * normalization-invariant, so Spark's and DuckDB's corr agree up to
+    * summation-order ulps, which the 4 dp rounding absorbs; rows before
+    * the first series hour have NULL w_temp and are skipped by corr in
+    * both engines (n_obs counts the pairs actually correlated). */
+  def taWeatherCorr(s: SparkSession, dir: String): DataFrame = {
+    val left = pos(s, dir).select("event_id", "event_type", "ts", "value")
+    AsOfJoin.backward(left, weatherSeries(s, dir),
+      keyCols = Seq("event_type"), timeCol = "ts", valueCols = Seq("w_temp"))
+      .groupBy("event_type")
+      .agg(round(corr(col("value"), col("w_temp")), 4).as("corr_vw"),
+        count(col("w_temp")).as("n_obs"))
+      .orderBy("event_type")
+  }
+
+  val taWeatherCorrSql: String = PositionView.oracleCte + """,
+    |series AS (
+    |  SELECT event_type, date_trunc('hour', ts) AS h,
+    |         round(sum(value), 2) AS w_temp
+    |  FROM pos GROUP BY 1, 2),
+    |sparse AS (SELECT * FROM series WHERE date_part('hour', h) % 3 = 0)
+    |SELECT p.event_type, round(corr(p.value, s.w_temp), 4) AS corr_vw,
+    |  count(s.w_temp) AS n_obs
+    |FROM pos p ASOF LEFT JOIN sparse s
+    |  ON p.event_type = s.event_type AND p.ts >= s.h
+    |GROUP BY 1 ORDER BY p.event_type""".stripMargin
+
   // ---- ta_speed_histogram ------------------------------------------------
 
   def taSpeedHistogram(s: SparkSession, dir: String): DataFrame =
@@ -301,6 +332,7 @@ object TrafficQueries {
     "ta_hourly_activity" -> (taHourlyActivity _),
     "ta_sessionize" -> (taSessionize _),
     "ta_asof_weather" -> (taAsofWeather _),
+    "ta_weather_corr" -> (taWeatherCorr _),
     "ta_speed_histogram" -> (taSpeedHistogram _),
     "ta_route_labels" -> (taRouteLabels _))
 
@@ -315,6 +347,7 @@ object TrafficQueries {
     "ta_hourly_activity" -> taHourlyActivitySql,
     "ta_sessionize" -> taSessionizeSql,
     "ta_asof_weather" -> taAsofWeatherSql,
+    "ta_weather_corr" -> taWeatherCorrSql,
     "ta_speed_histogram" -> taSpeedHistogramSql,
     "ta_route_labels" -> taRouteLabelsSql)
 }
