@@ -228,8 +228,38 @@ object TpchQueries {
     |  (SELECT count(*) FROM orders)
     |ORDER BY check_name""".stripMargin
 
+  // ---- q_bucket_join -----------------------------------------------------
+
+  /** Shuffle-free fact-to-fact join via bucketed tables
+    * (sources/Bucketing): both sides land bucketed+sorted on the join
+    * key once, then the join plans with NO exchange (BucketingSpec
+    * asserts it). The oracle is the plain join — bucketing must be
+    * invisible in the result. Table names are keyed by the source dir
+    * so scale factors never share buckets. */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      s"b_ord$key", "o_orderkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity")),
+      s"b_li$key", "o_orderkey", 8)
+    graft.sources.Bucketing.bucketJoin(s, s"b_ord$key", s"b_li$key", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketJoinSql: String = """
+    |SELECT o.o_orderpriority, count(*) AS n,
+    |  round(sum(l.l_quantity), 2) AS sum_qty
+    |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orphan_check" -> (orphanCheck _),
+    "q_bucket_join" -> (bucketJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -239,6 +269,7 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_orphan_check" -> orphanCheckSql,
+    "q_bucket_join" -> bucketJoinSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -11,7 +11,12 @@ class DeterminismSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
   private val probes = Seq("q1_pricing_summary", "q_decile_stats",
-    "ta_route_stats", "ta_hourly_activity", "dd_embedding", "ss_brute_topk")
+    "ta_route_stats", "ta_hourly_activity", "dd_embedding", "ss_brute_topk",
+    // corr is a ratio of partition-order-dependent sums; the 4 dp round
+    // must absorb the reassociation ulps at ANY partitioning
+    "ta_weather_corr",
+    // weighted sums through the salted join: salt changes the add order
+    "q_skew_join")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
