@@ -133,6 +133,65 @@ object IngestQueries {
     |  json_extract_string(payload, '$.t') AS payload_t
     |FROM m ORDER BY event_id""".stripMargin
 
+  // ---- ing_corrupt_quarantine --------------------------------------------
+
+  /** Corrupt-record handling (the reference's parsers wrap every frame
+    * in try/except — parsers.py error paths): 1-in-7 synthesized frames
+    * are truncated mid-payload; the parse keeps the stream flowing,
+    * counts good/bad per event name, and carries the bad frames' raw
+    * text into a bounded quarantine sample (min over the group — no
+    * unbounded collect_list of corrupt payloads on a hot key). A parse
+    * failure is data, not an exception: from_json yields NULL and the
+    * pipeline routes it, which is what lets one bad producer not kill
+    * a 100 TB ingest job. */
+  def ingCorruptQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val goodFrame = concat(
+      lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
+      lit(",\"t\":\""), col("event_type"), lit("\"}]"))
+    // corrupt variant: payload truncated (unclosed JSON) — regexp still
+    // slices a payload substring, from_json rejects it
+    val frame = when(col("event_id") % 7 === 0,
+      concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
+      .otherwise(goodFrame)
+    val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
+    spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
+      .select(col("event_id"), frame.as("frame"))
+      .select(col("frame"),
+        regexp_extract(col("frame"), pattern, 1).as("evt_name"),
+        from_json(regexp_extract(col("frame"), pattern, 2),
+          StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+          .as("p"))
+      .withColumn("ok", col("p.id").isNotNull)
+      .groupBy("evt_name")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        count(when(!col("ok"), 1)).as("n_bad"),
+        min(when(!col("ok"), col("frame"))).as("quarantine_sample"))
+      .orderBy("evt_name")
+  }
+
+  val ingCorruptQuarantineSql: String = """
+    |WITH f AS (
+    |  SELECT event_id,
+    |    CASE WHEN event_id % 7 = 0
+    |      THEN concat('42["position",{"id":', CAST(user_id AS VARCHAR))
+    |      ELSE concat('42["position",{"id":', CAST(user_id AS VARCHAR),
+    |             ',"t":"', event_type, '"}]') END AS frame
+    |  FROM events),
+    |m AS (
+    |  SELECT frame,
+    |    regexp_extract(frame, '^42\["(\w+)",(.*)\]\s*$', 1) AS evt_name,
+    |    CASE WHEN json_valid(regexp_extract(frame, '^42\["(\w+)",(.*)\]\s*$', 2))
+    |      THEN CAST(json_extract_string(
+    |        regexp_extract(frame, '^42\["(\w+)",(.*)\]\s*$', 2), '$.id') AS BIGINT)
+    |      ELSE NULL END AS pid
+    |  FROM f)
+    |SELECT evt_name, count(*) AS n_frames,
+    |  count(CASE WHEN pid IS NOT NULL THEN 1 END) AS n_ok,
+    |  count(CASE WHEN pid IS NULL THEN 1 END) AS n_bad,
+    |  min(CASE WHEN pid IS NULL THEN frame END) AS quarantine_sample
+    |FROM m GROUP BY 1 ORDER BY evt_name""".stripMargin
+
   // ---- ing_handshake_parse -----------------------------------------------
 
   /** Socket.IO handshake response `<length>:0{json}` → (sid,
@@ -454,6 +513,7 @@ object IngestQueries {
     "ing_json_props" -> (ingJsonProps _),
     "ing_csv_positions" -> (ingCsvPositions _),
     "ing_socketio_parse" -> (ingSocketioParse _),
+    "ing_corrupt_quarantine" -> (ingCorruptQuarantine _),
     "ing_handshake_parse" -> (ingHandshakeParse _),
     "ing_bounds_filter" -> (ingBoundsFilter _),
     "ing_jsonl_positions" -> (ingJsonlPositions _),
@@ -467,6 +527,7 @@ object IngestQueries {
     "ing_json_props" -> ingJsonPropsSql,
     "ing_csv_positions" -> ingCsvPositionsSql,
     "ing_socketio_parse" -> ingSocketioParseSql,
+    "ing_corrupt_quarantine" -> ingCorruptQuarantineSql,
     "ing_handshake_parse" -> ingHandshakeParseSql,
     "ing_bounds_filter" -> ingBoundsFilterSql,
     "ing_jsonl_positions" -> ingJsonlPositionsSql,

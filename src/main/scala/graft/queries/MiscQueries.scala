@@ -101,6 +101,31 @@ object MiscQueries {
     |  event_type, count(*) AS n
     |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---- st_sliding_counts ---------------------------------------------------
+
+  /** Sliding-window counterpart of st_windowed_counts (2 h windows,
+    * 1 h slide): each event contributes to two overlapping windows. The
+    * oracle expands the overlap explicitly — one row per event per
+    * covering window start. */
+  def stSlidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.slidingCounts(StreamOps.eventsStream(s, dir))
+    StreamOps.runToMemory(s, agg, "st_sliding_counts_sink", "complete")
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  val stSlidingCountsSql: String = """
+    |WITH e AS (
+    |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type
+    |  FROM events),
+    |x AS (
+    |  SELECT h AS win_start, event_type FROM e
+    |  UNION ALL
+    |  SELECT h - INTERVAL 1 HOUR, event_type FROM e)
+    |SELECT win_start, event_type, count(*) AS n
+    |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   // ---- st_stream_dedup ---------------------------------------------------
 
   def stStreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -255,6 +280,7 @@ object MiscQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "st_windowed_counts" -> (stWindowedCounts _),
     "st_stream_dedup" -> (stStreamDedup _),
+    "st_sliding_counts" -> (stSlidingCounts _),
     "st_sessionize" -> (stSessionize _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize_plan" -> (mmResizePlan _),
@@ -268,6 +294,7 @@ object MiscQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
     "st_stream_dedup" -> stStreamDedupSql,
+    "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,

@@ -13,15 +13,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Writes df as a bucketed, per-bucket-sorted managed table. */
+  /** Writes df as a bucketed, per-bucket-sorted managed table.
+    * Idempotent across JVMs: an in-memory catalog forgets the table on
+    * restart but its warehouse directory persists, and CTAS refuses an
+    * existing location — so both the catalog entry AND any orphaned
+    * directory are cleared first. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def read(s: SparkSession, table: String): DataFrame = s.table(table)
 

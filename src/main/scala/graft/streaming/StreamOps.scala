@@ -53,6 +53,18 @@ object StreamOps {
       .groupBy(window(col("ts_w"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** SLIDING hourly-step 2-hour windows per event_type: every event
+    * lands in two overlapping windows (epoch-aligned starts, Spark's
+    * window() contract). State is bounded by the watermark — closed
+    * windows age out — so the sliding overlap multiplies state by
+    * size/slide, never by stream length. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_w", "2 hours")
+      .groupBy(window(col("ts_w"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** First-arrival dedup on a key set. State is bounded by key
     * cardinality (not stream length); for time-bounded state use
     * dropDuplicatesWithinWatermark instead — that variant trades exact
