@@ -251,6 +251,55 @@ object TextQueries {
     |  CAST(topc AS DOUBLE) / totb AS top_bigram_frac
     |FROM tok LEFT JOIN topb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- tx_quality_filter -------------------------------------------------
+
+  /** The composite keep/drop decision a pipeline actually executes over
+    * the individual signals: ordered rules (too short → wrong language
+    * → too repetitive → keep), each doc labeled with the FIRST failing
+    * reason. Every signal here is a per-row expression (token count,
+    * marker-score language, duplicate-token fraction) so the whole
+    * filter is one narrow scan inside whole-stage codegen — no joins,
+    * no shuffle except the final order. */
+  def txQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val dupFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks)
+    val reason = when(size(toks) < 20, "short")
+      .when(langId(col("text")) =!= "en", "lang")
+      .when(dupFrac > 0.3, "repetitive")
+      .otherwise("keep")
+    docsSpread(s, dir)
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+      .orderBy("doc_id")
+  }
+
+  val txQualityFilterSql: String = {
+    val score = LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(toks, x -> list_contains($set, x)))"
+    }
+    val Seq(en, de, es, fr) = score.map(_._2)
+    s"""
+    |WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    |sig AS (
+    |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+    |    CASE WHEN $fr > greatest($en, $de, $es) THEN 'fr'
+    |         WHEN $es > greatest($en, $de) THEN 'es'
+    |         WHEN $de > $en THEN 'de'
+    |         ELSE 'en' END AS lang
+    |  FROM t),
+    |r AS (
+    |  SELECT doc_id,
+    |    CASE WHEN n < 20 THEN 'short'
+    |         WHEN lang <> 'en' THEN 'lang'
+    |         WHEN 1.0 - CAST(nd AS DOUBLE) / n > 0.3 THEN 'repetitive'
+    |         ELSE 'keep' END AS reason
+    |  FROM sig)
+    |SELECT doc_id, reason, reason = 'keep' AS keep
+    |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ---- tx_contamination --------------------------------------------------
 
   /** Benchmark-decontamination check: an eval (val/test) doc is
@@ -314,7 +363,8 @@ object TextQueries {
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_train_split" -> (txTrainSplit _),
     "tx_repetition" -> (txRepetition _),
-    "tx_contamination" -> (txContamination _))
+    "tx_contamination" -> (txContamination _),
+    "tx_quality_filter" -> (txQualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -325,5 +375,6 @@ object TextQueries {
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_train_split" -> txTrainSplitSql,
     "tx_repetition" -> txRepetitionSql,
-    "tx_contamination" -> txContaminationSql)
+    "tx_contamination" -> txContaminationSql,
+    "tx_quality_filter" -> txQualityFilterSql)
 }
