@@ -28,4 +28,13 @@ class GraftSessionSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(got === 5.0)
   }
+
+  test("top_k_pairs resolves in SQL text (aggregate registration path)") {
+    val rows = spark.sql(
+      """SELECT g, top_k_pairs(s, i, 2) AS tk FROM VALUES
+        |  ('a', 3.0d, 1L), ('a', 1.0d, 2L), ('a', 2.0d, 3L)
+        |  AS t(g, s, i) GROUP BY g""".stripMargin)
+      .selectExpr("tk[0].id", "tk[1].id").collect().head
+    assert((rows.getLong(0), rows.getLong(1)) === ((1L, 3L)))
+  }
 }
