@@ -223,6 +223,40 @@ object TrafficQueries {
     |    AS BIGINT) AS session_seq
     |FROM lagged ORDER BY event_id""".stripMargin
 
+  // ---- ta_session_stats ----------------------------------------------------
+
+  /** Per-session trip stats over the sessionizer's assignment: duration
+    * in seconds, event count, and value mass per (vehicle, session).
+    * The session aggregation reuses the SAME per-vehicle partitioning
+    * the sessionize window just established — Catalyst sees the child
+    * output partitioned by vehicle_id and plans the groupBy without a
+    * second full shuffle of the stream. */
+  def taSessionStats(s: SparkSession, dir: String): DataFrame =
+    SpeedOps.sessionize(pos(s, dir), "vehicle_id", SynthSessionGapS)
+      .groupBy("vehicle_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("ts_s")) - min(col("ts_s")), 3).as("duration_s"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("vehicle_id", "session_seq")
+
+  val taSessionStatsSql: String = PositionView.oracleCte + """,
+    |lagged AS (
+    |  SELECT vehicle_id, ts_s, ts_us, event_id, value,
+    |    lag(ts_s) OVER (PARTITION BY vehicle_id ORDER BY ts_us, event_id) AS prev_ts_s
+    |  FROM pos),
+    |sess AS (
+    |  SELECT vehicle_id, ts_s, value,
+    |    CAST(sum(CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 43200.0
+    |        THEN 1 ELSE 0 END)
+    |      OVER (PARTITION BY vehicle_id ORDER BY ts_us, event_id
+    |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    |      AS BIGINT) AS session_seq
+    |  FROM lagged)
+    |SELECT vehicle_id, session_seq, count(*) AS n_events,
+    |  round(max(ts_s) - min(ts_s), 3) AS duration_s,
+    |  round(sum(value), 2) AS sum_value
+    |FROM sess GROUP BY 1, 2 ORDER BY vehicle_id, session_seq""".stripMargin
+
   // ---- ta_asof_weather ---------------------------------------------------
 
   /** Hourly per-type value series (weather analog), kept only every 3rd
@@ -331,6 +365,7 @@ object TrafficQueries {
     "ta_haversine" -> (taHaversine _),
     "ta_hourly_activity" -> (taHourlyActivity _),
     "ta_sessionize" -> (taSessionize _),
+    "ta_session_stats" -> (taSessionStats _),
     "ta_asof_weather" -> (taAsofWeather _),
     "ta_weather_corr" -> (taWeatherCorr _),
     "ta_speed_histogram" -> (taSpeedHistogram _),
@@ -346,6 +381,7 @@ object TrafficQueries {
     "ta_haversine" -> taHaversineSql,
     "ta_hourly_activity" -> taHourlyActivitySql,
     "ta_sessionize" -> taSessionizeSql,
+    "ta_session_stats" -> taSessionStatsSql,
     "ta_asof_weather" -> taAsofWeatherSql,
     "ta_weather_corr" -> taWeatherCorrSql,
     "ta_speed_histogram" -> taSpeedHistogramSql,
