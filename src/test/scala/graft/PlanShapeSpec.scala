@@ -55,6 +55,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bcasts.size >= 2, s"expected broadcast dims in the snowflake:\n$plan")
   }
 
+  test("ta_session_stats: the session agg reuses the sessionize partitioning") {
+    val plan = executed(SparkEntry.queries("ta_session_stats")(spark, sf))
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    // per-vehicle window shuffle + final orderBy range shuffle ONLY —
+    // the (vehicle, session) groupBy must ride the window's partitioning
+    assert(shuffles.size <= 2, s"session agg added a shuffle:\n$plan")
+  }
+
   test("Par.spread: no exchange for a multi-split source, one for a single split") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("spread").toString
