@@ -102,6 +102,31 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus exact Jaccard pairs: each LEFT (new-batch) doc
+    * against the RIGHT (historical) corpus through the same
+    * inverted-shingle index — the INCREMENTAL dedup shape. A daily
+    * batch arriving on a 100 TB corpus must never rescore
+    * old-vs-old pairs; here only (new, old) pairs sharing a shingle
+    * materialize, so the per-batch cost is proportional to the batch,
+    * not the corpus square. Same lossless size-ratio prefilter as the
+    * self-join variant. */
+  def jaccardPairsAcrossShingles(shNew: DataFrame, shOld: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val a = shNew.select(col("__id").as("new_id"), col("sz").as("a_sz"),
+      explode(col("sh")).as("sg"))
+    val b = shOld.select(col("__id").as("old_id"), col("sz").as("b_sz"),
+      explode(col("sh")).as("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .groupBy("new_id", "old_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "shared", "jac")
+  }
+
   /** MinHash + LSH near-dup pairs: k-hash signatures, b bands; docs
     * sharing any band bucket become candidates (buckets larger than
     * maxBucket are dropped — degenerate-key guard); candidates are then

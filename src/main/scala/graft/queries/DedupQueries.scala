@@ -127,6 +127,40 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: every 5th doc plays the arriving batch, the
+    * rest the historical corpus; each new doc is scored only against
+    * corpus docs sharing a shingle (Dedup.jaccardPairsAcrossShingles) —
+    * old-vs-old pairs never materialize, which is what makes daily
+    * ingest dedup affordable at corpus scale. */
+  def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    Dedup.jaccardPairsAcrossShingles(
+      sh.filter(col("__id") % 5 === 0),
+      sh.filter(col("__id") % 5 =!= 0),
+      JaccardThreshold)
+      .orderBy("new_id", "old_id")
+  }
+
+  val ddIncrementalSql: String = """
+    |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    |              FROM documents),
+    |sh AS (
+    |  SELECT doc_id, list_distinct(list(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+    |  GROUP BY doc_id),
+    |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+    |cand AS (
+    |  SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+    |         a.sz AS a_sz, b.sz AS b_sz, count(*) AS shared
+    |  FROM ex a JOIN ex b ON a.sg = b.sg
+    |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    |  GROUP BY 1, 2, 3, 4)
+    |SELECT new_id, old_id, shared,
+    |  CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) AS jac
+    |FROM cand
+    |WHERE CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) >= 0.8
+    |ORDER BY new_id, old_id""".stripMargin
+
   val ddClusterSql: String = """
     |WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
     |              FROM documents),
@@ -172,11 +206,13 @@ object DedupQueries {
     "dd_simhash" -> (ddSimhash _),
     "dd_embedding" -> (ddEmbedding _),
     "dd_embedding_lsh" -> (ddEmbeddingLsh _),
-    "dd_cluster" -> (ddCluster _))
+    "dd_cluster" -> (ddCluster _),
+    "dd_incremental" -> (ddIncremental _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
-    "dd_cluster" -> ddClusterSql)
+    "dd_cluster" -> ddClusterSql,
+    "dd_incremental" -> ddIncrementalSql)
 }
