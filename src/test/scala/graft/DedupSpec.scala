@@ -142,6 +142,21 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("jaccardPairsAcrossShingles reports only cross-corpus pairs") {
+    // 1-2 near-dups split across batch/corpus -> reported;
+    // 3-4 near-dups both in the corpus -> never scored
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val out = Dedup.jaccardPairsAcrossShingles(
+      sh.filter($"__id" === 1L), sh.filter($"__id" =!= 1L), threshold = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("connectedComponents throws rather than returning unconverged labels") {
     val n = 10
     val verts = (1L to n).toDF("doc_id")
