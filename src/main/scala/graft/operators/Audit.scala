@@ -19,20 +19,25 @@ object Audit {
     * pass a sampled exact set — recall is a statistic, not part of the
     * result grain.
     *
-    * Both inputs are materialized ONCE via localCheckpoint before the
-    * audit joins: each appears in two plan branches below (the found
-    * join and the output / the total count), and without lineage
-    * truncation Spark recomputes the full upstream pipeline — an LSH
-    * candidate join, an all-pairs exact baseline — per branch, roughly
-    * doubling the cost of every audited query. The checkpointed blocks
-    * are the tiny post-aggregation RESULT sets (the expensive lineage
-    * runs exactly once) and are released by the ContextCleaner when the
+    * Both inputs are materialized ONCE via a LAZY localCheckpoint
+    * before the audit joins: each appears in two plan branches below
+    * (the found join and the output / the total count), and without
+    * lineage truncation Spark recomputes the full upstream pipeline —
+    * an LSH candidate join, an all-pairs exact baseline — per branch,
+    * roughly doubling the cost of every audited query. `eager = false`
+    * keeps registry functions pure plan builders (constructing the
+    * DataFrame runs no jobs — plan-lint specs can inspect hundreds of
+    * registered plans without executing their pipelines); the persist
+    * is registered up front, so when the FIRST action runs, the
+    * checkpointed partitions compute once and every other branch reads
+    * the stored blocks. Those blocks are the tiny post-aggregation
+    * RESULT sets and are released by the ContextCleaner when the
     * result DataFrame is dropped. */
   def withRecall(approx: DataFrame, exact: DataFrame,
                  keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    val a = approx.localCheckpoint()
-    val e = exact.select(keys: _*).localCheckpoint()
+    val a = approx.localCheckpoint(eager = false)
+    val e = exact.select(keys: _*).localCheckpoint(eager = false)
     val found = e.join(a.select(keys: _*).distinct(), keyCols)
     val stats = e.agg(count(lit(1)).cast("double").as("__ne"))
       .crossJoin(found.agg(count(lit(1)).cast("double").as("__nf")))

@@ -34,8 +34,15 @@ object Par {
     if (estimatedScanSplits(df) >= target) df else df.repartition(target)
   }
 
-  /** Estimated effective input splits of `df`'s scan: min over source
-    * leaves (the narrowest leaf gates a downstream zip/join). */
+  /** Estimated effective input splits of `df`'s scan: MAX over source
+    * leaves. The widest leaf is the fact side whose scan feeds the
+    * compute-bound work; taking the min would let any tiny dim file or
+    * non-file leaf (estimate 1) drag the whole frame into a full
+    * repartition of every input byte — the exact cost this probe exists
+    * to avoid. A frame with NO file leaf (in-memory test relations)
+    * still estimates 1 and keeps the pre-probe unconditional spread —
+    * those frames are small by construction, so the round-robin shuffle
+    * is noise there. */
   private def estimatedScanSplits(df: DataFrame): Long = {
     val maxSplit = math.max(1L,
       df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
@@ -50,6 +57,6 @@ object Par {
           case _ => 1L
         }
     }
-    if (leaves.isEmpty) 1L else leaves.min
+    if (leaves.isEmpty) 1L else leaves.max
   }
 }

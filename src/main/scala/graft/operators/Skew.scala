@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted equi-join of a skewed `big` side against a replicable
-    * `dim` side on `key`. The big side gets a deterministic salt in
-    * [0, nSalts) hashed from the whole row; the dim side is exploded
-    * ×nSalts, and the join runs on (key, salt) — so each formerly-hot
-    * shuffle key now spreads over nSalts partitions. Output equals the
-    * plain equi-join (the salt column is internal and dropped).
+    * `dim` side on `key`. The big side gets a salt in [0, nSalts)
+    * hashed from its physical row POSITION (partition id + in-partition
+    * ordinal via monotonically_increasing_id), NOT from row content —
+    * a hot key whose rows are identical (or share a low-cardinality
+    * payload) would hash content onto one or two salt values and
+    * collapse right back onto the partitions salting exists to avoid.
+    * Position hashing spreads even bit-identical duplicate rows
+    * uniformly. The dim side is exploded ×nSalts, and the join runs on
+    * (key, salt) — so each formerly-hot shuffle key now spreads over
+    * nSalts partitions. Output equals the plain equi-join (the salt
+    * column is internal and dropped).
     *
     * The join is pinned to sort-merge (`hint("merge")`): saltedJoin's
     * contract is a dim too large (or a planner too conservative) to
@@ -32,7 +38,7 @@ object Skew {
                  nSalts: Int = 32): DataFrame = {
     require(nSalts >= 1, s"nSalts=$nSalts must be >= 1")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(nSalts.toLong)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until nSalts).map(i => lit(i)): _*)))
     salted.join(replicated.hint("merge"), Seq(key, "__salt")).drop("__salt")

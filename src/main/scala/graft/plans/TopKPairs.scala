@@ -20,9 +20,19 @@ final class TopKHeap(val k: Int) {
   private var ids = new Array[Long](math.max(k, 1))
   private var n = 0
 
-  /** a strictly worse than b: lower score, or same score + higher id. */
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /** a strictly worse than b: lower score, or same score + higher id.
+    * Compared via java.lang.Double.compare for a TOTAL order: with
+    * primitive `<`, every comparison against NaN is false, so a NaN
+    * score (0/0 cosine from a zero-norm embedding) that entered while
+    * the heap was filling could never be evicted and would silently
+    * displace genuinely better pairs. Double.compare ranks NaN above
+    * every real score — the same NaN-largest order Spark's own sort
+    * and row_number use, so output stays consistent with the window
+    * formulation this aggregate replaced. */
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def size: Int = n
   def scoreAt(i: Int): Double = scores(i)
@@ -64,10 +74,11 @@ final class TopKHeap(val k: Int) {
     while (i < o.size) { add(o.scoreAt(i), o.idAt(i)); i += 1 }
   }
 
-  /** Kept pairs as (score, id) sorted best-first. */
+  /** Kept pairs as (score, id) sorted best-first (same total order as
+    * `worse`, so NaN sorts first, ids break ties ascending). */
   def sorted: Array[(Double, Long)] = {
     val out = Array.tabulate(n)(i => (scores(i), ids(i)))
-    out.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    out.sortWith((a, b) => worse(b._1, b._2, a._1, a._2))
   }
 }
 

@@ -68,10 +68,13 @@ object DedupQueries {
   /** Shingle sets materialized ONCE per audited query: the approximate
     * pipeline and its exact audit both consume them, and tokenize +
     * shingle is the dominant per-row cost — without the checkpoint each
-    * side would rescan and re-shingle the corpus. */
+    * side would rescan and re-shingle the corpus. Lazy (`eager =
+    * false`) so registry functions stay pure plan builders: the persist
+    * is registered at build time, the shingling runs once at the first
+    * action, and later branches read the stored blocks. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)

@@ -265,13 +265,18 @@ object MiscQueries {
       .orderBy("event_type")
   }
 
+  // the oracle mirrors the INNER join against the same 5-row weight
+  // table (not a CASE ... ELSE over all rows): if the event_type domain
+  // ever gains a value, both engine and oracle drop it identically
+  // instead of the parity failure pointing at the salted join
   val qSkewJoinSql: String = """
-    |SELECT event_type, count(*) AS n,
-    |  round(sum(value * CASE event_type
-    |    WHEN 'signup' THEN 2.0 WHEN 'purchase' THEN 4.0
-    |    WHEN 'view' THEN 0.5 WHEN 'click' THEN 1.0
-    |    ELSE 0.25 END), 2) AS wsum
-    |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+    |SELECT e.event_type, count(*) AS n,
+    |  round(sum(e.value * w.weight), 2) AS wsum
+    |FROM events e
+    |JOIN (VALUES ('signup', 2.0), ('purchase', 4.0), ('view', 0.5),
+    |             ('click', 1.0), ('error', 0.25)) AS w(event_type, weight)
+    |  ON e.event_type = w.event_type
+    |GROUP BY 1 ORDER BY e.event_type""".stripMargin
 
   // ---- registry ----------------------------------------------------------
 
