@@ -49,25 +49,59 @@ object Bench {
         pool.awaitTermination(2, java.util.concurrent.TimeUnit.MINUTES)
       }
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every
-      // projection (a haversine query would "bench" as a bare row count)
-      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable =>
-        errors += s"$name: ${e.getClass.getSimpleName}"
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        false
+    // R full passes over the suite; per-query time = MIN across passes.
+    // A single sequential pass cannot distinguish a real regression from
+    // a transient host-contention window (round 5: a block of
+    // alphabetically-contiguous queries read 4-8x slower with unchanged
+    // code). OUTER rounds decorrelate contention from query identity —
+    // a minute of throttling lands on different queries each pass, and
+    // the min discards it; inner back-to-back repeats would keep every
+    // repeat of a query inside the same window.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (round <- 1 to repeats) {
+      selected.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune every
+        // projection (a haversine query would "bench" as a bare row count)
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          val tag = s"$name: ${e.getClass.getSimpleName}"
+          if (!errors.contains(tag)) errors += tag
+          System.err.println(s"[bench] $name round $round FAILED: ${e.getMessage}")
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed run is an error, never a (fast-looking) measurement
+        if (ok) times(name) = dt :: times(name)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // a failed query is an error, never a (fast-looking) measurement
-      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val results = selected.map { case (name, _) =>
+      val ts = times(name)
+      (name,
+        if (ts.isEmpty) -1.0 else ts.min,
+        if (ts.isEmpty) 0.0 else ts.max - ts.min)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // spread = max-min across passes: a large spread flags a measurement
+    // the driver should distrust before calling it a regression
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f3(s) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$sp,"errors":$errJson,"sf":"$sfDir"}"""
+    // stdout can get truncated between here and the driver's artifact
+    // (BENCH_r05 lost its head mid-JSON); persist the authoritative copy
+    // to disk as well so the full line always survives the round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }
