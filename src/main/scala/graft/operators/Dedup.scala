@@ -222,14 +222,31 @@ object Dedup {
     * route is registered alongside as dd_embedding_lsh with a
     * self-auditing recall column instead. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double,
+                     maxRows: Long = 100000): DataFrame = {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+    // Corpus-size guard: the quadratic baseline REFUSES unbounded input
+    // at execution time instead of silently planning a corpus-square
+    // product (at 100x scale that is 10,000x the work — use
+    // [[embeddingPairsLsh]] there). The guard is lazy — a 1-row count
+    // aggregate whose assert_true fires on the first action — so
+    // registry functions remain pure plan builders; its linear extra
+    // scan is noise next to the O(n^2) product it protects.
+    val guard = e.groupBy().agg(count(lit(1)).as("__n"))
+      .select(assert_true(col("__n") <= maxRows, concat(
+        lit("embeddingPairs is the exact all-pairs O(n^2) baseline and refuses corpora above maxRows="),
+        lit(maxRows), lit(" (got "), col("__n"),
+        lit(" rows); use Dedup.embeddingPairsLsh for unbounded input"))).as("__guard"))
     // spread the streamed side before the quadratic product — a
     // single-split source would otherwise run every pair on one core
     val a = Par.spread(
       e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")))
+      // the filter keeps __guard referenced so pruning can't drop the
+      // assert; assert_true yields NULL when the bound holds, so the
+      // predicate keeps every row
+      .crossJoin(broadcast(guard)).filter(col("__guard").isNull).drop("__guard")
     val b = e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", VectorFunctions.dotPre(col("ea"), col("eb")) / (col("na") * col("nb")))

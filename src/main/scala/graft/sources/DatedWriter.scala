@@ -15,11 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object DatedWriter {
 
-  /** Writes `df` partitioned by the yyyyMMdd image of `tsCol`. */
+  /** Writes `df` partitioned by the yyyyMMdd image of `tsCol`.
+    *
+    * The shuffle before the write is the point: `partitionBy` alone
+    * writes from whatever partitioning the upstream plan has, so every
+    * task emits a file for every date it holds — up to |tasks|×|dates|
+    * tiny files, the classic landing-zone killer at scale. Clustering
+    * by (date_key, salt) first bounds output to at most `filesPerDate`
+    * files per date partition while keeping `filesPerDate`-way write
+    * parallelism within a hot date (salting by date alone would funnel
+    * each date through one task). The salt is derived from row content
+    * (deterministic), so shuffle retries re-route rows identically;
+    * bit-identical duplicate rows co-locating is fine here — the bound
+    * is files-per-date, not bytes-per-file. For byte-exact file sizing
+    * layer `spark.sql.files.maxRecordsPerFile` on top. */
   def writeDated(df: DataFrame, tsCol: String, outDir: String,
-                 format: String = "parquet", mode: String = "overwrite"): Unit =
-    df.withColumn("date_key", date_format(col(tsCol), "yyyyMMdd"))
+                 format: String = "parquet", mode: String = "overwrite",
+                 filesPerDate: Int = 4): Unit = {
+    require(filesPerDate >= 1, s"filesPerDate=$filesPerDate must be >= 1")
+    val dated = df.withColumn("date_key", date_format(col(tsCol), "yyyyMMdd"))
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerDate))
+    dated.repartition(col("date_key"), salt)
       .write.partitionBy("date_key").format(format).mode(mode).save(outDir)
+  }
 
   /** Reads a dated landing dir. date_key is normalized back to string:
     * the digits-only directory value would otherwise infer as int, and

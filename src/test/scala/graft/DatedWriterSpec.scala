@@ -40,6 +40,24 @@ class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(back === Set((1L, "20240101"), (2L, "20240102")))
   }
 
+  test("files per date partition stay bounded regardless of upstream parallelism") {
+    val dir = freshDir()
+    // 2000 rows over 3 dates, arriving in 16 upstream partitions: the
+    // naive partitionBy write would emit up to 16 files per date
+    val df = spark.range(2000).repartition(16)
+      .withColumn("ts", expr("timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)"))
+      .select(col("id"), col("ts"))
+    DatedWriter.writeDated(df, "ts", dir, filesPerDate = 4)
+    val dates = new java.io.File(dir).listFiles().filter(_.getName.startsWith("date_key="))
+    assert(dates.length === 3)
+    dates.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= 4, s"${d.getName} wrote $files files")
+    }
+    // and nothing was lost in the pre-write shuffle
+    assert(DatedWriter.readDated(spark, dir).count() === 2000)
+  }
+
   test("a date filter reaches the scan as a partition filter") {
     val dir = freshDir()
     val df = (1 to 10).map(d => day(d, d.toLong)).toDF("id", "ts")

@@ -112,13 +112,42 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)       // deterministic hyperplanes: full recall here
   }
 
-  test("ddEmbeddingLsh audit column reports recall in [0, 1]") {
+  test("embeddingPairs refuses a corpus above maxRows at execution time") {
+    val vecs = (1L to 10L).map(i => (i, Array(i.toFloat, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    // construction stays lazy (pure plan builder) — the guard fires at
+    // the first action, before the quadratic product can run away
+    val guarded = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.0,
+      maxRows = 5)
+    val ex = intercept[Exception] { guarded.collect() }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("embeddingPairsLsh"), s"unexpected failure: $chain")
+    // and the same corpus passes untouched under the bound
+    assert(Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.999999,
+      maxRows = 10).count() >= 0)
+  }
+
+  test("ddEmbeddingLsh audit column holds the measured recall floor") {
     val out = graft.queries.DedupQueries
       .ddEmbeddingLsh(spark, "/root/testdata/sf0.001")
       .select("recall").as[Double].collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => r >= 0.0 && r <= 1.0))
     assert(out.distinct.length === 1) // constant audit column
+    // measured floor: with deterministic hyperplanes recall here is
+    // exactly 6/7 = 0.8571 — one exact pair sits AT the 0.45 noise
+    // floor where banding is deliberately lossy (see embeddingPairs
+    // scaladoc); a drop below it means the signature/banding regressed
+    assert(out.head >= 0.85, s"dd_embedding_lsh recall regressed: ${out.head}")
+  }
+
+  test("ddMinhashLsh audit column holds full recall on the planted pairs") {
+    val out = graft.queries.DedupQueries
+      .ddMinhashLsh(spark, "/root/testdata/sf0.001")
+      .select("recall").as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.head >= 0.9, s"dd_minhash_lsh recall regressed: ${out.head}")
   }
 
   test("connectedComponents labels chains, triangles and singletons") {

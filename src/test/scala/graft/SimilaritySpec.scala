@@ -28,10 +28,38 @@ class SimilaritySpec extends SparkSpec {
     val brute = ranks(Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10))
     val lsh = ranks(Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       dim = 64, k = 10))
-    // ANN: every returned neighbor must be a real vector pair; recall@10
-    // should be well above chance (bucketing prunes, not randomizes)
+    // ANN: every returned neighbor must be a real vector pair. Overall
+    // recall@10 floor = measured 0.37 minus margin (ranks 2-10 sit at
+    // the random-cosine noise floor where hyperplane buckets are
+    // deliberately lossy); the hard guarantee is the planted-neighbor
+    // check below
     val recall = lsh.keySet.count(brute.keySet.contains).toDouble / brute.size
-    assert(recall > 0.2, s"LSH recall@10 too low: $recall")
+    assert(recall >= 0.3, s"LSH recall@10 regressed: $recall (measured 0.37)")
+  }
+
+  test("lshTopK never misses a planted high-cosine nearest neighbor") {
+    // the testdata queries all have noise-floor rank-1s (max cos 0.43
+    // at sf0.001), so the hard guarantee needs a corpus in the regime
+    // LSH exists for: 64-dim vectors each with a cos ~0.999 twin. At
+    // (nBits=16, bands=4) a twin's band-collision probability is
+    // 1-(1-(1-acos(.999)/pi)^4)^4 ~ 0.99999, and the hyperplanes are
+    // seeded — a missed twin means the signature/banding regressed.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val twins = base.map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val qs = base.toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
+      dim = 64, k = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    base.foreach { case (i, _) =>
+      assert(top1.get(i).contains(1000L + i),
+        s"LSH missed the planted twin of $i: got ${top1.get(i)}")
+    }
   }
 
   test("ivfTopK with nprobe = all clusters equals brute force") {
