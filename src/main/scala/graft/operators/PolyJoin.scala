@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Points ⋈ polygon-SET containment join.
+  *
+  * [[graft.functions.GeoFunctions.pointInConvexPoly]] folds ONE literal
+  * ring into a codegen'd scan — the right tool when the polygon is a
+  * constant. A real importer has a *table* of polygons (districts,
+  * landuse zones; reference: open-street-map/pipeline/importer.py
+  * polygon→GeoJSON conversion around :294-350), and the operator for
+  * that is a join:
+  *
+  *  1. each polygon is exploded to the grid CELLS its bbox overlaps
+  *     (|polys| × cells-per-bbox rows, ids + vertex array only);
+  *  2. each point computes its single cell — so a point is compared
+  *     only against polygons whose bbox shares that cell, never the
+  *     whole layer;
+  *  3. candidates pass the exact convex-containment test (the same
+  *     cross-product sign fold as the literal-ring expression,
+  *     evaluated over the vertex array with higher-order functions —
+  *     no UDF, no per-row allocation beyond the array read).
+  *
+  * Exactness: containment ⊆ bbox and the bbox cell range is inclusive,
+  * so the prefilter can never drop a contained pair; a point has ONE
+  * cell and a (poly, cell) row is unique, so no post-join dedup is
+  * needed. Work is linear in |points| at fixed polygon density.
+  *
+  * Scale: the default broadcasts the exploded poly-cell dim (a city's
+  * district/landuse layer is a few thousand rows — classic broadcast
+  * territory). For continent-scale layers pass `broadcastPolys =
+  * false`: the join becomes a shuffle hash join on the cell key, both
+  * sides partition by cell, and `cellDeg` trades dim fan-out (smaller
+  * cells → more rows per polygon) against candidate selectivity
+  * (bigger cells → more polygons per point).
+  */
+object PolyJoin {
+
+  /** Consecutive-vertex edge structs of a closed ring: vertex i paired
+    * with vertex i+1, last wrapping to first. */
+  private def ringEdges(verts: Column): Column =
+    zip_with(
+      verts,
+      concat(slice(verts, lit(2), size(verts) - 1), slice(verts, 1, 1)),
+      (a, b) => struct(a("x").as("ax"), a("y").as("ay"),
+        b("x").as("bx"), b("y").as("by")))
+
+  /** True iff (lat, lon) is inside-or-on the convex CCW ring `verts`
+    * (array of struct{x: lon, y: lat}) — every edge cross product
+    * non-negative. The identical arithmetic tree to
+    * GeoFunctions.pointInConvexPoly / convexPolySql, so engine and
+    * oracle agree bit-for-bit even for boundary points. */
+  def containsConvex(lat: Column, lon: Column, verts: Column): Column =
+    forall(ringEdges(verts), e =>
+      (e("bx") - e("ax")) * (lat - e("ay")) -
+        (e("by") - e("ay")) * (lon - e("ax")) >= 0)
+
+  /** Joins `points` to every polygon in `polys` containing them.
+    * Output: all point columns plus `polyIdCol`. Points inside no
+    * polygon are dropped (inner join); points on a shared border
+    * surface once per containing polygon.
+    *
+    * @param polys     polygon dim: `polyIdCol` + `vertsCol`
+    *                  (array of struct{x, y}, convex, CCW)
+    * @param cellDeg   prefilter grid cell edge, in coordinate degrees —
+    *                  pick on the order of the typical polygon size
+    * @param broadcastPolys broadcast the exploded poly-cell dim (true
+    *                  for layers up to ~millions of cells); false →
+    *                  shuffle hash join partitioned by cell
+    */
+  def containsJoin(points: DataFrame, latCol: String, lonCol: String,
+                   polys: DataFrame, polyIdCol: String, vertsCol: String,
+                   cellDeg: Double,
+                   broadcastPolys: Boolean = true): DataFrame = {
+    val v = col(vertsCol)
+    val xs = transform(v, p => p("x"))
+    val ys = transform(v, p => p("y"))
+    val polyCells = polys
+      .select(col(polyIdCol), v.as("__verts"),
+        floor(array_min(xs) / cellDeg).cast("long").as("__cx0"),
+        floor(array_max(xs) / cellDeg).cast("long").as("__cx1"),
+        floor(array_min(ys) / cellDeg).cast("long").as("__cy0"),
+        floor(array_max(ys) / cellDeg).cast("long").as("__cy1"))
+      .withColumn("__pcx", explode(sequence(col("__cx0"), col("__cx1"))))
+      .withColumn("__pcy", explode(sequence(col("__cy0"), col("__cy1"))))
+      .select(col(polyIdCol), col("__verts"), col("__pcx"), col("__pcy"))
+    val dim = if (broadcastPolys) broadcast(polyCells) else polyCells
+    points
+      .withColumn("__cx", floor(col(lonCol) / cellDeg).cast("long"))
+      .withColumn("__cy", floor(col(latCol) / cellDeg).cast("long"))
+      .join(dim, col("__cx") === col("__pcx") && col("__cy") === col("__pcy"))
+      .filter(containsConvex(col(latCol), col(lonCol), col("__verts")))
+      .drop("__cx", "__cy", "__pcx", "__pcy", "__verts")
+  }
+}

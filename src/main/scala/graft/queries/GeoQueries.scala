@@ -320,10 +320,71 @@ object GeoQueries {
     |  count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles
     |FROM pos GROUP BY 1, 2 ORDER BY route_id, inside""".stripMargin
 
+  // ---- geo_poly_join -----------------------------------------------------
+
+  /** District-style polygon LAYER (six convex CCW lon/lat quads tiling
+    * the synthetic position bbox). One source of truth: the engine's
+    * polygon dim and the oracle's edge VALUES are both generated from
+    * this list. */
+  val KyivDistricts: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((30.19, 50.29), (30.41, 50.30), (30.40, 50.45), (30.20, 50.44)),
+    2 -> Seq((30.41, 50.30), (30.61, 50.29), (30.60, 50.44), (30.40, 50.45)),
+    3 -> Seq((30.61, 50.29), (30.81, 50.31), (30.80, 50.46), (30.60, 50.44)),
+    4 -> Seq((30.20, 50.44), (30.40, 50.45), (30.41, 50.61), (30.19, 50.60)),
+    5 -> Seq((30.40, 50.45), (30.60, 50.44), (30.59, 50.60), (30.41, 50.61)),
+    6 -> Seq((30.60, 50.44), (30.80, 50.46), (30.81, 50.61), (30.59, 50.60)))
+
+  /** Polygon dim as a DataFrame — poly_id + array<struct{x,y}> ring. */
+  private def districtPolys(s: SparkSession): DataFrame = {
+    import s.implicits._
+    KyivDistricts.toDF("poly_id", "ring")
+      .select(col("poly_id"),
+        transform(col("ring"),
+          p => struct(p("_1").as("x"), p("_2").as("y"))).as("verts"))
+  }
+
+  /** Points ⋈ polygon-set containment join (operators/PolyJoin): every
+    * position assigned to the district(s) containing it via the
+    * grid-cell prefilter + exact convex test, rolled up per district.
+    * This is the table-of-polygons generalization of
+    * [[geoPointInPoly]]'s single literal ring. */
+  def geoPolyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PolyJoin.containsJoin(
+      pos(s, dir), "lat", "lon",
+      districtPolys(s), "poly_id", "verts", cellDeg = CellDeg)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("vehicle_id").as("n_vehicles"),
+        countDistinct("route_id").as("n_routes"))
+      .orderBy("poly_id")
+
+  val geoPolyJoinSql: String = {
+    val edgeRows = KyivDistricts.flatMap { case (id, ring) =>
+      ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.length)
+        s"($id, $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(",\n    |    ").stripMargin
+    PositionView.oracleCte + s""",
+    |edges(poly_id, x1, y1, x2, y2) AS (VALUES
+    |    $edgeRows),
+    |hit AS (
+    |  SELECT p.event_id, p.vehicle_id, p.route_id, e.poly_id
+    |  FROM pos p, edges e
+    |  GROUP BY p.event_id, p.vehicle_id, p.route_id, e.poly_id
+    |  HAVING bool_and(
+    |    (e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1) >= 0))
+    |SELECT poly_id, count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles,
+    |  count(DISTINCT route_id) AS n_routes
+    |FROM hit GROUP BY 1 ORDER BY poly_id""".stripMargin
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_point_in_poly" -> (geoPointInPoly _),
+    "geo_poly_join" -> (geoPolyJoin _),
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
@@ -335,6 +396,7 @@ object GeoQueries {
 
   val oracles: Map[String, String] = Map(
     "geo_point_in_poly" -> geoPointInPolySql,
+    "geo_poly_join" -> geoPolyJoinSql,
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.PolyJoin
+import graft.sources.PositionView
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+class PolyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  /** poly dim from literal rings (the same shaping the query uses). */
+  private def polyDf(polys: Seq[(Int, Seq[(Double, Double)])]): DataFrame =
+    polys.toDF("poly_id", "ring")
+      .select(col("poly_id"),
+        transform(col("ring"),
+          p => struct(p("_1").as("x"), p("_2").as("y"))).as("verts"))
+
+  // two unit squares sharing the x = 1 edge (x = lon, y = lat, CCW)
+  private val squares = Seq(
+    1 -> Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)),
+    2 -> Seq((1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)))
+
+  private def pts(rows: (Long, Double, Double)*): DataFrame =
+    rows.toDF("id", "lat", "lon")
+
+  test("inside points match their polygon, outside points drop") {
+    val out = PolyJoin.containsJoin(
+      pts((1L, 0.5, 0.5), (2L, 0.5, 1.5), (3L, 0.5, 9.0), (4L, -0.5, 0.5)),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
+      .select("id", "poly_id").as[(Long, Int)].collect().toSet
+    assert(out === Set((1L, 1), (2L, 2)))
+  }
+
+  test("a point on a shared border belongs to both polygons") {
+    val out = PolyJoin.containsJoin(pts((7L, 0.5, 1.0)),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
+      .select("id", "poly_id").as[(Long, Int)].collect().toSet
+    assert(out === Set((7L, 1), (7L, 2)))
+  }
+
+  test("prefilter cells never drop a contained point (cell much smaller than polygon)") {
+    // 9 interior lattice points of square 1, cells 10x smaller than the ring
+    val inside = for (i <- 1 to 3; j <- 1 to 3)
+      yield ((i * 10 + j).toLong, i * 0.25, j * 0.25)
+    val out = PolyJoin.containsJoin(pts(inside: _*),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(out === inside.map(_._1).toSet)
+  }
+
+  test("matches the literal-ring codegen expression on real positions") {
+    val p = PositionView.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("event_id", "lat", "lon")
+    val ring = graft.queries.GeoQueries.KyivDistricts.head._2
+    val viaJoin = PolyJoin.containsJoin(p, "lat", "lon",
+      polyDf(graft.queries.GeoQueries.KyivDistricts.take(1)),
+      "poly_id", "verts", cellDeg = 0.05)
+      .select("event_id").as[Long].collect().toSet
+    val viaExpr = p.filter(
+      GeoFunctions.pointInConvexPoly(col("lat"), col("lon"), ring))
+      .select("event_id").as[Long].collect().toSet
+    assert(viaJoin === viaExpr)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("plans a broadcast hash join on the cell key — never a cartesian") {
+    val q = PolyJoin.containsJoin(pts((1L, 0.5, 0.5)),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
+    val plan = q.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, "expected the poly-cell dim broadcast-hash-joined")
+    assert(collectWithSubqueries(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, "containment must come from the cell equi-join, not a product")
+  }
+}
