@@ -327,13 +327,11 @@ object IngestQueries {
 
   // ---- ing_jsonl_positions -----------------------------------------------
 
-  /** Round-trips the reference's nested-positions JSONL envelope
-    * (writer.py:86-91) through PositionLog.parseLines: each event
-    * synthesizes a 2-position record in-plan; the oracle predicts the
-    * parsed output from the same integer arithmetic. Coordinates ride
-    * as e4-scaled integers inside the JSON (format-stable), divided
-    * after the parse. */
-  def ingJsonlPositions(s: SparkSession, dir: String): DataFrame = {
+  /** The writer.py:86-91 two-position envelope line synthesized from
+    * (event_id, user_id, ts[ns]) columns — ONE source of truth shared
+    * by the batch parse (ing_jsonl_positions) and the streaming parse
+    * (st_positions_parse), so both exercise the identical wire format. */
+  private[queries] def positionEnvelopeLine: Column = {
     def posJson(latE4: Column, lonE4: Column): Column = concat(
       lit("{\"vehicle_id\":"), col("user_id").cast("string"),
       lit(",\"route_id\":"), (col("user_id") % 25).cast("string"),
@@ -345,19 +343,33 @@ object IngestQueries {
       lit("}"))
     val latE4 = PositionView.latE4(col("event_id"))
     val lonE4 = PositionView.lonE4(col("event_id"))
-    val line = concat(
+    concat(
       lit("{\"collected_by\":\"kpt\",\"timestamp\":\"2024-01-01T00:00:00\",\"count\":2,\"positions\":["),
       posJson(latE4, lonE4), lit(","), posJson(latE4 + 1, lonE4 + 1), lit("]}"))
-    // spread before the per-row synthesis + JSON parse (single-split source)
-    val parsed = graft.sources.PositionLog.parseLines(
-      spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
-        .select(col("event_id"), line.as("line")), col("line"))
+  }
+
+  /** The parsed-envelope projection shared with st_positions_parse:
+    * e4-scaled wire integers back to degrees, envelope bookkeeping
+    * kept. (No sort here — the streaming side can only sort the sink.) */
+  private[queries] def positionEnvelopeProjection(parsed: DataFrame): DataFrame =
     parsed.select(
       col("event_id"), col("pos_idx"), col("rec_count"),
       col("vehicle_id"), col("route_id"),
       (col("lat") / 10000.0).as("lat"), (col("lon") / 10000.0).as("lon"),
       col("direction"), col("flag"), col("pos_ts"))
-      .orderBy("event_id", "pos_idx")
+
+  /** Round-trips the reference's nested-positions JSONL envelope
+    * (writer.py:86-91) through PositionLog.parseLines: each event
+    * synthesizes a 2-position record in-plan; the oracle predicts the
+    * parsed output from the same integer arithmetic. Coordinates ride
+    * as e4-scaled integers inside the JSON (format-stable), divided
+    * after the parse. */
+  def ingJsonlPositions(s: SparkSession, dir: String): DataFrame = {
+    // spread before the per-row synthesis + JSON parse (single-split source)
+    val parsed = graft.sources.PositionLog.parseLines(
+      spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), positionEnvelopeLine.as("line")), col("line"))
+    positionEnvelopeProjection(parsed).orderBy("event_id", "pos_idx")
   }
 
   val ingJsonlPositionsSql: String = """

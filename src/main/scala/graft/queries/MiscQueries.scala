@@ -140,6 +140,30 @@ object MiscQueries {
     |SELECT DISTINCT user_id, event_type
     |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  // ---- st_positions_parse -------------------------------------------------
+
+  /** The reference's actual wire path under the STREAMING engine: each
+    * streamed event synthesizes the writer.py two-position JSONL
+    * envelope (the SAME line builder as the batch ing_jsonl_positions —
+    * one source of truth), and from_json + posexplode run inside the
+    * micro-batch. This is the combination a Kyiv-traffic user runs
+    * first — Socket.IO/JSONL envelopes parsed as they stream in — and
+    * it proves the parse is engine-agnostic: stateless row-local
+    * transforms, so no watermark or state store is involved and the
+    * identical code runs against a socket/Kafka source. */
+  def stPositionsParse(s: SparkSession, dir: String): DataFrame = {
+    val lines = StreamOps.eventsStream(s, dir)
+      .select(col("event_id"),
+        IngestQueries.positionEnvelopeLine.as("line"))
+    val parsed = IngestQueries.positionEnvelopeProjection(
+      graft.sources.PositionLog.parseLines(lines, col("line")))
+    StreamOps.runToMemory(s, parsed, "st_positions_parse_sink", "append")
+      .orderBy("event_id", "pos_idx")
+  }
+
+  /** Identical output contract to the batch parse — same oracle. */
+  val stPositionsParseSql: String = IngestQueries.ingJsonlPositionsSql
+
   // ---- st_sessionize (stateful flatMapGroupsWithState) -------------------
 
   /** Streaming counterpart of ta_sessionize: same gap semantics, but
@@ -287,6 +311,7 @@ object MiscQueries {
     "st_stream_dedup" -> (stStreamDedup _),
     "st_sliding_counts" -> (stSlidingCounts _),
     "st_sessionize" -> (stSessionize _),
+    "st_positions_parse" -> (stPositionsParse _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize_plan" -> (mmResizePlan _),
     "ag_approx_quantile" -> (agApproxQuantile _),
@@ -301,6 +326,7 @@ object MiscQueries {
     "st_stream_dedup" -> stStreamDedupSql,
     "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,
+    "st_positions_parse" -> stPositionsParseSql,
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,
     "mm_resize_plan" -> mmResizePlanSql)

@@ -35,6 +35,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("JSONL envelope parse under the streaming engine equals the batch parse") {
+    val streamed = graft.queries.MiscQueries
+      .stPositionsParse(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    val batch = graft.queries.IngestQueries
+      .ingJsonlPositions(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("windowed counts against batch equivalent on a replay") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val expected = events
