@@ -58,7 +58,12 @@ object Bench {
     // the min discards it; inner back-to-back repeats would keep every
     // repeat of a query inside the same window.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
-    val times = scala.collection.mutable.Map[String, List[Double]]()
+    // per query: (round, seconds). Pass 1 still pays residual sf-scale
+    // first-execution costs (file listing, first large-split scan) that
+    // the sf0.001 warmup cannot reach, so when repeats>=2 pass 1 is
+    // excluded from the SPREAD (it measures warmup, not contention);
+    // it still participates in the MIN, where inflation is harmless.
+    val times = scala.collection.mutable.Map[String, List[(Int, Double)]]()
       .withDefaultValue(Nil)
     for (round <- 1 to repeats) {
       selected.foreach { case (name, fn) =>
@@ -74,25 +79,32 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // a failed run is an error, never a (fast-looking) measurement
-        if (ok) times(name) = dt :: times(name)
+        if (ok) times(name) = (round, dt) :: times(name)
       }
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = selected.map { case (name, _) =>
       val ts = times(name)
+      val steady = if (repeats >= 2) ts.filter(_._1 >= 2) else ts
       (name,
-        if (ts.isEmpty) -1.0 else ts.min,
-        if (ts.isEmpty) 0.0 else ts.max - ts.min)
+        if (ts.isEmpty) -1.0 else ts.map(_._2).min,
+        if (steady.isEmpty) 0.0
+        else steady.map(_._2).max - steady.map(_._2).min)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // spread = max-min across passes: a large spread flags a measurement
-    // the driver should distrust before calling it a regression
+    // spread = max-min across steady-state passes: a large spread flags a
+    // measurement the driver should distrust before calling it a regression
     val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f3(s) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"spread":$sp,"errors":$errJson,"sf":"$sfDir"}"""
+    // field order matters: stdout truncation between here and the driver's
+    // artifact keeps the TAIL (round 6 lost the minima and kept the spread,
+    // which reads exactly like per-query times). Emit diagnostics first and
+    // the authoritative minima map + total LAST so the surviving suffix is
+    // always self-describing.
+    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","spread":$sp,"errors":$errJson,"queries":$qs,"value":${f3(total)}}"""
     // stdout can get truncated between here and the driver's artifact
     // (BENCH_r05 lost its head mid-JSON); persist the authoritative copy
     // to disk as well so the full line always survives the round
