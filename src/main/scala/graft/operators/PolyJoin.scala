@@ -56,23 +56,53 @@ object PolyJoin {
       (e("bx") - e("ax")) * (lat - e("ay")) -
         (e("by") - e("ay")) * (lon - e("ax")) >= 0)
 
+  /** True iff (lat, lon) is inside the ARBITRARY simple ring `verts`
+    * (convex or concave, either orientation) by ray-crossing parity: a
+    * horizontal ray to the right crosses an odd number of edges. The
+    * reference's OSM landuse zones are arbitrary simple polygons
+    * (open-street-map/pipeline/importer.py:158-165, way geometry
+    * :268-292), often concave — the cross-product-sign fold of
+    * [[containsConvex]] is wrong for them.
+    *
+    * The crossing test for edge (ax,ay)-(bx,by):
+    * `(ay > lat) != (by > lat)` (the edge spans the ray's latitude;
+    * the half-open comparison counts a vertex exactly once and skips
+    * horizontal edges — their div-by-zero branch is never evaluated)
+    * AND `lon < ax + (bx-ax)*(lat-ay)/(by-ay)` (the intersection lies
+    * strictly right of the point). The identical arithmetic is emitted
+    * for the DuckDB oracle (GeoQueries.rayCastEdgeSql), so both engines
+    * flip the same boundary cases the same way. */
+  def containsRayCast(lat: Column, lon: Column, verts: Column): Column =
+    aggregate(ringEdges(verts), lit(0), (acc, e) =>
+      acc + when(
+        ((e("ay") > lat) =!= (e("by") > lat)) &&
+          lon < e("ax") + (e("bx") - e("ax")) * (lat - e("ay")) / (e("by") - e("ay")),
+        1).otherwise(0)) % 2 === 1
+
   /** Joins `points` to every polygon in `polys` containing them.
     * Output: all point columns plus `polyIdCol`. Points inside no
     * polygon are dropped (inner join); points on a shared border
     * surface once per containing polygon.
     *
     * @param polys     polygon dim: `polyIdCol` + `vertsCol`
-    *                  (array of struct{x, y}, convex, CCW)
+    *                  (array of struct{x, y}; with `convex = true` the
+    *                  rings must be convex CCW — the fast path; with
+    *                  `convex = false` any simple ring works)
     * @param cellDeg   prefilter grid cell edge, in coordinate degrees —
     *                  pick on the order of the typical polygon size
     * @param broadcastPolys broadcast the exploded poly-cell dim (true
     *                  for layers up to ~millions of cells); false →
     *                  shuffle hash join partitioned by cell
+    * @param convex    true → cross-product-sign fold (convex CCW rings
+    *                  only, boundary-inclusive); false → ray-crossing
+    *                  parity (any simple ring, boundary by crossing
+    *                  parity)
     */
   def containsJoin(points: DataFrame, latCol: String, lonCol: String,
                    polys: DataFrame, polyIdCol: String, vertsCol: String,
                    cellDeg: Double,
-                   broadcastPolys: Boolean = true): DataFrame = {
+                   broadcastPolys: Boolean = true,
+                   convex: Boolean = true): DataFrame = {
     val v = col(vertsCol)
     val xs = transform(v, p => p("x"))
     val ys = transform(v, p => p("y"))
@@ -90,7 +120,9 @@ object PolyJoin {
       .withColumn("__cx", floor(col(lonCol) / cellDeg).cast("long"))
       .withColumn("__cy", floor(col(latCol) / cellDeg).cast("long"))
       .join(dim, col("__cx") === col("__pcx") && col("__cy") === col("__pcy"))
-      .filter(containsConvex(col(latCol), col(lonCol), col("__verts")))
+      .filter(
+        if (convex) containsConvex(col(latCol), col(lonCol), col("__verts"))
+        else containsRayCast(col(latCol), col(lonCol), col("__verts")))
       .drop("__cx", "__cy", "__pcx", "__pcy", "__verts")
   }
 }

@@ -358,17 +358,20 @@ object GeoQueries {
         countDistinct("route_id").as("n_routes"))
       .orderBy("poly_id")
 
-  val geoPolyJoinSql: String = {
-    val edgeRows = KyivDistricts.flatMap { case (id, ring) =>
+  /** VALUES rows of a polygon layer's edges — shared by the convex and
+    * ray-cast oracle CTEs (one source of truth with the engine dims). */
+  private def edgeValues(layer: Seq[(Int, Seq[(Double, Double)])]): String =
+    layer.flatMap { case (id, ring) =>
       ring.indices.map { i =>
         val (x1, y1) = ring(i)
         val (x2, y2) = ring((i + 1) % ring.length)
         s"($id, $x1, $y1, $x2, $y2)"
       }
     }.mkString(",\n    |    ").stripMargin
-    PositionView.oracleCte + s""",
+
+  val geoPolyJoinSql: String = PositionView.oracleCte + s""",
     |edges(poly_id, x1, y1, x2, y2) AS (VALUES
-    |    $edgeRows),
+    |    ${edgeValues(KyivDistricts)}),
     |hit AS (
     |  SELECT p.event_id, p.vehicle_id, p.route_id, e.poly_id
     |  FROM pos p, edges e
@@ -378,13 +381,64 @@ object GeoQueries {
     |SELECT poly_id, count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles,
     |  count(DISTINCT route_id) AS n_routes
     |FROM hit GROUP BY 1 ORDER BY poly_id""".stripMargin
+
+  // ---- geo_poly_concave --------------------------------------------------
+
+  /** NON-CONVEX polygon layer: OSM landuse ways are arbitrary simple
+    * polygons (reference: open-street-map/pipeline/importer.py:158-165,
+    * way geometry :268-292) — often concave, where the cross-product
+    * fold is wrong. Ring 1 is a U-shape (a park wrapping a built-up
+    * notch: the notch 30.35..30.45 x 50.40..50.55 is OUTSIDE); ring 2 a
+    * convex quad, exercising the generic test on a convex ring too. */
+  val KyivConcave: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((30.25, 50.32), (30.55, 50.32), (30.55, 50.55), (30.45, 50.55),
+      (30.45, 50.40), (30.35, 50.40), (30.35, 50.55), (30.25, 50.55)),
+    2 -> Seq((30.60, 50.35), (30.78, 50.38), (30.75, 50.55), (30.62, 50.52)))
+
+  private def concavePolys(s: SparkSession): DataFrame = {
+    import s.implicits._
+    KyivConcave.toDF("poly_id", "ring")
+      .select(col("poly_id"),
+        transform(col("ring"),
+          p => struct(p("_1").as("x"), p("_2").as("y"))).as("verts"))
   }
+
+  /** Points ⋈ CONCAVE polygon layer via ray-crossing parity
+    * (PolyJoin.containsRayCast) — same grid-cell prefilter join shape as
+    * [[geoPolyJoin]], generic containment test. A point in the U's
+    * notch passes the bbox prefilter but must NOT land in ring 1; the
+    * oracle computes the same parity over the same edge VALUES. */
+  def geoPolyConcave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PolyJoin.containsJoin(
+      pos(s, dir), "lat", "lon",
+      concavePolys(s), "poly_id", "verts", cellDeg = CellDeg,
+      convex = false)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("vehicle_id").as("n_vehicles"),
+        countDistinct("route_id").as("n_routes"))
+      .orderBy("poly_id")
+
+  val geoPolyConcaveSql: String = PositionView.oracleCte + s""",
+    |edges(poly_id, x1, y1, x2, y2) AS (VALUES
+    |    ${edgeValues(KyivConcave)}),
+    |hit AS (
+    |  SELECT p.event_id, p.vehicle_id, p.route_id, e.poly_id
+    |  FROM pos p, edges e
+    |  GROUP BY p.event_id, p.vehicle_id, p.route_id, e.poly_id
+    |  HAVING sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+    |      AND p.lon < e.x1 + (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1)
+    |    THEN 1 ELSE 0 END) % 2 = 1)
+    |SELECT poly_id, count(*) AS n, count(DISTINCT vehicle_id) AS n_vehicles,
+    |  count(DISTINCT route_id) AS n_routes
+    |FROM hit GROUP BY 1 ORDER BY poly_id""".stripMargin
 
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_point_in_poly" -> (geoPointInPoly _),
     "geo_poly_join" -> (geoPolyJoin _),
+    "geo_poly_concave" -> (geoPolyConcave _),
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
@@ -397,6 +451,7 @@ object GeoQueries {
   val oracles: Map[String, String] = Map(
     "geo_point_in_poly" -> geoPointInPolySql,
     "geo_poly_join" -> geoPolyJoinSql,
+    "geo_poly_concave" -> geoPolyConcaveSql,
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,

@@ -67,6 +67,69 @@ class PolyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(viaExpr.nonEmpty)
   }
 
+  // U-shape: outer square (0,0)-(3,3) with the notch 1<x<2, y>1 removed
+  private val uShape = Seq(
+    9 -> Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0),
+      (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0)))
+
+  test("ray-cast containment: concave notch excluded, arms and base included") {
+    val out = PolyJoin.containsJoin(
+      pts((1L, 2.0, 0.5),  // left arm -> in
+        (2L, 2.0, 2.5),    // right arm -> in
+        (3L, 0.5, 1.5),    // base below the notch -> in
+        (4L, 2.0, 1.5),    // inside the notch -> OUT (bbox would keep it)
+        (5L, 2.0, 3.5),    // right of the ring -> out
+        (6L, -1.0, 1.5)),  // below -> out
+      "lat", "lon", polyDf(uShape), "poly_id", "verts", cellDeg = 1.0,
+      convex = false)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
+  test("ray-cast agrees with the convex fold on a convex layer (interior points)") {
+    // j == 10 would sit exactly on the shared x = 1 edge, where the two
+    // conventions legitimately differ (convex fold: both squares;
+    // half-open ray-cast: the right square only) — keep interior points
+    val inside = for (i <- 1 to 9; j <- (1 to 19) if j != 10)
+      yield ((i * 100 + j).toLong, i * 0.1, j * 0.1)
+    val viaConvex = PolyJoin.containsJoin(pts(inside: _*),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
+      .select("id", "poly_id").as[(Long, Int)].collect().toSet
+    val viaRay = PolyJoin.containsJoin(pts(inside: _*),
+      "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5,
+      convex = false)
+      .select("id", "poly_id").as[(Long, Int)].collect().toSet
+    assert(viaRay === viaConvex)
+    assert(viaRay.size === inside.size)
+  }
+
+  test("ray-cast matches a scalar reference implementation on a point grid") {
+    // classic even-odd reference, same half-open convention
+    def refContains(ring: Seq[(Double, Double)], lon: Double, lat: Double): Boolean = {
+      var c = false
+      var i = 0
+      while (i < ring.length) {
+        val (ax, ay) = ring(i)
+        val (bx, by) = ring((i + 1) % ring.length)
+        if ((ay > lat) != (by > lat) &&
+          lon < ax + (bx - ax) * (lat - ay) / (by - ay)) c = !c
+        i += 1
+      }
+      c
+    }
+    val ring = uShape.head._2
+    val grid = for (i <- 0 to 13; j <- 0 to 13)
+      yield ((i * 100 + j).toLong, i * 0.25 - 0.125, j * 0.25 - 0.125)
+    val got = PolyJoin.containsJoin(pts(grid: _*),
+      "lat", "lon", polyDf(uShape), "poly_id", "verts", cellDeg = 1.0,
+      convex = false)
+      .select("id").as[Long].collect().toSet
+    val want = grid.collect {
+      case (id, lat, lon) if refContains(ring, lon, lat) => id
+    }.toSet
+    assert(got === want)
+  }
+
   test("plans a broadcast hash join on the cell key — never a cartesian") {
     val q = PolyJoin.containsJoin(pts((1L, 0.5, 0.5)),
       "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
