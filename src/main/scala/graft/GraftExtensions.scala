@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      // canonical vocab: SQL callers get the same tokenization the
+      // oracle replicates; custom vocabs construct the expression directly
+      arity("bpe_token_count", 1)(exprs =>
+        BpeTokenCount(exprs.head, graft.functions.TextFunctions.BpeVocab))),
     (FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       // raw AggregateFunction: the analyzer wraps it into an

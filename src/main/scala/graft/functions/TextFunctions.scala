@@ -20,6 +20,34 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeRegex), lit(0)))
 
+  /** Canonical subword vocabulary for [[bpeSubwordCount]] — the ONE
+    * source of truth: the codegen tokenizer
+    * (graft.plans.BpeTokenCount) and the DuckDB oracle's VALUES table
+    * are both generated from this list. Lowercase ASCII only (matching
+    * the tokenizer's lowercasing of letter runs); mixes whole words a
+    * trained merge table would have fused with generic English
+    * subwords, so common words count 1 and rare words fragment —
+    * the shape a real BPE vocab produces. */
+  val BpeVocab: Seq[String] = Seq(
+    // whole words (frequent in the corpus → single token)
+    "table", "value", "query", "stream", "window", "customer", "order",
+    "group", "filter", "sort", "merge", "batch", "data", "key", "row",
+    "scan", "hash", "part", "line", "slow", "fast", "big", "small",
+    "join", "agg", "column", "vector", "spark",
+    // common English subwords
+    "the", "and", "ing", "ion", "tion", "ment", "ness", "able", "ous",
+    "er", "re", "in", "on", "an", "en", "es", "ed", "st", "ar", "al",
+    "or", "le", "te", "ti", "at", "is", "it", "ta", "ble", "ow", "ue",
+    "ck", "sh", "ch", "qu", "up", "us", "lo", "ve", "ra", "ro", "om",
+    "co", "de", "se", "un", "pre", "con", "ter", "ent", "ate", "ive")
+
+  /** Vocab-driven BPE token count (greedy longest-match subwords over
+    * [[BpeVocab]]; see graft.plans.BpeTokenCount for the contract).
+    * [[bpeTokenCount]] counts pre-tokenizer PIECES; this counts the
+    * actual subword tokens a tokenizer would emit. */
+  def bpeSubwordCount(text: Column): Column =
+    graft.plans.BpeTokenCount(text)
+
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 

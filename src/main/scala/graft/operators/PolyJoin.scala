@@ -70,8 +70,8 @@ object PolyJoin {
     * horizontal edges — their div-by-zero branch is never evaluated)
     * AND `lon < ax + (bx-ax)*(lat-ay)/(by-ay)` (the intersection lies
     * strictly right of the point). The identical arithmetic is emitted
-    * for the DuckDB oracle (GeoQueries.rayCastEdgeSql), so both engines
-    * flip the same boundary cases the same way. */
+    * for the DuckDB oracle (GeoQueries.geoPolyConcaveSql), so both
+    * engines flip the same boundary cases the same way. */
   def containsRayCast(lat: Column, lon: Column, verts: Column): Column =
     aggregate(ringEdges(verts), lit(0), (acc, e) =>
       acc + when(

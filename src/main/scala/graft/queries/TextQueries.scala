@@ -43,6 +43,63 @@ object TextQueries {
     |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens
     |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- tx_bpe_tokens -----------------------------------------------------
+
+  /** Vocab-driven BPE token counts (graft.plans.BpeTokenCount: greedy
+    * longest-match subwords over TextFunctions.BpeVocab, single-pass
+    * codegen) next to the pre-tokenizer piece count — the pair a
+    * token-budget audit wants: `n_bpe >= n_pieces` always, and the gap
+    * measures how much the corpus fragments under the vocab.
+    *
+    * The DuckDB oracle replays the identical contract: pieces from the
+    * same regex, then a recursive-CTE walk over DISTINCT words where
+    * each step advances by the longest vocab entry matching at the
+    * current position (precomputed in a non-recursive `adv` CTE — the
+    * recursion itself is pure position-hopping, depth <= word length).
+    * Hash-verified, so the tokenizer semantics — not just row counts —
+    * are pinned. */
+  def txBpeTokens(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir).select(
+      col("doc_id"),
+      bpeTokenCount(col("text")).cast("long").as("n_pieces"),
+      bpeSubwordCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  val txBpeTokensSql: String = {
+    val vocabVals = BpeVocab.map(v => s"('$v')").mkString(", ")
+    s"""
+    |WITH RECURSIVE
+    |pieces AS (
+    |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpeRegex')) AS p
+    |  FROM documents),
+    |lp AS (SELECT doc_id, lower(p) AS w FROM pieces
+    |       WHERE regexp_matches(p, '^[A-Za-z]')),
+    |np AS (SELECT doc_id, count(*) AS n_other FROM pieces
+    |       WHERE NOT regexp_matches(p, '^[A-Za-z]') GROUP BY doc_id),
+    |words AS (SELECT DISTINCT w FROM lp),
+    |vocab(tok) AS (VALUES $vocabVals),
+    |posn AS (SELECT w, unnest(range(1, length(w) + 1)) AS ps FROM words),
+    |adv AS (
+    |  SELECT posn.w, posn.ps, coalesce(max(length(v.tok)), 1) AS adv
+    |  FROM posn LEFT JOIN vocab v ON substr(posn.w, posn.ps, length(v.tok)) = v.tok
+    |  GROUP BY posn.w, posn.ps),
+    |walk(w, ps, n) AS (
+    |  SELECT w, 1, 0 FROM words
+    |  UNION ALL
+    |  SELECT wk.w, wk.ps + a.adv, wk.n + 1
+    |  FROM walk wk JOIN adv a ON a.w = wk.w AND a.ps = wk.ps),
+    |wcount AS (SELECT w, max(n) AS wn FROM walk GROUP BY w),
+    |dt AS (SELECT lp.doc_id, sum(wc.wn) AS n_sub
+    |       FROM lp JOIN wcount wc ON lp.w = wc.w GROUP BY lp.doc_id)
+    |SELECT d.doc_id,
+    |  len(regexp_extract_all(d.text, '$BpeRegex')) AS n_pieces,
+    |  CAST(coalesce(np.n_other, 0) + coalesce(dt.n_sub, 0) AS BIGINT) AS n_bpe
+    |FROM documents d
+    |LEFT JOIN np ON d.doc_id = np.doc_id
+    |LEFT JOIN dt ON d.doc_id = dt.doc_id
+    |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- tx_quality_score --------------------------------------------------
 
   def txQualityScore(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +413,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_count" -> (txTokenCount _),
+    "tx_bpe_tokens" -> (txBpeTokens _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
     "tx_fingerprint" -> (txFingerprint _),
@@ -368,6 +426,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
+    "tx_bpe_tokens" -> txBpeTokensSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
     "tx_fingerprint" -> txFingerprintSql,
