@@ -339,8 +339,12 @@ object Dedup {
     // strictly decreases iff any vertex changed — one overflow-safe
     // decimal agg over the checkpointed set instead of a per-round
     // labels⋈labels comparison join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — normalize so an empty vertex set
+      // converges instead of NPEing on the compare
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -360,5 +364,64 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the near-dup quasi-clique assumption")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Members of yesterday's clusters that today's pairs touch: every
+    * vertex of any prev cluster containing an endpoint of `newPairs`.
+    * Exposed separately because it IS the incremental-maintenance
+    * contract — [[updateComponents]] re-converges exactly these plus
+    * the new batch, never the whole graph. */
+  def touchedVertices(prevLabels: DataFrame, idCol: String, labelCol: String,
+                      newPairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val prev = prevLabels.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val endpoints = newPairs.select(col(aCol).as("id"))
+      .union(newPairs.select(col(bCol).as("id"))).distinct()
+    val touchedRoots = prev.join(endpoints, Seq("id"))
+      .select(col("label")).distinct()
+    prev.join(touchedRoots, Seq("label")).select("id", "label")
+  }
+
+  /** INCREMENTAL connected-component maintenance: merges today's pair
+    * batch into yesterday's labels without re-converging the whole
+    * graph. At corpus scale a daily batch touches a vanishing fraction
+    * of clusters — relabeling 100 TB of stable docs because 0.1% got
+    * new edges is the difference between a nightly job and a weekly
+    * one.
+    *
+    * Shape: (1) clusters touched by a new-edge endpoint are torn down
+    * to STAR edges (member → old label, 1 hop back to convergence);
+    * (2) those stars + the new pairs + the new batch vertices form the
+    * ACTIVE subgraph, re-converged with the same min-label loop
+    * ([[connectedComponents]] — rounds ∝ diameter of the touched
+    * region, not of the graph); (3) untouched clusters pass through
+    * label-identical, never shuffled through the loop. Old labels are
+    * min member ids, so min-label propagation over stars reproduces
+    * exactly the labels a full recompute over the union edge set would
+    * assign — the property the dd_cluster_incr oracle hash-verifies.
+    *
+    * @param newVertices today's batch vertex universe (ids unseen by
+    *        `prevLabels`; known ids are ignored — their cluster
+    *        membership only changes if a new PAIR touches it)
+    */
+  def updateComponents(prevLabels: DataFrame, idCol: String, labelCol: String,
+                       newVertices: DataFrame, newIdCol: String,
+                       newPairs: DataFrame, aCol: String, bCol: String,
+                       maxIter: Int = 25): DataFrame = {
+    val prev = prevLabels.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val pairs = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .localCheckpoint()
+    val touched = touchedVertices(prev, "id", "label", pairs, "pa", "pb")
+      .localCheckpoint()
+    val starEdges = touched.filter(col("id") =!= col("label"))
+      .select(col("id").as("a"), col("label").as("b"))
+    val batchVerts = newVertices.select(col(newIdCol).as("id"))
+      .join(prev, Seq("id"), "left_anti")
+    val activeVerts = touched.select("id").union(batchVerts).distinct()
+    val edges = starEdges.union(pairs.select(col("pa").as("a"), col("pb").as("b")))
+    val relabeled = connectedComponents(activeVerts, "id", edges, "a", "b", maxIter)
+    val untouched = prev
+      .join(touched.select(col("label")).distinct(), Seq("label"), "left_anti")
+      .select(col("id"), col("label").as("cluster_id"))
+    untouched.union(relabeled)
   }
 }

@@ -144,6 +144,41 @@ object DedupQueries {
       .orderBy("new_id", "old_id")
   }
 
+  /** Incremental CLUSTER maintenance (Dedup.updateComponents): the
+    * %5 batch docs of [[ddIncremental]] arrive on a corpus whose
+    * clusters were already converged; yesterday's labels (connected
+    * components over old-old pairs only) are merged with today's
+    * new-old pairs (the incremental index join) plus new-new pairs —
+    * only clusters a new edge touches re-converge, everything else
+    * passes through label-identical.
+    *
+    * The oracle is the FULL-corpus recursive-CTE recompute
+    * ([[ddClusterSql]]): old-old ∪ new-old ∪ new-new pairs is exactly
+    * the complete pair set, so hash-equality here proves the
+    * incremental path lands on precisely the labels a batch recompute
+    * would — the invariant that lets a 100 TB pipeline skip the nightly
+    * full relabel. */
+  def ddClusterIncr(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val shOld = sh.filter(col("__id") % 5 =!= 0)
+    val shNew = sh.filter(col("__id") % 5 === 0)
+    val docsAll = Tables.documents(s, dir)
+    val prev = Dedup.connectedComponents(
+      docsAll.filter(col("doc_id") % 5 =!= 0), "doc_id",
+      Dedup.jaccardPairsFromShingles(shOld, JaccardThreshold), "a_id", "b_id")
+    val newPairs = Dedup.jaccardPairsAcrossShingles(shNew, shOld, JaccardThreshold)
+      .select(col("new_id").as("a_id"), col("old_id").as("b_id"))
+      .union(Dedup.jaccardPairsFromShingles(shNew, JaccardThreshold)
+        .select("a_id", "b_id"))
+    val labels = Dedup.updateComponents(prev, "id", "cluster_id",
+      docsAll.filter(col("doc_id") % 5 === 0), "doc_id",
+      newPairs, "a_id", "b_id")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val ddIncrementalSql: String = """
     |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
     |              FROM documents),
@@ -210,6 +245,7 @@ object DedupQueries {
     "dd_embedding" -> (ddEmbedding _),
     "dd_embedding_lsh" -> (ddEmbeddingLsh _),
     "dd_cluster" -> (ddCluster _),
+    "dd_cluster_incr" -> (ddClusterIncr _),
     "dd_incremental" -> (ddIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +253,6 @@ object DedupQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_cluster_incr" -> ddClusterSql, // incremental must equal the full recompute
     "dd_incremental" -> ddIncrementalSql)
 }

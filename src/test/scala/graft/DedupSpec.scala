@@ -195,4 +195,54 @@ class DedupSpec extends SparkSpec {
         maxIter = 2).collect()
     }
   }
+
+  // yesterday: clusters {1,2}, {5,6}, singleton 9 (labels = min ids)
+  private def prevLabels =
+    Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "cluster_id")
+
+  test("updateComponents merges a batch into touched clusters only") {
+    // batch {10, 11}: 10 pairs with 2 (joins cluster 1), 11 is isolated
+    val batch = Seq(10L, 11L).toDF("doc_id")
+    val pairs = Seq((10L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.updateComponents(prevLabels, "id", "cluster_id",
+      batch, "doc_id", pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 11L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("updateComponents equals a full recompute over the union edge set") {
+    // new pair 6-9 merges cluster {5,6} with singleton 9; new doc 0
+    // pairs with 1 and drags cluster {1,2} down to label 0
+    val batch = Seq(0L).toDF("doc_id")
+    val pairs = Seq((6L, 9L), (0L, 1L)).toDF("a_id", "b_id")
+    val incr = Dedup.updateComponents(prevLabels, "id", "cluster_id",
+      batch, "doc_id", pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val fullVerts = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("doc_id")
+    val fullPairs = Seq((1L, 2L), (5L, 6L), (6L, 9L), (0L, 1L))
+      .toDF("a_id", "b_id")
+    val full = Dedup.connectedComponents(fullVerts, "doc_id",
+      fullPairs, "a_id", "b_id").as[(Long, Long)].collect().toMap
+    assert(incr === full)
+  }
+
+  test("updateComponents re-converges only the touched region") {
+    val pairs = Seq((10L, 2L)).toDF("a_id", "b_id")
+    val touched = Dedup.touchedVertices(prevLabels, "id", "cluster_id",
+      pairs, "a_id", "b_id").select("id").as[Long].collect().toSet
+    // cluster {1,2} is touched (via vertex 2); {5,6} and 9 are not
+    assert(touched === Set(1L, 2L))
+  }
+
+  test("updateComponents with no new pairs appends singletons, labels untouched") {
+    val batch = Seq(20L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Dedup.updateComponents(prevLabels, "id", "cluster_id",
+      batch, "doc_id", pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L, 20L -> 20L))
+  }
 }
