@@ -86,25 +86,35 @@ object Bench {
     val results = selected.map { case (name, _) =>
       val ts = times(name)
       val steady = if (repeats >= 2) ts.filter(_._1 >= 2) else ts
+      // spread basis: steady-state passes when there are >= 2 of them,
+      // else ALL passes (repeats=2, or a query that failed in every
+      // round >= 2); a single surviving sample has no variance evidence
+      // at all — report the -1 sentinel, never a trustworthy-looking 0
+      val basis = if (steady.size >= 2) steady else ts
       (name,
         if (ts.isEmpty) -1.0 else ts.map(_._2).min,
-        if (steady.isEmpty) 0.0
-        else steady.map(_._2).max - steady.map(_._2).min)
+        if (basis.size >= 2) basis.map(_._2).max - basis.map(_._2).min
+        else -1.0,
+        // succeeded only in pass 1: the min is warmup-inflated and the
+        // per-round failures sit in `errors` — flag it visibly
+        repeats >= 2 && ts.nonEmpty && steady.isEmpty)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // spread = max-min across steady-state passes: a large spread flags a
     // measurement the driver should distrust before calling it a regression
-    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f3(s) }
+    val sp = results.map { case (k, _, s, _) => "\"" + k + "\":" + f3(s) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val warmupOnly = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     // field order matters: stdout truncation between here and the driver's
     // artifact keeps the TAIL (round 6 lost the minima and kept the spread,
     // which reads exactly like per-query times). Emit diagnostics first and
     // the authoritative minima map + total LAST so the surviving suffix is
     // always self-describing.
-    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","spread":$sp,"errors":$errJson,"queries":$qs,"value":${f3(total)}}"""
+    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"queries":$qs,"value":${f3(total)}}"""
     // stdout can get truncated between here and the driver's artifact
     // (BENCH_r05 lost its head mid-JSON); persist the authoritative copy
     // to disk as well so the full line always survives the round

@@ -101,7 +101,16 @@ object StreamOps {
 
   /** Runs a finite streaming query to a memory sink and returns the
     * sink table. AvailableNow processes the full backlog then stops —
-    * the batch-replay harness for stream operators. */
+    * the batch-replay harness for stream operators.
+    *
+    * After termination the run's state store providers are unloaded
+    * eagerly: each run writes to a fresh temp checkpoint, so its
+    * providers (holding the full join/agg state maps in executor
+    * memory) can never be reused, yet the maintenance thread only
+    * evicts them on its 60 s cycle — across a many-query suite that
+    * retained state compounds into GC pressure that shows up as
+    * multi-second variance in UNRELATED queries. Safe here because the
+    * harness never runs two streams concurrently. */
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: String): DataFrame = {
     val q = df.writeStream
@@ -111,6 +120,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     s.table(name)
   }
 }
