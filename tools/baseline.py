@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Produce BASELINE.md: per-query DuckDB oracle timings vs Spark minima.
+
+The reference repo publishes no performance numbers, so the measurable
+single-node baseline for every SQL-checked query is its DuckDB oracle —
+the same SQL the correctness gate executes — timed on the same machine
+and scale factor as the Spark bench.
+
+Usage: python3 tools/baseline.py [sfDir] [verifyOut] [benchJson] [outMd]
+  sfDir     parquet tables dir               (default /root/testdata/sf0.1)
+  verifyOut graft.Verify output dir holding oracle_sql.json
+                                             (default /tmp/verify_sf01)
+  benchJson BENCH json with Spark minima     (default /root/repo/BENCH_LOCAL.json)
+  outMd     output markdown                  (default /root/repo/BASELINE.md)
+"""
+import duckdb, sys, json, time, datetime
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+REPEATS = 3
+SLOW_CUTOFF_S = 20.0  # one extra repeat is enough above this
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    vout = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf01"
+    bench_path = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/BENCH_LOCAL.json"
+    out_md = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/BASELINE.md"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{vout}/oracle_sql.json"))
+    bench = json.load(open(bench_path))
+    spark_q = bench.get("queries", {})
+    rows = []
+    for name in sorted(oracle):
+        best = None
+        runs = REPEATS
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            con.sql(oracle[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if dt > SLOW_CUTOFF_S and i >= 1:
+                runs = i + 1
+                break
+        rows.append((name, best, spark_q.get(name), runs))
+        print(f"{name}: duckdb {best:.3f}s (runs={runs}) spark {spark_q.get(name)}")
+    duck_total = sum(r[1] for r in rows)
+    spark_total = sum(r[2] for r in rows if r[2] is not None)
+    rows_only = sorted(set(spark_q) - set(oracle))
+    ro_spark = sum(spark_q[n] for n in rows_only)
+    stamp = datetime.date.today().isoformat()
+    with open(out_md, "w") as f:
+        f.write(f"""# BASELINE — DuckDB oracle timings vs Spark ({stamp})
+
+The reference repo publishes no performance numbers, so the measurable
+single-node baseline is the DuckDB oracle of every SQL-checked query:
+the exact SQL the correctness gate runs, timed on the same host, same
+scale factor, same parquet inputs as the Spark bench.
+
+- Scale factor: `{sf}`  •  DuckDB {duckdb.__version__}, default thread
+  count (all cores), in-memory, min of {REPEATS} runs per query.
+- Spark: `graft.Bench` minima from `{bench_path}` (local[32],
+  repeats={bench.get('repeats')}, min across passes, noop sink).
+- `ratio` = spark / duckdb; < 1 means Spark is faster.
+
+Reading the ratio honestly: DuckDB here is a mature single-node OLAP
+engine running fully in memory with zero distribution overhead — it IS
+the right floor for "what should this query cost on one machine".
+Spark pays scheduler + shuffle + codegen machinery per query; its
+payoff is that the SAME plans scale out to a 1000-executor cluster,
+which the oracle SQL cannot. The brief's gate ("within 2x of baseline
+at the same scale factor") reads on the TOTALS line below.
+
+| query | duckdb s | spark s | ratio |
+|---|---|---|---|
+""")
+        for name, d, s, _ in rows:
+            if s is None:
+                f.write(f"| {name} | {d:.3f} | — | — |\n")
+            else:
+                f.write(f"| {name} | {d:.3f} | {s:.3f} | {s / d:.2f} |\n")
+        f.write(f"""| **TOTAL (SQL-checked, {len(rows)} queries)** | **{duck_total:.2f}** | **{spark_total:.2f}** | **{spark_total / duck_total:.2f}** |
+
+Rows-only queries (no SQL oracle — LSH/ANN/sketch ops the oracle
+cannot express) have no DuckDB side; their Spark minima total
+{ro_spark:.2f} s across {len(rows_only)} queries: {', '.join(rows_only)}.
+
+Regenerate with:
+`sbt 'runMain graft.Verify {sf} {vout}'` then
+`python3 tools/baseline.py {sf} {vout} {bench_path} {out_md}`.
+""")
+    print(f"wrote {out_md}: duckdb {duck_total:.2f}s vs spark {spark_total:.2f}s "
+          f"ratio {spark_total / duck_total:.2f}")
+
+
+if __name__ == "__main__":
+    main()
