@@ -99,6 +99,20 @@ object StreamOps {
       .drop("__ru")
   }
 
+  /** State-task count for FINITE replays (overridable via
+    * SPARK_GRAFT_STREAM_PARTS). A stateful op fixes its partition
+    * count at first checkpoint, and every micro-batch then pays a
+    * per-partition state-store commit (a two-sided interval join keeps
+    * FOUR stores per partition) regardless of rows held. At the
+    * session's 32 shuffle partitions that is 128 near-empty store
+    * commits per batch — measured 5.3 s → 2.2 s on the replayed
+    * interval join by dropping to 8. A production unbounded feed sizes
+    * this to the executor fleet instead; it is a deployment knob, not
+    * operator semantics (results are partitioning-independent, which
+    * the DuckDB-hash checks pin). */
+  val ReplayStateParts: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+
   /** Runs a finite streaming query to a memory sink and returns the
     * sink table. AvailableNow processes the full backlog then stops —
     * the batch-replay harness for stream operators.
@@ -109,18 +123,26 @@ object StreamOps {
     * memory) can never be reused, yet the maintenance thread only
     * evicts them on its 60 s cycle — across a many-query suite that
     * retained state compounds into GC pressure that shows up as
-    * multi-second variance in UNRELATED queries. Safe here because the
-    * harness never runs two streams concurrently. */
+    * multi-second variance in UNRELATED queries. Both the partition
+    * override and the unload are safe because the harness never runs
+    * two streams concurrently. */
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, ReplayStateParts.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set(key, prev)
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    }
     s.table(name)
   }
 }

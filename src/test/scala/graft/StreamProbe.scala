@@ -13,6 +13,8 @@ object StreamProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+    parts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     for (r <- 1 to 6) {
       val joined = StreamOps.intervalJoin(
         StreamOps.eventsStream(spark, dir), "click", "purchase", "1 hour")

