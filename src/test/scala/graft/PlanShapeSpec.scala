@@ -63,6 +63,25 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"session agg added a shuffle:\n$plan")
   }
 
+  test("geo_poly_concave: poly-cell dim broadcast, containment in the join, 2-col scan") {
+    val plan = executed(SparkEntry.queries("geo_poly_concave")(spark, sf))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.nonEmpty, s"expected the exploded poly-cell dim broadcast:\n$plan")
+    val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+    // positions derive from event_id/user_id only — lat/lon never hit disk
+    assert(scans.head.schema.fieldNames.toSet === Set("event_id", "user_id"),
+      s"scan reads more than it needs: ${scans.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("tx_bpe_tokens: one scan, one spread exchange, tokenize in a single project") {
+    val plan = executed(SparkEntry.queries("tx_bpe_tokens")(spark, sf))
+    val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size === 1, s"expected a single documents scan:\n$plan")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    // Par.spread round-robin + final sort range exchange, nothing else
+    assert(shuffles.size <= 2, s"tokenization must not add shuffles:\n$plan")
+  }
+
   test("Par.spread: no exchange for a multi-split source, one for a single split") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("spread").toString
