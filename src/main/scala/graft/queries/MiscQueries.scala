@@ -241,6 +241,35 @@ object MiscQueries {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy("event_type")
 
+  // ---- ag_approx_topk ----------------------------------------------------
+
+  /** Approximate frequent-items (heavy hitters) per event_type:
+    * `approx_top_k` sketch (exact counts while tracked items stay
+    * under the sketch budget — the Misra-Gries/CMS family guarantee),
+    * exploded to (event_type, item, approx_n) rows and self-audited
+    * against the exact per-key counts from the same scan. Rows-only
+    * check (sketch tie order at equal counts is engine-internal);
+    * the audit column `n_err` — |approx − exact| — carries a ScalaTest
+    * zero-floor, the top-k set itself may differ only at count ties.
+    * Scale shape: one sketch per group merged map-side (partial
+    * TypedImperativeAggregate), so the shuffle carries k-bounded
+    * sketches, never per-item counts. */
+  def agApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Par.spread(
+      Tables.events(s, dir).select("event_type", "user_id"))
+    val approx = ev
+      .groupBy("event_type")
+      .agg(expr("approx_top_k(user_id, 10)").as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("t"))
+      .select(col("event_type"), col("t.item").as("user_id"),
+        col("t.count").as("approx_n"))
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("exact_n"))
+    approx.join(exact, Seq("event_type", "user_id"), "left")
+      .withColumn("n_err", abs(col("approx_n") - coalesce(col("exact_n"), lit(0L))))
+      .orderBy("event_type", "user_id")
+  }
+
   // ---- st_stream_join ----------------------------------------------------
 
   /** Watermarked stream-stream interval join (click → purchase within
@@ -316,6 +345,7 @@ object MiscQueries {
     "mm_resize_plan" -> (mmResizePlan _),
     "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _),
+    "ag_approx_topk" -> (agApproxTopk _),
     "q_skew_join" -> (qSkewJoin _),
     "st_stream_join" -> (stStreamJoin _))
 
