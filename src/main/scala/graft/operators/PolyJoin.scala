@@ -79,6 +79,17 @@ object PolyJoin {
           lon < e("ax") + (e("bx") - e("ax")) * (lat - e("ay")) / (e("by") - e("ay")),
         1).otherwise(0)) % 2 === 1
 
+  /** Shoelace area of the simple ring `verts`, in squared coordinate
+    * units (deg² here — no cos-latitude correction, deliberately: libm
+    * cos may differ in the last ulp across engines, while the shoelace
+    * fold is plain +-*, reproducible bit-for-bit; callers needing km²
+    * scale by a constant). Orientation-independent (abs). Rounded by
+    * the CALLER, not here — the raw fold keeps one source of truth
+    * with the oracle's ordered list_sum. */
+  def ringArea(verts: Column): Column =
+    abs(aggregate(ringEdges(verts), lit(0.0), (acc, e) =>
+      acc + (e("ax") * e("by") - e("bx") * e("ay")))) / 2
+
   /** Joins `points` to every polygon in `polys` containing them.
     * Output: all point columns plus `polyIdCol`. Points inside no
     * polygon are dropped (inner join); points on a shared border

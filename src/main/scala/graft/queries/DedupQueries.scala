@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Audit, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
 
 /** Deduplication block over `documents` / `embeddings` (LLM-pipeline
   * operators; SURVEY §2 "Deduplication").
@@ -120,15 +120,73 @@ object DedupQueries {
     * The DuckDB oracle computes the same labels with a recursive CTE
     * over the same edges, so the component structure is hash-verified,
     * not just row-counted. */
-  def ddCluster(s: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.connectedComponents(
+  /** (id, cluster_id) labels over the exact-Jaccard pair graph —
+    * shared by [[ddCluster]] and [[ddKeepList]]. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
       Tables.documents(s, dir), "doc_id",
       exactJaccard(s, dir), "a_id", "b_id")
+
+  def ddCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** The dedup DELIVERABLE: per duplicate cluster, the canonical doc to
+    * KEEP (the min id — the cluster label) and what dropping the rest
+    * saves. This is the artifact a 100 TB pipeline actually ships to
+    * the next stage: a keep-list plus a bytes-reclaimed accounting,
+    * computed as one narrow join of the labels onto doc lengths (no
+    * extra text scan beyond the length projection). Singleton clusters
+    * are excluded — they have nothing to drop. */
+  def ddKeepList(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val bytes = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), length(col("text")).cast("long").as("b"))
+    labels.join(bytes, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("b").as("bytes_total"),
+        sum(when(col("id") =!= col("cluster_id"), col("b")).otherwise(0L))
+          .as("bytes_dropped"))
+      .filter(col("n_docs") > 1)
+      .select(col("cluster_id").as("keep_id"), col("n_docs"),
+        col("bytes_total"), col("bytes_dropped"))
+      .orderBy("keep_id")
+  }
+
+  val ddKeepListSql: String = """
+    |WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    |              FROM documents),
+    |sh AS (
+    |  SELECT doc_id, list_distinct(list(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+    |  GROUP BY doc_id),
+    |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+    |cand AS (
+    |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    |         a.sz AS a_sz, b.sz AS b_sz, count(*) AS shared
+    |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2, 3, 4),
+    |pr AS (SELECT a_id, b_id FROM cand
+    |       WHERE CAST(shared AS DOUBLE) / (a_sz + b_sz - shared) >= 0.8),
+    |edges AS (SELECT a_id AS a, b_id AS b FROM pr
+    |          UNION ALL SELECT b_id, a_id FROM pr),
+    |reach(src, node) AS (
+    |  SELECT doc_id, doc_id FROM documents
+    |  UNION
+    |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+    |SELECT l.cluster_id AS keep_id, count(*) AS n_docs,
+    |  CAST(sum(length(d.text)) AS BIGINT) AS bytes_total,
+    |  CAST(sum(CASE WHEN l.doc_id <> l.cluster_id THEN length(d.text)
+    |           ELSE 0 END) AS BIGINT) AS bytes_dropped
+    |FROM lab l JOIN documents d USING (doc_id)
+    |GROUP BY 1 HAVING count(*) > 1
+    |ORDER BY keep_id""".stripMargin
 
   /** Incremental dedup: every 5th doc plays the arriving batch, the
     * rest the historical corpus; each new doc is scored only against
@@ -246,6 +304,7 @@ object DedupQueries {
     "dd_embedding_lsh" -> (ddEmbeddingLsh _),
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incr" -> (ddClusterIncr _),
+    "dd_keep_list" -> (ddKeepList _),
     "dd_incremental" -> (ddIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +313,6 @@ object DedupQueries {
     "dd_embedding" -> ddEmbeddingSql,
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incr" -> ddClusterSql, // incremental must equal the full recompute
+    "dd_keep_list" -> ddKeepListSql,
     "dd_incremental" -> ddIncrementalSql)
 }

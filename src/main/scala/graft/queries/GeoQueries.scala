@@ -433,12 +433,67 @@ object GeoQueries {
     |  count(DISTINCT route_id) AS n_routes
     |FROM hit GROUP BY 1 ORDER BY poly_id""".stripMargin
 
+  // ---- geo_poly_area -----------------------------------------------------
+
+  /** Per-polygon shoelace area (deg², orientation-independent — works
+    * for the concave ring too) with contained-point counts and density:
+    * the landuse-analytics roll-up the importer's polygon layers feed.
+    * Areas/densities are rounded (9/6 dp): the shoelace folds on both
+    * engines may sum edges in different orders, and rounding at ~1e9x
+    * the double's ulp margin makes the hash comparison order-proof.
+    * The point side reuses the ray-cast containment join. */
+  def geoPolyArea(s: SparkSession, dir: String): DataFrame = {
+    val areas = concavePolys(s)
+      .select(col("poly_id"),
+        round(graft.operators.PolyJoin.ringArea(col("verts")), 9).as("area_deg2"))
+    val counts = graft.operators.PolyJoin.containsJoin(
+      pos(s, dir), "lat", "lon",
+      concavePolys(s), "poly_id", "verts", cellDeg = CellDeg,
+      convex = false)
+      .groupBy("poly_id").agg(count(lit(1)).as("n"))
+    areas.join(counts, Seq("poly_id"), "left")
+      .select(col("poly_id"), col("area_deg2"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)) / col("area_deg2"), 6).as("density"))
+      .orderBy("poly_id")
+  }
+
+  val geoPolyAreaSql: String = {
+    val edgeRows = KyivConcave.flatMap { case (id, ring) =>
+      ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.length)
+        s"($id, ${i + 1}, $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(",\n    |    ").stripMargin
+    PositionView.oracleCte + s""",
+    |edges(poly_id, idx, x1, y1, x2, y2) AS (VALUES
+    |    $edgeRows),
+    |area AS (
+    |  SELECT poly_id,
+    |    round(abs(list_sum(list(x1 * y2 - x2 * y1 ORDER BY idx))) / 2, 9) AS area_deg2
+    |  FROM edges GROUP BY poly_id),
+    |hit AS (
+    |  SELECT p.event_id, e.poly_id
+    |  FROM pos p, edges e
+    |  GROUP BY p.event_id, e.poly_id
+    |  HAVING sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+    |      AND p.lon < e.x1 + (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1)
+    |    THEN 1 ELSE 0 END) % 2 = 1),
+    |cnt AS (SELECT poly_id, count(*) AS n FROM hit GROUP BY 1)
+    |SELECT a.poly_id, a.area_deg2, coalesce(c.n, 0) AS n,
+    |  round(coalesce(c.n, 0) / a.area_deg2, 6) AS density
+    |FROM area a LEFT JOIN cnt c USING (poly_id)
+    |ORDER BY a.poly_id""".stripMargin
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_point_in_poly" -> (geoPointInPoly _),
     "geo_poly_join" -> (geoPolyJoin _),
     "geo_poly_concave" -> (geoPolyConcave _),
+    "geo_poly_area" -> (geoPolyArea _),
     "geo_grid_density" -> (geoGridDensity _),
     "geo_nearest_signal" -> (geoNearestSignal _),
     "geo_tag_stats" -> (geoTagStats _),
@@ -452,6 +507,7 @@ object GeoQueries {
     "geo_point_in_poly" -> geoPointInPolySql,
     "geo_poly_join" -> geoPolyJoinSql,
     "geo_poly_concave" -> geoPolyConcaveSql,
+    "geo_poly_area" -> geoPolyAreaSql,
     "geo_grid_density" -> geoGridDensitySql,
     "geo_nearest_signal" -> geoNearestSignalSql,
     "geo_tag_stats" -> geoTagStatsSql,

@@ -236,6 +236,21 @@ class DedupSpec extends SparkSpec {
     assert(touched === Set(1L, 2L))
   }
 
+  test("ddKeepList: keeps the cluster min id, accounts dropped bytes, skips singletons") {
+    val out = graft.queries.DedupQueries
+      .ddKeepList(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "testdata plants near-dup clusters")
+    out.foreach { r =>
+      val (n, total, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 1, "singleton clusters have nothing to drop")
+      assert(dropped > 0 && dropped < total,
+        "kept doc's bytes stay; dropped strictly between 0 and total")
+    }
+    // keep ids are cluster minima -> strictly increasing in sorted output
+    val keeps = out.map(_.getLong(0))
+    assert(keeps.sameElements(keeps.sorted))
+  }
+
   test("updateComponents with no new pairs appends singletons, labels untouched") {
     val batch = Seq(20L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")

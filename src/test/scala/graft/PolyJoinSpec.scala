@@ -130,6 +130,20 @@ class PolyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got === want)
   }
 
+  test("ringArea: shoelace matches analytic areas, concave and convex, any orientation") {
+    val polys = Seq(
+      1 -> Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0), // U: 9 - 1x2 notch
+        (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0)),
+      2 -> Seq((0.0, 0.0), (0.0, 2.0), (4.0, 2.0), (4.0, 0.0)), // CW rect
+      3 -> Seq((0.0, 0.0), (2.0, 0.0), (1.0, 2.0)))             // triangle
+    val got = polyDf(polys)
+      .select($"poly_id", PolyJoin.ringArea($"verts").as("a"))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(got(1) - 7.0) < 1e-12) // 9 - 2
+    assert(math.abs(got(2) - 8.0) < 1e-12)
+    assert(math.abs(got(3) - 2.0) < 1e-12)
+  }
+
   test("plans a broadcast hash join on the cell key — never a cartesian") {
     val q = PolyJoin.containsJoin(pts((1L, 0.5, 0.5)),
       "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
