@@ -241,6 +241,40 @@ object MiscQueries {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy("event_type")
 
+  // ---- st_session_window -------------------------------------------------
+
+  /** Streaming session windows via the native session_window
+    * aggregation (StreamOps.sessionCounts, 30 min gap), replayed over
+    * the events backlog. Complete output mode emits every session —
+    * including those still open at end-of-backlog, which append mode
+    * would hold in state forever — so the batch oracle (gap
+    * sessionization: lag + break-flag + running sum) matches row for
+    * row, session bounds included. */
+  def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.sessionCounts(StreamOps.eventsStream(s, dir), "30 minutes")
+    StreamOps.runToMemory(s, agg, "st_session_window_sink", "complete")
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+        col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
+  val stSessionWindowSql: String = """
+    |WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    |m AS (SELECT user_id, t,
+    |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+    |                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+    |      FROM e),
+    |s AS (SELECT user_id, t,
+    |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+    |                       ROWS UNBOUNDED PRECEDING) AS sid
+    |      FROM m)
+    |SELECT user_id, min(t) AS sess_start,
+    |  max(t) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n_events
+    |FROM s GROUP BY user_id, sid
+    |ORDER BY user_id, sess_start""".stripMargin
+
   // ---- ag_approx_topk ----------------------------------------------------
 
   /** Approximate frequent-items (heavy hitters) per event_type:
@@ -346,6 +380,7 @@ object MiscQueries {
     "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _),
     "ag_approx_topk" -> (agApproxTopk _),
+    "st_session_window" -> (stSessionWindow _),
     "q_skew_join" -> (qSkewJoin _),
     "st_stream_join" -> (stStreamJoin _))
 
@@ -359,5 +394,6 @@ object MiscQueries {
     "st_positions_parse" -> stPositionsParseSql,
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,
+    "st_session_window" -> stSessionWindowSql,
     "mm_resize_plan" -> mmResizePlanSql)
 }

@@ -202,6 +202,60 @@ object TrafficQueries {
     |  round(sum(value), 2) AS sum_value
     |FROM pos GROUP BY 1 ORDER BY hour""".stripMargin
 
+  // ---- ta_interpolate ----------------------------------------------------
+
+  /** Gap-filled hourly series per route (LOCF interpolation): the
+    * dense spine every downstream model/join wants where the raw feed
+    * has holes. Shape for scale: the raw stream reduces FIRST (one
+    * hash-shuffle hourly agg — the only pass over the big table);
+    * spine generation (distinct routes × hour sequence from a 1-row
+    * broadcast bounds agg) and the LOCF window run on the tiny
+    * aggregated series, so filling costs O(routes × hours) regardless
+    * of stream size. `sum_value` stays NULL before a route's first
+    * observation — LOCF has nothing to carry — and `filled` marks
+    * synthesized rows. round(sum,2) at the data's own precision, same
+    * as ta_hourly_activity. */
+  def taInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = pos(s, dir)
+    val hourly = p
+      .groupBy(col("route_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    val bounds = p.agg(date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1"))
+    val spine = p.select("route_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("route_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy("route_id").orderBy("hour")
+    spine.join(hourly, Seq("route_id", "hour"), "left")
+      .select(col("route_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("filled"),
+        last("sum_value", ignoreNulls = true).over(w).as("sum_value_locf"))
+      .orderBy("route_id", "hour")
+  }
+
+  val taInterpolateSql: String = PositionView.oracleCte + """,
+    |hourly AS (
+    |  SELECT route_id, date_trunc('hour', ts) AS hour,
+    |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+    |  FROM pos GROUP BY 1, 2),
+    |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+    |             date_trunc('hour', max(ts)) AS h1 FROM pos),
+    |spine AS (
+    |  SELECT r.route_id, g.hour
+    |  FROM (SELECT DISTINCT route_id FROM pos) r, b,
+    |    LATERAL (SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour) g)
+    |SELECT s.route_id, s.hour,
+    |  coalesce(h.n_events, 0) AS n_events,
+    |  h.n_events IS NULL AS filled,
+    |  last_value(h.sum_value IGNORE NULLS) OVER (
+    |    PARTITION BY s.route_id ORDER BY s.hour
+    |    ROWS UNBOUNDED PRECEDING) AS sum_value_locf
+    |FROM spine s LEFT JOIN hourly h USING (route_id, hour)
+    |ORDER BY route_id, hour""".stripMargin
+
   // ---- ta_sessionize -----------------------------------------------------
 
   def taSessionize(s: SparkSession, dir: String): DataFrame =
@@ -364,6 +418,7 @@ object TrafficQueries {
     "ta_latest_per_vehicle" -> (taLatestPerVehicle _),
     "ta_haversine" -> (taHaversine _),
     "ta_hourly_activity" -> (taHourlyActivity _),
+    "ta_interpolate" -> (taInterpolate _),
     "ta_sessionize" -> (taSessionize _),
     "ta_session_stats" -> (taSessionStats _),
     "ta_asof_weather" -> (taAsofWeather _),
@@ -380,6 +435,7 @@ object TrafficQueries {
     "ta_latest_per_vehicle" -> taLatestPerVehicleSql,
     "ta_haversine" -> taHaversineSql,
     "ta_hourly_activity" -> taHourlyActivitySql,
+    "ta_interpolate" -> taInterpolateSql,
     "ta_sessionize" -> taSessionizeSql,
     "ta_session_stats" -> taSessionStatsSql,
     "ta_asof_weather" -> taAsofWeatherSql,

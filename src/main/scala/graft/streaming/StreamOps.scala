@@ -65,6 +65,22 @@ object StreamOps {
       .groupBy(window(col("ts_w"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Native session-window aggregation: per-user sessions that merge
+    * while events arrive within `gap` of the session's end — the
+    * BUILT-IN operator for the gap-sessionization StatefulSession
+    * hand-rolls with flatMapGroupsWithState. Session state is merged
+    * incrementally per micro-batch and bounded by the watermark (a
+    * session finalizes once the watermark passes its end), so state is
+    * O(open sessions), never O(stream). The session's end is the last
+    * event + gap — Spark's session_window contract, replicated by the
+    * batch oracle. */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_w", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts_w"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   /** First-arrival dedup on a key set. State is bounded by key
     * cardinality (not stream length); for time-bounded state use
     * dropDuplicatesWithinWatermark instead — that variant trades exact

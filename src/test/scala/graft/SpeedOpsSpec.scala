@@ -94,4 +94,23 @@ class SpeedOpsSpec extends SparkSpec {
       .select("route_id", "rank").as[(Long, Int)].collect().toMap
     assert(out === Map(2L -> 1, 1L -> 2, 3L -> 3))
   }
+
+  test("taInterpolate: dense spine, filled flags, LOCF carries the last sum") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.TrafficQueries
+      .taInterpolate(spark, "/root/testdata/sf0.001")
+    out.cache()
+    try {
+      val routes = out.select("route_id").distinct().count()
+      val hours = out.select("hour").distinct().count()
+      assert(out.count() === routes * hours, "spine must be dense")
+      // synthesized rows carry no events and (after a route's first
+      // observation) the previous hour's sum
+      assert(out.filter(col("filled") && col("n_events") =!= 0L).count() === 0)
+      assert(out.filter(!col("filled") && col("sum_value_locf").isNull).count() === 0,
+        "observed rows always have their own sum")
+      // LOCF fills at least one hole somewhere (the synthetic stream is sparse)
+      assert(out.filter(col("filled") && col("sum_value_locf").isNotNull).count() > 0)
+    } finally out.unpersist()
+  }
 }

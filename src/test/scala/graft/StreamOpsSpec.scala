@@ -35,6 +35,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("session_window merges within the gap and splits across it") {
+    val dir = Files.createTempDirectory("graft-sw-").toFile
+    val min30ns = 30L * 60 * 1_000_000_000L
+    // user 1: two events 10 min apart (one session), then one 2 h later
+    // (new session); user 2: a single event
+    Seq(
+      (1L, 0L, 1L), (2L, min30ns / 3, 1L),
+      (3L, min30ns * 5, 1L), (4L, 0L, 2L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$dir/in/events.parquet")
+    val in = spark.readStream.schema(graft.streaming.StreamOps.EventsSchema)
+      .parquet(s"$dir/in/events.parquet")
+    val agg = graft.streaming.StreamOps.sessionCounts(in, "30 minutes")
+    val out = graft.streaming.StreamOps
+      .runToMemory(spark, agg, "sw_probe_sink", "complete")
+      .select(col("user_id"), col("n_events"),
+        (col("session_window.end").cast("long") -
+          col("session_window.start").cast("long")).as("len_s"))
+      .as[(Long, Long, Long)].collect().toSet
+    // session length = span of events + the 30 min gap tail
+    assert(out === Set(
+      (1L, 2L, 600L + 1800L), // 10 min span + gap
+      (1L, 1L, 1800L),        // lone event: gap-length session
+      (2L, 1L, 1800L)))
+  }
+
   test("JSONL envelope parse under the streaming engine equals the batch parse") {
     val streamed = graft.queries.MiscQueries
       .stPositionsParse(spark, "/root/testdata/sf0.001")
