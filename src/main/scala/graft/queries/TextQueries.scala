@@ -100,6 +100,38 @@ object TextQueries {
     |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- tx_pack_sequences -------------------------------------------------
+
+  /** Concat-and-chunk sequence packing (operators/Pack): documents are
+    * laid end-to-end in doc_id order and the token stream is chunked
+    * into 2048-token training sequences; output is the per-sequence
+    * manifest (docs starting in the sequence, token mass, id span).
+    * The global offset comes from Pack.prefixSum's two-phase bucketed
+    * prefix sum — parallel within-bucket windows plus an O(buckets)
+    * side frame, never a single-task global window. The oracle computes
+    * the same offsets with a plain global window (fine single-node) —
+    * integer token counts make every offset exact, so the bucketed and
+    * global computations agree bit-for-bit. */
+  val SeqTokens = 2048L
+
+  def txPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.packSequences(
+      docsSpread(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", SeqTokens)
+      .orderBy("seq_id")
+
+  val txPackSequencesSql: String = s"""
+    |WITH tok AS (SELECT doc_id, len($toksSql) AS nt FROM documents),
+    |o AS (SELECT doc_id, nt,
+    |        CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    |             - nt AS BIGINT) AS off
+    |      FROM tok)
+    |SELECT CAST(floor(off / $SeqTokens) AS BIGINT) AS seq_id,
+    |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+    |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    |FROM o GROUP BY 1 ORDER BY seq_id""".stripMargin
+
   // ---- tx_quality_score --------------------------------------------------
 
   def txQualityScore(s: SparkSession, dir: String): DataFrame =
@@ -414,6 +446,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_count" -> (txTokenCount _),
     "tx_bpe_tokens" -> (txBpeTokens _),
+    "tx_pack_sequences" -> (txPackSequences _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
     "tx_fingerprint" -> (txFingerprint _),
@@ -427,6 +460,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
     "tx_bpe_tokens" -> txBpeTokensSql,
+    "tx_pack_sequences" -> txPackSequencesSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
     "tx_fingerprint" -> txFingerprintSql,

@@ -257,9 +257,39 @@ object TpchQueries {
     |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q_rollup ----------------------------------------------------------
+
+  /** Hierarchical subtotals in ONE pass: `rollup` emits detail rows,
+    * per-returnflag subtotals and the grand total from a single
+    * aggregation (Spark expands the grouping sets with one Expand +
+    * one shuffle — no per-level rescan), with `grouping_id()`
+    * disambiguating real NULL keys from subtotal rows. Same bitmask
+    * convention as DuckDB's GROUPING(...), verified empirically.
+    * round(sum, 2) / exact counts, same determinism rules as q1. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
+  val qRollupSql: String = """
+    |SELECT l_returnflag, l_linestatus,
+    |  GROUPING(l_returnflag, l_linestatus) AS gid,
+    |  count(*) AS n,
+    |  round(sum(l_quantity), 2) AS sum_qty,
+    |  round(sum(l_extendedprice), 2) AS sum_base_price
+    |FROM lineitem
+    |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orphan_check" -> (orphanCheck _),
     "q_bucket_join" -> (bucketJoin _),
+    "q_rollup" -> (qRollup _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -270,6 +300,7 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q_orphan_check" -> orphanCheckSql,
     "q_bucket_join" -> bucketJoinSql,
+    "q_rollup" -> qRollupSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
