@@ -59,6 +59,15 @@ class BpeTokenizeSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("non-ASCII letters are single unknown-char tokens (regex is ASCII-scoped)") {
+    // 'é' is outside [A-Za-z]: the pre-tokenizer emits it as one
+    // "other" piece (1 token); the ASCII run around it still matches
+    val v = Seq("caf", "cr", "me")
+    // pieces: [caf][é][cr][è][me] — vocab runs are 1 token each,
+    // accented chars 1 unknown token each
+    assert(count(v, "café crème") === 5)
+  }
+
   test("null text evaluates to null") {
     val out = Seq((1L, Option.empty[String]), (2L, Some("table")))
       .toDF("id", "text")

@@ -16,7 +16,15 @@ class DeterminismSpec extends SparkSpec {
     // must absorb the reassociation ulps at ANY partitioning
     "ta_weather_corr",
     // weighted sums through the salted join: salt changes the add order
-    "q_skew_join")
+    "q_skew_join",
+    // rollup re-aggregates the same sums at three grouping levels
+    "q_rollup",
+    // shoelace float fold + contained-point division, both rounded
+    "geo_poly_area",
+    // round(sum,2) series + LOCF window over the spine
+    "ta_interpolate",
+    // integer prefix sum through the bucketed two-phase computation
+    "tx_pack_sequences")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
