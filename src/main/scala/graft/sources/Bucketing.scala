@@ -17,10 +17,20 @@ object Bucketing {
     * Idempotent across JVMs: an in-memory catalog forgets the table on
     * restart but its warehouse directory persists, and CTAS refuses an
     * existing location — so both the catalog entry AND any orphaned
-    * directory are cleared first. */
+    * directory are cleared first.
+    *
+    * `reuse = true` (default) returns immediately when THIS JVM's
+    * catalog already has the table: bucketing is a one-time layout
+    * investment — the whole point is paying the shuffle+sort once and
+    * joining shuffle-free forever after — so repeated calls (bench
+    * rounds, repeated queries) must not re-stage it. Callers key the
+    * table name by source dir, which is immutable here; pass
+    * `reuse = false` when the source may have changed. A fresh JVM
+    * always rebuilds (the in-memory catalog starts empty). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit = {
+                    numBuckets: Int, reuse: Boolean = true): Unit = {
     val s = df.sparkSession
+    if (reuse && s.catalog.tableExists(table)) return
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       s.sessionState.conf.warehousePath, table.toLowerCase)
