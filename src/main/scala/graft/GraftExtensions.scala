@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("ray_cast_contains"),
+      new ExpressionInfo(classOf[RayCastContains].getName, "ray_cast_contains"),
+      arity("ray_cast_contains", 3)(exprs =>
+        RayCastContains(exprs(0), exprs(1), exprs(2)))),
+    (FunctionIdentifier("ring_area"),
+      new ExpressionInfo(classOf[RingArea].getName, "ring_area"),
+      arity("ring_area", 1)(exprs => RingArea(exprs.head))),
     (FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       // canonical vocab: SQL callers get the same tokenization the

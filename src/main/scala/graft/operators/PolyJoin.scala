@@ -71,13 +71,14 @@ object PolyJoin {
     * AND `lon < ax + (bx-ax)*(lat-ay)/(by-ay)` (the intersection lies
     * strictly right of the point). The identical arithmetic is emitted
     * for the DuckDB oracle (GeoQueries.geoPolyConcaveSql), so both
-    * engines flip the same boundary cases the same way. */
+    * engines flip the same boundary cases the same way.
+    *
+    * Native codegen expression (plans/GeoContains) rather than an
+    * `aggregate` HOF fold: higher-order functions are interpreted
+    * (CodegenFallback) and this predicate sits in a join condition,
+    * where it runs once per candidate pair. */
   def containsRayCast(lat: Column, lon: Column, verts: Column): Column =
-    aggregate(ringEdges(verts), lit(0), (acc, e) =>
-      acc + when(
-        ((e("ay") > lat) =!= (e("by") > lat)) &&
-          lon < e("ax") + (e("bx") - e("ax")) * (lat - e("ay")) / (e("by") - e("ay")),
-        1).otherwise(0)) % 2 === 1
+    call_function("ray_cast_contains", verts, lat, lon)
 
   /** Shoelace area of the simple ring `verts`, in squared coordinate
     * units (deg² here — no cos-latitude correction, deliberately: libm
@@ -85,10 +86,9 @@ object PolyJoin {
     * fold is plain +-*, reproducible bit-for-bit; callers needing km²
     * scale by a constant). Orientation-independent (abs). Rounded by
     * the CALLER, not here — the raw fold keeps one source of truth
-    * with the oracle's ordered list_sum. */
-  def ringArea(verts: Column): Column =
-    abs(aggregate(ringEdges(verts), lit(0.0), (acc, e) =>
-      acc + (e("ax") * e("by") - e("bx") * e("ay")))) / 2
+    * with the oracle's ordered list_sum. Native codegen expression
+    * (plans/GeoContains.RingArea), left-fold in vertex order. */
+  def ringArea(verts: Column): Column = call_function("ring_area", verts)
 
   /** Joins `points` to every polygon in `polys` containing them.
     * Output: all point columns plus `polyIdCol`. Points inside no
