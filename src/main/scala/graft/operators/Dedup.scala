@@ -35,14 +35,24 @@ object Dedup {
       .select(col("__id"), TextFunctions.shingleSet(col("__text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
 
-  /** Verifies candidate (a_id, b_id) pairs with the EXACT Jaccard over
-    * the full shingle sets. */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+  /** (__id, hs, sz) from a [[shingles]] frame — ONE xxhash64 pass over
+    * the shingle strings. Every downstream consumer (inverted-index
+    * joins, MinHash signatures, candidate verification) works on the
+    * packed long arrays: stage this frame once and the string bytes
+    * are never touched again. */
+  def hashShingles(sh: DataFrame): DataFrame =
+    sh.select(col("__id"), HashFunctions.shingleHashes(col("sh")).as("hs"),
+      col("sz"))
+
+  /** Verifies candidate (a_id, b_id) pairs with the Jaccard over the
+    * full HASHED shingle sets — exact up to 64-bit collisions (see
+    * [[jaccardPairsFromShingles]]). */
+  private def verifyPairs(cand: DataFrame, hsh: DataFrame,
                           threshold: Double): DataFrame =
     cand
-      .join(sh.select(col("__id").as("a_id"), col("sh").as("sh_a"), col("sz").as("a_sz")), "a_id")
-      .join(sh.select(col("__id").as("b_id"), col("sh").as("sh_b"), col("sz").as("b_sz")), "b_id")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .join(hsh.select(col("__id").as("a_id"), col("hs").as("hs_a"), col("sz").as("a_sz")), "a_id")
+      .join(hsh.select(col("__id").as("b_id"), col("hs").as("hs_b"), col("sz").as("b_sz")), "b_id")
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jac",
         col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
       .filter(col("jac") >= threshold)
@@ -68,38 +78,94 @@ object Dedup {
 
   /** [[jaccardPairs]] over precomputed [[shingles]] — callers holding a
     * materialized shingle frame (e.g. a query plus its exact audit)
-    * skip the tokenize+shingle pass entirely. */
+    * skip the tokenize+shingle pass entirely.
+    *
+    * The inverted-index join keys on xxhash64(shingle), not the shingle
+    * string: the exchange carries fixed 8-byte longs instead of ~30-byte
+    * UTF8 n-grams (the shuffle payload is the dominant cost of the
+    * index join), and long equality beats string compare in the join
+    * itself. Shared-shingle counts are exact up to 64-bit collisions —
+    * two DIFFERENT shingles of the SAME candidate pair colliding, a
+    * ~2^-64-per-pair event that standard shingle-hashing dedup
+    * (Broder) accepts by construction. */
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
-                               maxDf: Long = 0): DataFrame = {
-    val ex0 = sh.select(col("__id"), col("sz"), explode(col("sh")).as("sg"))
-    if (maxDf <= 0) {
-      // exact: the per-pair match count over ALL shingles IS the
-      // intersection size — no second pass needed. The size-ratio
-      // prefilter is lossless for the threshold: jac >= t forces
-      // min(|A|,|B|) >= t * max(|A|,|B|) (shared <= min and
-      // shared >= t/(1+t)*(|A|+|B|)), so mismatched-size pairs drop
-      // BEFORE the aggregation instead of after.
-      val a = ex0.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
-      val b = ex0.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
-      a.join(b, Seq("sg"))
-        .filter(col("a_id") < col("b_id") &&
-          col("a_sz") >= lit(threshold) * col("b_sz") &&
-          col("b_sz") >= lit(threshold) * col("a_sz"))
-        .groupBy("a_id", "b_id", "a_sz", "b_sz")
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("jac",
-          col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
-        .filter(col("jac") >= threshold)
-        .select("a_id", "b_id", "shared", "jac")
-    } else {
+                               maxDf: Long = 0): DataFrame =
+    jaccardPairsFromHashes(hashShingles(sh), threshold, maxDf)
+
+  /** The inverted shingle index: one (doc, set-size, hashed-shingle)
+    * row per shingle occurrence. Staged callers repartition this by
+    * `sg` and checkpoint it ONCE — the checkpointed Dataset preserves
+    * its hash partitioning, so every downstream pair join on `sg`
+    * (self-join, incremental new-vs-old, candidate generation) runs
+    * WITHOUT re-exchanging the index: the one artifact a dedup
+    * pipeline shares across its whole query family. */
+  def invertedIndex(hsh: DataFrame): DataFrame =
+    hsh.select(col("__id"), col("sz"), explode(col("hs")).as("sg"))
+
+  /** [[jaccardPairsFromShingles]] over a pre-hashed [[hashShingles]]
+    * frame — callers that stage the hashed arrays skip the per-run
+    * string hashing pass entirely. */
+  def jaccardPairsFromHashes(hsh: DataFrame, threshold: Double,
+                             maxDf: Long = 0): DataFrame = {
+    val ex0 = invertedIndex(hsh)
+    if (maxDf <= 0) jaccardPairsFromIndex(ex0, threshold)
+    else {
       val dfCounts = ex0.groupBy("sg").agg(count(lit(1)).as("__df"))
       val ex = ex0.join(dfCounts.filter(col("__df") <= maxDf), "sg")
       val cand = ex.select(col("__id").as("a_id"), col("sg"))
         .join(ex.select(col("__id").as("b_id"), col("sg")), Seq("sg"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      verifyPairs(cand, sh, threshold)
+      verifyPairs(cand, hsh, threshold)
     }
+  }
+
+  /** The exact-Jaccard self-join over a (possibly pre-partitioned)
+    * [[invertedIndex]] frame. The per-pair match count over ALL
+    * shingles IS the intersection size — no second pass needed. The
+    * size-ratio prefilter is lossless for the threshold: jac >= t
+    * forces min(|A|,|B|) >= t * max(|A|,|B|) (shared <= min and
+    * shared >= t/(1+t)*(|A|+|B|)), so mismatched-size pairs drop
+    * BEFORE the aggregation instead of after. */
+  def jaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
+    val a = idx.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
+    val b = idx.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
+  }
+
+  /** [[jaccardPairsAcrossHashes]] over (possibly pre-partitioned)
+    * [[invertedIndex]] frames — the incremental shape reading the
+    * staged index: only (new, old) pairs sharing a shingle
+    * materialize, and a co-partitioned index joins with no
+    * exchange. */
+  def jaccardPairsAcrossIndex(idxNew: DataFrame, idxOld: DataFrame,
+                              threshold: Double): DataFrame = {
+    // build side = the BATCH index (bounded by the ingest window),
+    // probe side = the corpus. shuffle_hash instead of the planner's
+    // stat-blind pick: no sort of the corpus side, no driver-side
+    // broadcast collect, and a co-partitioned staged index joins with
+    // zero exchange; the per-partition hash map is batch-sized.
+    val a = idxNew.select(col("__id").as("new_id"), col("sz").as("a_sz"), col("sg"))
+      .hint("shuffle_hash")
+    val b = idxOld.select(col("__id").as("old_id"), col("sz").as("b_sz"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .groupBy("new_id", "old_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "shared", "jac")
   }
 
   /** Cross-corpus exact Jaccard pairs: each LEFT (new-batch) doc
@@ -111,21 +177,18 @@ object Dedup {
     * not the corpus square. Same lossless size-ratio prefilter as the
     * self-join variant. */
   def jaccardPairsAcrossShingles(shNew: DataFrame, shOld: DataFrame,
-                                 threshold: Double): DataFrame = {
-    val a = shNew.select(col("__id").as("new_id"), col("sz").as("a_sz"),
-      explode(col("sh")).as("sg"))
-    val b = shOld.select(col("__id").as("old_id"), col("sz").as("b_sz"),
-      explode(col("sh")).as("sg"))
-    a.join(b, Seq("sg"))
-      .filter(col("a_sz") >= lit(threshold) * col("b_sz") &&
-        col("b_sz") >= lit(threshold) * col("a_sz"))
-      .groupBy("new_id", "old_id", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
-      .filter(col("jac") >= threshold)
-      .select("new_id", "old_id", "shared", "jac")
-  }
+                                 threshold: Double): DataFrame =
+    jaccardPairsAcrossHashes(hashShingles(shNew), hashShingles(shOld),
+      threshold)
+
+  /** [[jaccardPairsAcrossShingles]] over pre-hashed [[hashShingles]]
+    * frames: the exchange carries fixed 8-byte longs instead of
+    * ~30-byte UTF8 n-grams, and staged callers skip the string-hash
+    * pass per run. */
+  def jaccardPairsAcrossHashes(hNew: DataFrame, hOld: DataFrame,
+                               threshold: Double): DataFrame =
+    jaccardPairsAcrossIndex(invertedIndex(hNew), invertedIndex(hOld),
+      threshold)
 
   /** MinHash + LSH near-dup pairs: k-hash signatures, b bands; docs
     * sharing any band bucket become candidates (buckets larger than
@@ -140,16 +203,21 @@ object Dedup {
   /** [[minhashLshPairs]] over precomputed [[shingles]]. */
   def minhashLshPairsFromShingles(sh0: DataFrame, k: Int, bands: Int,
                                   threshold: Double,
-                                  maxBucket: Long = 1000): DataFrame = {
+                                  maxBucket: Long = 1000): DataFrame =
+    minhashLshPairsFromHashes(hashShingles(sh0), k, bands, threshold,
+      maxBucket)
+
+  /** [[minhashLshPairs]] over a pre-hashed [[hashShingles]] frame: the
+    * string bytes were hashed exactly once at staging; the k
+    * permutations re-hash the longs, and candidate verification runs
+    * on the hashed sets. */
+  def minhashLshPairsFromHashes(hsh0: DataFrame, k: Int, bands: Int,
+                                threshold: Double,
+                                maxBucket: Long = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh = sh0.filter(col("sz") > 0)
-    // string bytes are hashed exactly once; the k permutations re-hash
-    // the resulting longs (separate select so the hash column is
-    // materialized per row, not re-derived per permutation)
-    val hashed = sh.select(col("__id"),
-      HashFunctions.shingleHashes(col("sh")).as("__hs"))
-    val sig = hashed.select(col("__id"),
-      HashFunctions.minhashFromHashes(col("__hs"), k).as("sig"))
+    val hsh = hsh0.filter(col("sz") > 0)
+    val sig = hsh.select(col("__id"),
+      HashFunctions.minhashFromHashes(col("hs"), k).as("sig"))
     val bandDf = sig
       .select(col("__id"),
         explode(HashFunctions.bandHashes(col("sig"), bands, k / bands)).as("bh"))
@@ -166,7 +234,7 @@ object Dedup {
         Seq("band", "h"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    verifyPairs(cand, sh, threshold)
+    verifyPairs(cand, hsh, threshold)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (<= 7):
@@ -310,12 +378,22 @@ object Dedup {
     * representative of its duplicate cluster — the step that turns
     * pairwise near-dup output into "keep one doc per cluster".
     *
-    * Distributed min-label propagation: labels start as the vertex id;
-    * each round every vertex takes the min of its own label and its
+    * Distributed min-label propagation — but ONLY over PAIR ENDPOINTS.
+    * A vertex with no edge can never change label, and in a dedup graph
+    * the endpoints are a vanishing fraction of the corpus (most docs
+    * are not near-duplicates of anything), so shuffling every vertex
+    * through every round would spend the whole loop re-asserting
+    * label = id for singletons. The loop converges over the endpoint
+    * set; singletons rejoin with label = id through one final narrow
+    * left join.
+    *
+    * Each round every endpoint takes the min of its own label and its
     * neighbors' labels (one hash shuffle on vertex id per round), until
     * a round changes nothing. Labels are localCheckpoint'ed per round —
     * without lineage truncation an iterative DataFrame loop re-executes
     * every prior round per action, turning O(rounds) into O(rounds²).
+    * Checkpoints are LAZY and each round's convergence probe is the
+    * action that materializes them: one Spark job per round, not two.
     *
     * Rounds needed = the graph diameter. Near-dup clusters are
     * quasi-cliques (every member pairs with most others — that is what
@@ -330,17 +408,25 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // the edge set is checkpointed PRE-PARTITIONED on src: every round
+    // joins labels (already id-partitioned by the previous round's
+    // groupBy) against it, so after the one staging shuffle no round
+    // ever re-exchanges an edge — at corpus scale the edge set is the
+    // wide side of the loop
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .localCheckpoint(eager = false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = false)
     // convergence probe: labels only ever DECREASE, so the label sum
     // strictly decreases iff any vertex changed — one overflow-safe
     // decimal agg over the checkpointed set instead of a per-round
-    // labels⋈labels comparison join
+    // labels⋈labels comparison join. Running the probe is ALSO what
+    // materializes the round's lazy checkpoint.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over zero rows is NULL — normalize so an empty vertex set
+      // sum over zero rows is NULL — normalize so an empty edge set
       // converges instead of NPEing on the compare
       val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
@@ -353,7 +439,7 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -363,7 +449,12 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the near-dup quasi-clique assumption")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // singletons (no edge) pass through with label = id — they never
+    // entered the loop
+    vertices.select(col(idCol).as("id"))
+      .join(labels.select(col("id").as("__eid"), col("label")),
+        col("id") === col("__eid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Members of yesterday's clusters that today's pairs touch: every
@@ -388,16 +479,21 @@ object Dedup {
     * new edges is the difference between a nightly job and a weekly
     * one.
     *
-    * Shape: (1) clusters touched by a new-edge endpoint are torn down
-    * to STAR edges (member → old label, 1 hop back to convergence);
-    * (2) those stars + the new pairs + the new batch vertices form the
-    * ACTIVE subgraph, re-converged with the same min-label loop
-    * ([[connectedComponents]] — rounds ∝ diameter of the touched
-    * region, not of the graph); (3) untouched clusters pass through
-    * label-identical, never shuffled through the loop. Old labels are
-    * min member ids, so min-label propagation over stars reproduces
-    * exactly the labels a full recompute over the union edge set would
-    * assign — the property the dd_cluster_incr oracle hash-verifies.
+    * Shape: (1) every new-pair endpoint is PROJECTED onto its prior
+    * cluster label (batch docs onto themselves) — the touched region
+    * CONTRACTS to one node per prior cluster plus the batch docs
+    * (Kiveris et al.'s star contraction, applied once: the stars are
+    * already known, they are yesterday's converged clusters); (2) the
+    * min-label loop ([[connectedComponents]]) re-converges that
+    * contracted graph — rounds ∝ the diameter of the CLUSTER graph,
+    * with whole prior clusters collapsed to single hops; (3) members
+    * inherit their root's new label through one narrow join, batch
+    * docs read theirs directly, untouched clusters pass through
+    * label-identical and never enter the loop. Old labels are min
+    * member ids, so the contracted minimum equals the minimum over
+    * all member ids — exactly the labels a full recompute over the
+    * union edge set would assign, the property the dd_cluster_incr
+    * oracle hash-verifies.
     *
     * @param newVertices today's batch vertex universe (ids unseen by
     *        `prevLabels`; known ids are ignored — their cluster
@@ -408,17 +504,32 @@ object Dedup {
                        newPairs: DataFrame, aCol: String, bCol: String,
                        maxIter: Int = 25): DataFrame = {
     val prev = prevLabels.select(col(idCol).as("id"), col(labelCol).as("label"))
+    // lazy checkpoints: both frames feed multiple branches below (the
+    // edge projection, the contracted vertex set, the untouched
+    // anti-join); the first action materializes them once, and build
+    // time runs no jobs
     val pairs = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val touched = touchedVertices(prev, "id", "label", pairs, "pa", "pb")
-      .localCheckpoint()
-    val starEdges = touched.filter(col("id") =!= col("label"))
-      .select(col("id").as("a"), col("label").as("b"))
+      .localCheckpoint(eager = false)
     val batchVerts = newVertices.select(col(newIdCol).as("id"))
       .join(prev, Seq("id"), "left_anti")
-    val activeVerts = touched.select("id").union(batchVerts).distinct()
-    val edges = starEdges.union(pairs.select(col("pa").as("a"), col("pb").as("b")))
-    val relabeled = connectedComponents(activeVerts, "id", edges, "a", "b", maxIter)
+    // contract: endpoint → its prior cluster label (old endpoints are
+    // in `touched` by construction; batch endpoints map to themselves)
+    val cEdges = pairs
+      .join(touched.select(col("id").as("pa"), col("label").as("la")), Seq("pa"), "left")
+      .join(touched.select(col("id").as("pb"), col("label").as("lb")), Seq("pb"), "left")
+      .select(coalesce(col("la"), col("pa")).as("a"),
+        coalesce(col("lb"), col("pb")).as("b"))
+    val cVerts = touched.select(col("label").as("id")).distinct()
+      .union(batchVerts)
+    val rootCC = connectedComponents(cVerts, "id", cEdges, "a", "b", maxIter)
+      .localCheckpoint(eager = false)
+    // expand: members inherit their root's re-converged label
+    val relabeled = touched
+      .join(rootCC.select(col("id").as("label"), col("cluster_id")), Seq("label"))
+      .select(col("id"), col("cluster_id"))
+      .union(batchVerts.join(rootCC, Seq("id")).select(col("id"), col("cluster_id")))
     val untouched = prev
       .join(touched.select(col("label")).distinct(), Seq("label"), "left_anti")
       .select(col("id"), col("label").as("cluster_id"))
