@@ -505,6 +505,65 @@ object IngestQueries {
       .orderBy("event_id", "off")
   }
 
+  /** The full WebSocket wire path: the reference receives binary GPS
+    * frames as BASE64 TEXT (ws_interceptor.py:97-107
+    * decode_base64_message) — unpadded on the wire, re-padded to a
+    * multiple of 4, b64-decoded, and frames that fail to decode are
+    * logged and dropped to the error lane rather than killing the
+    * stream (ws_interceptor.py:103-107). This query wraps the
+    * [[ingBinaryGps]] frame in that envelope: encode → strip padding
+    * (the wire shape) → corrupt every 97th frame with non-alphabet
+    * bytes → re-pad → `try_to_binary(_, 'base64')` (NULL on malformed,
+    * the quarantine signal) → decode. Malformed frames surface as one
+    * `off = -1` row with null coordinates — the same
+    * keep-the-evidence shape as ing_corrupt_quarantine. */
+  def ingBase64Gps(s: SparkSession, dir: String): DataFrame = {
+    val lng1 = PositionView.lonE4(col("event_id")) * 10000L
+    val lat1 = col("event_id") * 7919 % 3000 * 10000 + 3030000000L
+    val bin = unhex(concat(
+      hexLe(lng1), hexLe(lat1), hexLe(lng1 + 1), hexLe(lat1 + 1)))
+    // wire frame: base64 text transmitted unpadded; every 97th frame
+    // arrives mangled (non-alphabet bytes mid-stream)
+    val frame0 = rtrim(base64(bin), "=")
+    val quarantineRec = array(struct(
+      lit(-1).as("off"),
+      lit(null).cast("double").as("lon"),
+      lit(null).cast("double").as("lat")))
+    spreadEv(s, dir, col("event_id"))
+      .withColumn("frame",
+        when(col("event_id") % 97 === 0, concat(frame0, lit("!@")))
+          .otherwise(frame0))
+      // decode_base64_message: restore '=' padding to a multiple of 4
+      .withColumn("padded", concat(col("frame"),
+        repeat(lit("="), (lit(4) - length(col("frame")) % 4) % 4)))
+      .withColumn("bytes", try_to_binary(col("padded"), lit("base64")))
+      .select(col("event_id"), explode(
+        when(col("bytes").isNull, quarantineRec)
+          .otherwise(BinaryGpsDecode(col("bytes")))).as("c"))
+      .select(col("event_id"), col("c.off").as("off"),
+        col("c.lon").as("lon"), col("c.lat").as("lat"))
+      .orderBy("event_id", "off")
+  }
+
+  val ingBase64GpsSql: String = """
+    |WITH e AS (
+    |  SELECT event_id,
+    |    event_id * 104729 % 6000 * 10000 + 3020000000 AS lng1,
+    |    event_id * 7919 % 3000 * 10000 + 3030000000 AS lat1
+    |  FROM events),
+    |r AS (
+    |  SELECT event_id, 0 AS off,
+    |         lng1 / 100000000.0 AS lon, lat1 / 100000000.0 AS lat
+    |  FROM e WHERE event_id % 97 <> 0
+    |  UNION ALL
+    |  SELECT event_id, 8 AS off,
+    |         (lng1 + 1) / 100000000.0, (lat1 + 1) / 100000000.0
+    |  FROM e WHERE event_id % 97 <> 0
+    |  UNION ALL
+    |  SELECT event_id, -1 AS off, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    |  FROM e WHERE event_id % 97 = 0)
+    |SELECT event_id, off, lon, lat FROM r ORDER BY event_id, off""".stripMargin
+
   val ingBinaryGpsSql: String = """
     |WITH e AS (
     |  SELECT event_id,
@@ -532,6 +591,7 @@ object IngestQueries {
     "ing_routes_jsonl" -> (ingRoutesJsonl _),
     "ing_weather_json" -> (ingWeatherJson _),
     "ing_binary_gps" -> (ingBinaryGps _),
+    "ing_base64_gps" -> (ingBase64Gps _),
     "ing_dated_write" -> (ingDatedWrite _),
     "ing_upsert" -> (ingUpsert _))
 
@@ -546,6 +606,7 @@ object IngestQueries {
     "ing_routes_jsonl" -> ingRoutesJsonlSql,
     "ing_weather_json" -> ingWeatherJsonSql,
     "ing_binary_gps" -> ingBinaryGpsSql,
+    "ing_base64_gps" -> ingBase64GpsSql,
     "ing_dated_write" -> ingDatedWriteSql,
     "ing_upsert" -> ingUpsertSql)
 }

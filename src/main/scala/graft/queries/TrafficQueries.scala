@@ -407,6 +407,81 @@ object TrafficQueries {
     |  round(sum(value), 2) AS sum_value
     |FROM pos GROUP BY 1, 2, 3 ORDER BY route_id""".stripMargin
 
+  // ---- geo_map_export ----------------------------------------------------
+
+  /** The map DELIVERABLE (visualize.py:172-206 generate_html_map): the
+    * latest position per vehicle, enriched with its route label and
+    * per-vehicle average speed (0 when the vehicle has a single
+    * position — visualize.py:185-187), emitted as a GeoJSON Feature
+    * string per vehicle plus the map-center coordinates
+    * (visualize.py:189-191, mean of the latest positions). HTML
+    * rendering is presentation, out of engine scope — this query is
+    * everything the template consumes.
+    *
+    * JSON is built by explicit concatenation with printf-formatted
+    * doubles (%.4f coords / %.2f speed) so the string is
+    * deterministic and byte-identical to the oracle's — to_json field
+    * order and double formatting would otherwise differ between
+    * engines. */
+  def geoMapExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Seq((1, "tram"), (2, "trolleybus"), (3, "bus"))
+      .toDF("route_type", "route_label")
+    val latest = SpeedOps.latestPerKey(pos(s, dir), "vehicle_id",
+      Seq("ts_us", "event_id"))
+      .select("vehicle_id", "route_id", "lat", "lon", "ts_us")
+    val avgSpeed = speeds(s, dir).groupBy("vehicle_id")
+      .agg(round(avg("speed_kmh"), 2).as("avg_speed"))
+    val feat = latest
+      .withColumn("route_type", (col("route_id") % 3 + 1).cast("int"))
+      .join(broadcast(labels), "route_type")
+      .join(avgSpeed, Seq("vehicle_id"), "left")
+      .withColumn("avg_speed", coalesce(col("avg_speed"), lit(0.0)))
+    val center = feat.agg(
+      round(avg("lat"), 6).as("center_lat"),
+      round(avg("lon"), 6).as("center_lon"))
+    feat.select(
+        col("vehicle_id"),
+        concat(
+          lit("{\"type\":\"Feature\",\"id\":"), col("vehicle_id"),
+          lit(",\"geometry\":{\"type\":\"Point\",\"coordinates\":["),
+          format_string("%.4f", col("lon")), lit(","),
+          format_string("%.4f", col("lat")),
+          lit("]},\"properties\":{\"route_id\":"), col("route_id"),
+          lit(",\"route\":\""), col("route_label"),
+          lit("\",\"avg_speed\":"), format_string("%.2f", col("avg_speed")),
+          lit(",\"ts_us\":"), col("ts_us"), lit("}}")).as("feature"))
+      .crossJoin(broadcast(center))
+      .orderBy("vehicle_id")
+  }
+
+  val geoMapExportSql: String = speedsCte + """,
+    |latest AS (
+    |  SELECT vehicle_id, route_id, lat, lon, ts_us
+    |  FROM (SELECT *, row_number() OVER (PARTITION BY vehicle_id
+    |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM pos)
+    |  WHERE rn = 1),
+    |sp AS (SELECT vehicle_id, round(avg(speed_kmh), 2) AS avg_speed
+    |       FROM speeds GROUP BY 1),
+    |feat AS (
+    |  SELECT l.vehicle_id, l.route_id, l.lat, l.lon, l.ts_us,
+    |    CASE CAST(l.route_id % 3 + 1 AS INT)
+    |      WHEN 1 THEN 'tram' WHEN 2 THEN 'trolleybus' ELSE 'bus' END AS route_label,
+    |    coalesce(s.avg_speed, 0.0) AS avg_speed
+    |  FROM latest l LEFT JOIN sp s USING (vehicle_id)),
+    |c AS (SELECT round(avg(lat), 6) AS center_lat,
+    |             round(avg(lon), 6) AS center_lon FROM feat)
+    |SELECT vehicle_id,
+    |  '{"type":"Feature","id":' || vehicle_id ||
+    |  ',"geometry":{"type":"Point","coordinates":[' ||
+    |  printf('%.4f', lon) || ',' || printf('%.4f', lat) ||
+    |  ']},"properties":{"route_id":' || route_id ||
+    |  ',"route":"' || route_label ||
+    |  '","avg_speed":' || printf('%.2f', avg_speed) ||
+    |  ',"ts_us":' || ts_us || '}}' AS feature,
+    |  center_lat, center_lon
+    |FROM feat, c ORDER BY vehicle_id""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,7 +499,8 @@ object TrafficQueries {
     "ta_asof_weather" -> (taAsofWeather _),
     "ta_weather_corr" -> (taWeatherCorr _),
     "ta_speed_histogram" -> (taSpeedHistogram _),
-    "ta_route_labels" -> (taRouteLabels _))
+    "ta_route_labels" -> (taRouteLabels _),
+    "geo_map_export" -> (geoMapExport _))
 
   val oracles: Map[String, String] = Map(
     "ta_speed_lag" -> taSpeedLagSql,
@@ -441,5 +517,6 @@ object TrafficQueries {
     "ta_asof_weather" -> taAsofWeatherSql,
     "ta_weather_corr" -> taWeatherCorrSql,
     "ta_speed_histogram" -> taSpeedHistogramSql,
-    "ta_route_labels" -> taRouteLabelsSql)
+    "ta_route_labels" -> taRouteLabelsSql,
+    "geo_map_export" -> geoMapExportSql)
 }

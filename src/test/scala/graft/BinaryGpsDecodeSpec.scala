@@ -45,6 +45,22 @@ class BinaryGpsDecodeSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("base64 envelope: unpadded frames decode, mangled frames quarantine") {
+    // ing_base64_gps at sf0.001: every 97th event is a corrupt frame
+    val out = SparkEntry.queries("ing_base64_gps")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val quarantined = rows.filter(_.getInt(1) == -1)
+    val decoded = rows.filter(_.getInt(1) >= 0)
+    // every corrupt frame surfaces exactly once, with null coordinates
+    assert(quarantined.nonEmpty)
+    assert(quarantined.forall(r => r.getLong(0) % 97 == 0 && r.isNullAt(2) && r.isNullAt(3)))
+    // every intact frame yields its two records (offsets 0 and 8),
+    // proving the stripped '=' padding was restored before decode
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(_.getLong(0) % 97 != 0))
+    assert(decoded.count(_.getInt(1) == 0) === decoded.count(_.getInt(1) == 8))
+  }
+
   test("simhash64: identical feature arrays agree, disjoint ones differ") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),

@@ -24,7 +24,9 @@ class DeterminismSpec extends SparkSpec {
     // round(sum,2) series + LOCF window over the spine
     "ta_interpolate",
     // integer prefix sum through the bucketed two-phase computation
-    "tx_pack_sequences")
+    "tx_pack_sequences",
+    // printf-formatted rounded avgs (speed, map center) in the JSON
+    "geo_map_export")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -10,41 +10,26 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     import org.apache.spark.sql.functions._
-    import graft.operators.Dedup
 
-    // staged frames, as DedupQueries stages them
-    val idx = Dedup.invertedIndex(Dedup.hashShingles(
-      Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)))
-      .repartition(col("sg")).localCheckpoint(eager = false)
-    val iNew = idx.filter(col("__id") % 5 === 0)
-    val iOld = idx.filter(col("__id") % 5 =!= 0)
-    val prev = Dedup.connectedComponents(
-      Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0), "doc_id",
-      Dedup.jaccardPairsFromIndex(iOld, 0.8), "a_id", "b_id")
-      .localCheckpoint(eager = false)
-    val newPairs = Dedup.jaccardPairsAcrossIndex(iNew, iOld, 0.8)
-      .select(col("new_id").as("a_id"), col("old_id").as("b_id"))
-      .union(Dedup.jaccardPairsFromIndex(iNew, 0.8).select("a_id", "b_id"))
-      .localCheckpoint(eager = false)
-    time("stage all")(prev.join(newPairs, prev("id") === newPairs("a_id"), "left_anti"))
-
-    for (r <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val labels = Dedup.updateComponents(prev, "id", "cluster_id",
-        Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0), "doc_id",
-        newPairs, "a_id", "b_id")
-      println(f"SCRATCH build+loop r$r       ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      time(s"tail r$r") {
-        val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, "cluster_id")
-          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
-          .orderBy("doc_id")
-      }
-    }
+    val df = Seq(
+      ("ok", "SGVsbG8gV29ybGQh"),          // valid, padded-multiple already
+      ("unpadded", "SGVsbG8gV29ybGQhIQ"),  // valid but unpadded (18 chars)
+      ("corrupt", "SGVsbG8!@"),            // non-alphabet chars
+      ("short", "A")                        // un-fixable length 1 (+3 pad)
+    ).toDF("tag", "b64")
+      .withColumn("pad",
+        concat(col("b64"), repeat(lit("="), (lit(4) - length(col("b64")) % 4) % 4)))
+      .withColumn("bytes", try_to_binary(col("pad"), lit("base64")))
+      .withColumn("isnull", col("bytes").isNull)
+      .withColumn("len", length(col("bytes")))
+    df.show(false)
+    // also: does base64() emit padding, and is it plain (non-MIME)?
+    Seq(32, 8).toDF("n").select(col("n"),
+      base64(expr("repeat(cast('ab' as binary), n)"))).show(false)
     spark.stop()
   }
 }
