@@ -27,6 +27,34 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Surface the self-audit columns of the rows-only queries (recall /
+    // rel_err / n_err) as a first-class artifact: the driver's rows
+    // check sees only a count, so the quality number each approximate
+    // operator carries is aggregated here from the just-written dumps —
+    // a broken LSH shows recall_min 0.0 in audit.json instead of
+    // passing as "some rows".
+    val auditCols = Seq("recall", "rel_err", "n_err")
+    val audits = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val path = s"$outDir/$name"
+      if (!Files.exists(Paths.get(path))) None
+      else {
+        val df = spark.read.parquet(path)
+        val present = df.columns.filter(auditCols.contains)
+        if (present.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.{max, min}
+          val aggs = present.flatMap(c =>
+            Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+          val row = df.agg(aggs.head, aggs.tail: _*).head
+          val kv = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            s""""$f": ${row.get(i)}"""
+          }
+          Some(s""""$name": {${kv.mkString(", ")}}""")
+        }
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/audit.json"),
+      audits.mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -53,15 +53,48 @@ object GeoQueries {
     * linear in |positions| at fixed layer density. KyivBounds' latMax
     * bounds every synthetic latitude, which is the contract the
     * exactness guarantee needs. */
-  def geoNearestSignal(s: SparkSession, dir: String): DataFrame =
+  /** Signal count the fixed [[CellDeg]] was sized against (sf0.1:
+    * 100k events / 199 ≈ 500 signals over the Kyiv box). */
+  private val RefSignals = 500.0
+  /** Events row count memoized per (session, dir): one metadata-cheap
+    * count backs the density-adaptive cell sizing below. */
+  private val evCount = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def eventsCount(s: SparkSession, dir: String): Long = {
+    val k = (s, dir)
+    val got = evCount.get(k)
+    if (got != null) got.longValue()
+    else {
+      val n = Tables.events(s, dir).count()
+      evCount.putIfAbsent(k, n); n
+    }
+  }
+
+  def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
+    // density-adaptive grid: the signal layer GROWS with the data
+    // (|events|/199 over a fixed box), so a fixed cell size makes
+    // per-cell candidate pairs grow with density SQUARED — 10× data
+    // measured 16× (not 10×) at fixed cells. The cell shrinks with
+    // density at exponent 0.4, not the occupancy-preserving 0.5: the
+    // ring-1 resolution probability depends on the nearest-signal
+    // spacing RELATIVE to the cell, and pure sqrt scaling tightens
+    // that ratio until survivors flood the ring-widening pass (probed
+    // on 10× data: sqrt-scaled cell 29 s, 0.4-scaled 10 s, fixed cell
+    // 28 s). Exactness does not depend on the cell size (the ring
+    // lower-bound cutoff holds for any positive cellDeg), so the knob
+    // only moves work between passes.
+    val n = math.max(1L, eventsCount(s, dir) / 199)
+    val cell = math.max(0.002, math.min(0.2,
+      CellDeg * math.pow(RefSignals / n.toDouble, 0.4)))
     graft.operators.GeoNearest.nearest(
       pos(s, dir).select("event_id", "lat", "lon"),
       signals(s, dir),
-      cellDeg = CellDeg,
+      cellDeg = cell,
       originLat = GeoFunctions.KyivBounds._1,
       originLon = GeoFunctions.KyivBounds._3,
       maxAbsLatDeg = GeoFunctions.KyivBounds._2)
       .orderBy("event_id")
+  }
 
   val geoNearestSignalSql: String = {
     PositionView.oracleCte + s""",

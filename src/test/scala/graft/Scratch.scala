@@ -12,24 +12,29 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions
+    import graft.sources.PositionView
 
-    val df = Seq(
-      ("ok", "SGVsbG8gV29ybGQh"),          // valid, padded-multiple already
-      ("unpadded", "SGVsbG8gV29ybGQhIQ"),  // valid but unpadded (18 chars)
-      ("corrupt", "SGVsbG8!@"),            // non-alphabet chars
-      ("short", "A")                        // un-fixable length 1 (+3 pad)
-    ).toDF("tag", "b64")
-      .withColumn("pad",
-        concat(col("b64"), repeat(lit("="), (lit(4) - length(col("b64")) % 4) % 4)))
-      .withColumn("bytes", try_to_binary(col("pad"), lit("base64")))
-      .withColumn("isnull", col("bytes").isNull)
-      .withColumn("len", length(col("bytes")))
-    df.show(false)
-    // also: does base64() emit padding, and is it plain (non-MIME)?
-    Seq(32, 8).toDF("n").select(col("n"),
-      base64(expr("repeat(cast('ab' as binary), n)"))).show(false)
+    def nn(dir: String, cell: Double): DataFrame = {
+      val pos = PositionView.fromEvents(Tables.events(spark, dir))
+        .select("event_id", "lat", "lon")
+      val sig = PositionView.fromEvents(Tables.events(spark, dir))
+        .filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("signal_id"),
+          col("lat").as("s_lat"), col("lon").as("s_lon"))
+      graft.operators.GeoNearest.nearest(pos, sig, cellDeg = cell,
+        originLat = GeoFunctions.KyivBounds._1,
+        originLon = GeoFunctions.KyivBounds._3,
+        maxAbsLatDeg = GeoFunctions.KyivBounds._2)
+    }
+
+    for (r <- 1 to 2) {
+      for (c <- Seq(0.016, 0.02, 0.025, 0.03, 0.04, 0.05))
+        time(f"sf1 cell$c%.3f r$r")(nn("/tmp/graft-sf1", c))
+      for (c <- Seq(0.05, 0.07, 0.09))
+        time(f"sf01 cell$c%.3f r$r")(nn("/root/testdata/sf0.1", c))
+    }
     spark.stop()
   }
 }
