@@ -302,27 +302,42 @@ object TextQueries {
     * fraction of tokens that are repeats of an earlier token and the
     * share of all bigrams taken by the single most frequent bigram.
     * Exact integer ratios, left unrounded — both engines divide the
-    * same exact ints, so the doubles are bit-identical. The per-doc
-    * bigram mode is one (doc, bigram) count with map-side partial agg
-    * and one (doc) max — the same shuffle shape as tx_ngram_freq, just
-    * keyed per doc. The most-frequent bigram STRING is deliberately not
-    * emitted: mode ties would make it engine-dependent. */
+    * same exact ints, so the doubles are bit-identical. The most-
+    * frequent bigram STRING is deliberately not emitted: mode ties
+    * would make it engine-dependent.
+    *
+    * The per-doc bigram mode is computed IN-ROW: equal bigrams are
+    * adjacent after array_sort, so the mode count is a run-length max
+    * over the sorted array (one aggregate HOF) — a per-document
+    * statistic never needs a cluster-wide shuffle, and the previous
+    * (doc, bigram) groupBy exchanged every bigram string in the corpus
+    * twice to compute what each row already contains. */
   def txRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = docsSpread(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val tokenStats = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n"),
-      size(array_distinct(col("toks"))).cast("long").as("nd"))
-    val bigramStats = docsSpread(s, dir)
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("totb"))
-    tokenStats.join(bigramStats, Seq("doc_id"), "left")
+    val toksC = tokens(col("text"))
+    val bgsC = wordShingles(col("text"), 2)
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val topc = aggregate(array_sort(bgsC), init,
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docsSpread(s, dir)
+      .select(col("doc_id"),
+        size(toksC).cast("long").as("n"),
+        size(array_distinct(toksC)).cast("long").as("nd"),
+        size(bgsC).cast("long").as("totb"),
+        topc.as("topc"))
       .select(col("doc_id"),
         when(col("n") === 0, lit(null).cast("double"))
           .otherwise(lit(1.0) - col("nd").cast("double") / col("n"))
           .as("dup_token_frac"),
-        (col("topc").cast("double") / col("totb")).as("top_bigram_frac"))
+        when(col("totb") === 0, lit(null).cast("double"))
+          .otherwise(col("topc").cast("double") / col("totb"))
+          .as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -402,13 +417,22 @@ object TextQueries {
 
   def txContamination(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // The overlap join keys on xxhash64 of the 8-gram (8-byte longs
+    // through the exchange instead of ~60-byte strings; exact up to
+    // 64-bit collisions, the same documented trade as the dedup
+    // index). The tagged frame is NOT checkpointed although three
+    // branches read it: caching ~90 MB of shingle arrays costs more
+    // than re-running the codegen'd shingle pass per branch (measured
+    // 1.17 s vs 0.78 s).
     val tagged = graft.operators.Dedup
       .shingles(docs(s, dir), "doc_id", "text", ContaminationShingle)
       .withColumn("split", TextFunctions.trainSplit(col("__id")))
     val trainSh = tagged.filter(col("split") === "train")
-      .select(explode(col("sh")).as("sg")).distinct()
+      .select(explode(col("sh")).as("sg0"))
+      .select(xxhash64(col("sg0")).as("sg")).distinct()
     val hits = tagged.filter(col("split") =!= "train")
-      .select(col("__id"), explode(col("sh")).as("sg"))
+      .select(col("__id"), explode(col("sh")).as("sg0"))
+      .select(col("__id"), xxhash64(col("sg0")).as("sg"))
       .join(trainSh, Seq("sg"))
       .select(col("__id")).distinct()
       .withColumn("contaminated", lit(true))

@@ -28,6 +28,12 @@ object GenScale {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  def generate(spark: org.apache.spark.sql.SparkSession,
+               src: String, dst: String, copies: Int): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Column, DataFrame}
     import scala.jdk.CollectionConverters._
@@ -93,6 +99,5 @@ object GenScale {
       df.withColumn("vec_id", shift("vec_id", M, i))
         .withColumn("embedding", emb)
     }
-    spark.stop()
   }
 }

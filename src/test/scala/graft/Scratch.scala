@@ -16,7 +16,8 @@ object Scratch {
     import graft.functions.GeoFunctions
     import graft.sources.PositionView
 
-    def nn(dir: String, cell: Double): DataFrame = {
+    val dir = "/root/testdata/sf0.1"
+    def nn(cell: Double): DataFrame = {
       val pos = PositionView.fromEvents(Tables.events(spark, dir))
         .select("event_id", "lat", "lon")
       val sig = PositionView.fromEvents(Tables.events(spark, dir))
@@ -27,13 +28,14 @@ object Scratch {
         originLat = GeoFunctions.KyivBounds._1,
         originLon = GeoFunctions.KyivBounds._3,
         maxAbsLatDeg = GeoFunctions.KyivBounds._2)
+        .orderBy("event_id")
     }
+    def reg(): DataFrame =
+      SparkEntry.queries("geo_nearest_signal")(spark, dir)
 
-    for (r <- 1 to 2) {
-      for (c <- Seq(0.016, 0.02, 0.025, 0.03, 0.04, 0.05))
-        time(f"sf1 cell$c%.3f r$r")(nn("/tmp/graft-sf1", c))
-      for (c <- Seq(0.05, 0.07, 0.09))
-        time(f"sf01 cell$c%.3f r$r")(nn("/root/testdata/sf0.1", c))
+    for (r <- 1 to 3) {
+      time(s"fixed0.05 r$r")(nn(0.05))
+      time(s"adaptive(query) r$r")(reg())
     }
     spark.stop()
   }
