@@ -432,11 +432,15 @@ object TrafficQueries {
       .select("vehicle_id", "route_id", "lat", "lon", "ts_us")
     val avgSpeed = speeds(s, dir).groupBy("vehicle_id")
       .agg(round(avg("speed_kmh"), 2).as("avg_speed"))
+    // lazy checkpoint: the enriched latest-position frame feeds BOTH
+    // the Feature rows and the map-center aggregate — without lineage
+    // truncation the scan+window+join subtree executes once per branch
     val feat = latest
       .withColumn("route_type", (col("route_id") % 3 + 1).cast("int"))
       .join(broadcast(labels), "route_type")
       .join(avgSpeed, Seq("vehicle_id"), "left")
       .withColumn("avg_speed", coalesce(col("avg_speed"), lit(0.0)))
+      .localCheckpoint(eager = false)
     val center = feat.agg(
       round(avg("lat"), 6).as("center_lat"),
       round(avg("lon"), 6).as("center_lon"))
