@@ -55,8 +55,14 @@ object SimilarityQueries {
 
   def ssIvfTopK(s: SparkSession, dir: String): DataFrame =
     graft.operators.Audit.withRecall(
+      // nprobe = 4 of the label quantizer's 10 cells: ranks 2..k sit at
+      // the synthetic corpus's cosine noise floor, so recall scales
+      // ~ nprobe/cells no matter how good the quantizer is — 4 probes
+      // put audited recall ≈ 0.5 at 40% of the exhaustive scan (a real
+      // deployment uses C ≈ √N cells with nprobe ≪ C; the 10-cell
+      // coarseness is the testdata's, not the operator's).
       Similarity.ivfTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
-        clusterCol = "label", k = K),
+        clusterCol = "label", k = K, nprobe = 4),
       Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K),
       Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")

@@ -260,4 +260,21 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
       9L -> 9L, 20L -> 20L))
   }
+
+  test("staged dedup lineage is keyed by dir and idempotent per dir") {
+    // cache poisoning across SFs would make a same-session Verify at a
+    // second dir silently return the first dir's clusters — pin the
+    // isolation: each dir's labels cover exactly its own corpus, and
+    // repeated invocations (memo hits) reproduce the first answer
+    def clusterAt(dir: String) =
+      graft.queries.DedupQueries.ddCluster(spark, dir)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val first = clusterAt(dir).collect()
+      assert(first.length.toLong === docs,
+        s"$dir: one label row per document of THIS dir")
+      assert(clusterAt(dir).collect() === first,
+        s"$dir: memo-hit invocation must reproduce the staged answer")
+    }
+  }
 }
