@@ -58,17 +58,10 @@ object GeoQueries {
   private val RefSignals = 500.0
   /** Events row count memoized per (session, dir): one metadata-cheap
     * count backs the density-adaptive cell sizing below. */
-  private val evCount = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
-  private def eventsCount(s: SparkSession, dir: String): Long = {
-    val k = (s, dir)
-    val got = evCount.get(k)
-    if (got != null) got.longValue()
-    else {
-      val n = Tables.events(s, dir).count()
-      evCount.putIfAbsent(k, n); n
-    }
-  }
+  private def eventsCount(s: SparkSession, dir: String): Long =
+    graft.operators.Stage.value(s, dir, "events_count") {
+      java.lang.Long.valueOf(Tables.events(s, dir).count())
+    }.longValue()
 
   def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
     // density-adaptive grid: the signal layer GROWS with the data

@@ -22,8 +22,20 @@ object SimilarityQueries {
   private def querySet(s: SparkSession, dir: String): DataFrame =
     data(s, dir).filter(col("vec_id") % 50 === 0)
 
+  /** Exact brute-force top-k staged once per (session, dir) for the
+    * TWO ANN recall audits — without staging the exhaustive scan ran
+    * once per audit. The registered ss_brute_topk does NOT read this
+    * stage: a headline query's bench number must measure its own
+    * work, not a cache hit; only shared audit infrastructure stages. */
+  private def bruteBase(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stage.frame(s, dir, "ss_brute") {
+      Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id",
+        "embedding", K)
+    }
+
   def ssBruteTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K)
+    Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id",
+      "embedding", K)
       .orderBy("q_id", "rank")
 
   val ssBruteTopKSql: String = """
@@ -49,7 +61,7 @@ object SimilarityQueries {
     graft.operators.Audit.withRecall(
       Similarity.lshTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
         Dim, K),
-      Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K),
+      bruteBase(s, dir),
       Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")
 
@@ -63,7 +75,7 @@ object SimilarityQueries {
       // coarseness is the testdata's, not the operator's).
       Similarity.ivfTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding",
         clusterCol = "label", k = K, nprobe = 4),
-      Similarity.bruteTopK(data(s, dir), querySet(s, dir), "vec_id", "embedding", K),
+      bruteBase(s, dir),
       Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")
 

@@ -13,29 +13,23 @@ object Scratch {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    import graft.functions.GeoFunctions
-    import graft.sources.PositionView
+    import graft.operators.Dedup
+    import graft.functions.VectorFunctions
 
     val dir = "/root/testdata/sf0.1"
-    def nn(cell: Double): DataFrame = {
-      val pos = PositionView.fromEvents(Tables.events(spark, dir))
-        .select("event_id", "lat", "lon")
-      val sig = PositionView.fromEvents(Tables.events(spark, dir))
-        .filter(col("event_id") % 199 === 0)
-        .select(col("event_id").as("signal_id"),
-          col("lat").as("s_lat"), col("lon").as("s_lon"))
-      graft.operators.GeoNearest.nearest(pos, sig, cellDeg = cell,
-        originLat = GeoFunctions.KyivBounds._1,
-        originLon = GeoFunctions.KyivBounds._3,
-        maxAbsLatDeg = GeoFunctions.KyivBounds._2)
-        .orderBy("event_id")
-    }
-    def reg(): DataFrame =
-      SparkEntry.queries("geo_nearest_signal")(spark, dir)
+    def emb = Tables.embeddings(spark, dir)
+    def lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45)
+    def sigOnly = graft.operators.Par.spread(
+      emb.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb")))
+      .withColumn("sig", VectorFunctions.hyperplaneSigPre(col("emb"), 32, 64))
+      .select("vec_id", "sig")
 
     for (r <- 1 to 3) {
-      time(s"fixed0.05 r$r")(nn(0.05))
-      time(s"adaptive(query) r$r")(reg())
+      time(s"sig-only r$r")(sigOnly)
+      time(s"lsh-pairs r$r")(lsh)
+      time(s"registered r$r")(
+        graft.queries.DedupQueries.ddEmbeddingLsh(spark, dir))
     }
     spark.stop()
   }
