@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis block over `documents` — the LLM-pipeline signals
@@ -295,6 +295,58 @@ object TextQueries {
     |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
     |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---- tx_stratified_sample ----------------------------------------------
+
+  /** Language keep-fractions in sixteenths: downsample the dominant
+    * language, keep the rest — corpus rebalancing, the training-data
+    * counterpart of the reference's split assignment. ONE source of
+    * truth for the Spark plan and the oracle SQL. */
+  val SampleSixteenths: Seq[(String, Int)] =
+    Seq("en" -> 8, "de" -> 12, "es" -> 16, "fr" -> 16, "zh" -> 16)
+
+  /** Deterministic stratified sampling: a doc is kept iff the first
+    * hex digit of md5(doc_id) falls below its language's configured
+    * sixteenth — the same content-free hash-assignment discipline as
+    * [[txTrainSplit]] (reproducible across runs, engines and cluster
+    * sizes; no RNG, no global sort, one scan + one group-agg). Emits
+    * per-language sampled-corpus accounting: docs/tokens before and
+    * after, and the exact-integer keep rate. */
+  def txStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val b = expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1")
+    val frac = SampleSixteenths.foldRight(lit(16): Column) { case ((l, k), acc) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    graft.operators.Par.spread(
+      docs(s, dir).select("doc_id", "text", "lang"))
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("nt"),
+        (b < frac).as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("nt").as("n_tokens"),
+        sum(when(col("kept"), col("nt")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs"))
+      .orderBy("lang")
+  }
+
+  val txStratifiedSampleSql: String = {
+    val cases = SampleSixteenths.map { case (l, k) =>
+      s"WHEN '$l' THEN $k" }.mkString(" ")
+    s"""
+    |WITH d AS (
+    |  SELECT lang, len($toksSql) AS nt,
+    |    instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+    |      < CASE lang $cases ELSE 16 END AS kept
+    |  FROM documents)
+    |SELECT lang, count(*) AS n_docs,
+    |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+    |  CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+    |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+    |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- tx_repetition -----------------------------------------------------
 
   /** Repetition-based quality signals (the Gopher/MassiveText family of
@@ -479,7 +531,8 @@ object TextQueries {
     "tx_train_split" -> (txTrainSplit _),
     "tx_repetition" -> (txRepetition _),
     "tx_contamination" -> (txContamination _),
-    "tx_quality_filter" -> (txQualityFilter _))
+    "tx_quality_filter" -> (txQualityFilter _),
+    "tx_stratified_sample" -> (txStratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -493,5 +546,6 @@ object TextQueries {
     "tx_train_split" -> txTrainSplitSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_contamination" -> txContaminationSql,
-    "tx_quality_filter" -> txQualityFilterSql)
+    "tx_quality_filter" -> txQualityFilterSql,
+    "tx_stratified_sample" -> txStratifiedSampleSql)
 }
