@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import graft.plans.SimHash64
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -351,20 +351,36 @@ object Dedup {
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
     val banded = Par.spread(e.select(col("__id"), col("emb")))
       .withColumn("sig", VectorFunctions.hyperplaneSigPre(col("emb"), nBits, dim))
-      .select(col("__id"), explode(array((0 until bands).map { b =>
+      .select(col("__id"), col("sig"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("bh"))
-      .select(col("__id"), col("bh.band").as("band"), col("bh.v").as("v"))
+      .select(col("__id"), col("sig"), col("bh.band").as("band"), col("bh.v").as("v"))
     val bounded = banded
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "v")))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
-    val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"))
-      .join(bounded.select(col("band"), col("v"), col("__id").as("b_id")),
-        Seq("band", "v"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // FIRST-COLLISION dedup instead of a global distinct: a pair
+    // colliding in k bands would surface k times from the bucket join;
+    // emitting it only from the EARLIEST band whose slices agree (a
+    // pure codegen bit-ops predicate over the two signatures riding
+    // the join) makes every candidate unique by construction — the
+    // candidate-set shuffle that a distinct would cost simply never
+    // exists. (With an active maxBucket a pair whose earliest shared
+    // band was degenerate-capped is dropped rather than re-emitted by
+    // a later band — a capped bucket is non-evidence by declaration,
+    // and the recall audit column prices whatever that costs.)
+    def slice(c: Column, b: Int): Column =
+      shiftrightunsigned(c, b * r).bitwiseAND(lit(mask))
+    val earlierEq = (0 until bands - 1).map { bp =>
+      col("band") > bp && (slice(col("a_sig"), bp) === slice(col("b_sig"), bp))
+    }.reduce(_ || _)
+    val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"),
+        col("sig").as("a_sig"))
+      .join(bounded.select(col("band"), col("v"), col("__id").as("b_id"),
+        col("sig").as("b_sig")), Seq("band", "v"))
+      .filter(col("a_id") < col("b_id") && !earlierEq)
+      .select("a_id", "b_id")
     cand
       .join(e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")), "a_id")
       .join(e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb")), "b_id")
