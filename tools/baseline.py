@@ -112,6 +112,12 @@ Where the ratios come from (structure, not noise):
   DuckDB column re-derives the full chain per query; the per-query
   SQL is unchanged, so correctness still hash-verifies end to end.
 
+- `dd_incremental` oscillates around the 2x line with the measurement
+  window (DuckDB 0.24-0.30 s, Spark 0.54-0.62 s across this round's
+  runs): at a 0.3 s oracle time the gap is the fixed multi-stage floor,
+  not data work — SCALE.md shows the query growing only 2.4x on 10x
+  data, i.e. the floor amortizes exactly as the first bullet argues.
+
 Scale behavior is rehearsed separately: `BENCH_SF1.json` (see
 SCALE.md) times the heavy families on 10x data generated by
 `graft.GenScale` — per-query growth for 10x input lands between 1.2x
