@@ -241,6 +241,36 @@ object MiscQueries {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy("event_type")
 
+  // ---- st_dated_sink -----------------------------------------------------
+
+  /** The poller's end-to-end pipeline shape: the position stream lands
+    * in a date-rotated zone (StreamOps.runToDated → DatedWriter, the
+    * streaming counterpart of ing_dated_write's batch path — reference
+    * writer.py:18-57 consumes the LIVE stream, not a batch), then the
+    * landing zone is read back and audited per date. The oracle
+    * aggregates the raw events directly, so the hash proves the
+    * stream → rotated-files → read-back path loses and duplicates
+    * nothing. */
+  def stDatedSink(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft-stream-dated/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = StreamOps.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id").as("vehicle_id"),
+        timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
+        col("value"))
+    StreamOps.runToDated(s, src, "ts", out)
+    graft.sources.DatedWriter.readDated(s, out)
+      .groupBy("date_key")
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("date_key")
+  }
+
+  val stDatedSinkSql: String = """
+    |SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS date_key,
+    |  count(*) AS n, count(DISTINCT user_id) AS n_vehicles,
+    |  round(sum(value), 2) AS sum_value
+    |FROM events GROUP BY 1 ORDER BY date_key""".stripMargin
+
   // ---- st_session_window -------------------------------------------------
 
   /** Streaming session windows via the native session_window
@@ -381,6 +411,7 @@ object MiscQueries {
     "ag_approx_distinct" -> (agApproxDistinct _),
     "ag_approx_topk" -> (agApproxTopk _),
     "st_session_window" -> (stSessionWindow _),
+    "st_dated_sink" -> (stDatedSink _),
     "q_skew_join" -> (qSkewJoin _),
     "st_stream_join" -> (stStreamJoin _))
 
@@ -391,6 +422,7 @@ object MiscQueries {
     "st_stream_dedup" -> stStreamDedupSql,
     "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,
+    "st_dated_sink" -> stDatedSinkSql,
     "st_positions_parse" -> stPositionsParseSql,
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,

@@ -142,6 +142,39 @@ object StreamOps {
     * multi-second variance in UNRELATED queries. Both the partition
     * override and the unload are safe because the harness never runs
     * two streams concurrently. */
+  /** Replays a stream into a date-partitioned landing zone via
+    * foreachBatch → [[graft.sources.DatedWriter]] — the reference
+    * poller's ACTUAL pipeline shape (kpt/poller/writer.py:18-57
+    * consumes the live stream into date-rotated files; here each
+    * micro-batch appends to the dates its rows belong to). The landing
+    * dir is cleared first: the replay contract is "the backlog lands
+    * exactly once", and a stale zone would double-count. */
+  def runToDated(s: SparkSession, df: DataFrame, tsCol: String,
+                 outDir: String): Unit = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, ReplayStateParts.toString)
+    try {
+      val q = df.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sources.DatedWriter.writeDated(batch.toDF(), tsCol, outDir,
+            mode = "append")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set(key, prev)
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    }
+  }
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
