@@ -372,9 +372,12 @@ object Dedup {
     // and the recall audit column prices whatever that costs.)
     def slice(c: Column, b: Int): Column =
       shiftrightunsigned(c, b * r).bitwiseAND(lit(mask))
-    val earlierEq = (0 until bands - 1).map { bp =>
-      col("band") > bp && (slice(col("a_sig"), bp) === slice(col("b_sig"), bp))
-    }.reduce(_ || _)
+    // bands = 1 has no earlier band to collide in — guard the reduce
+    val earlierEq =
+      if (bands == 1) lit(false)
+      else (0 until bands - 1).map { bp =>
+        col("band") > bp && (slice(col("a_sig"), bp) === slice(col("b_sig"), bp))
+      }.reduce(_ || _)
     val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"),
         col("sig").as("a_sig"))
       .join(bounded.select(col("band"), col("v"), col("__id").as("b_id"),

@@ -58,6 +58,20 @@ class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(DatedWriter.readDated(spark, dir).count() === 2000)
   }
 
+  test("runToDated replay is exactly-once: a re-run never double-counts") {
+    val dir = freshDir()
+    val src = Seq(day(1, 1L), day(1, 2L), day(2, 3L)).toDF("id", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("datedsrc").toString
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    def replay(): Unit = graft.streaming.StreamOps.runToDated(spark,
+      spark.readStream.schema(src.schema).parquet(stage), "ts", dir)
+    replay(); replay() // second replay must REPLACE, not append onto, the zone
+    val back = DatedWriter.readDated(spark, dir)
+    assert(back.count() === 3)
+    assert(back.groupBy("date_key").count().orderBy("date_key")
+      .as[(String, Long)].collect().toSeq === Seq(("20240101", 2L), ("20240102", 1L)))
+  }
+
   test("a date filter reaches the scan as a partition filter") {
     val dir = freshDir()
     val df = (1 to 10).map(d => day(d, d.toLong)).toDF("id", "ts")

@@ -112,6 +112,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)       // deterministic hyperplanes: full recall here
   }
 
+  test("embeddingPairsLsh: single-band configuration plans and runs") {
+    // bands = 1 has no earlier band — the first-collision dedup
+    // predicate must degrade to "emit always", not an empty reduce
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f, 0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, nBits = 8, bands = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh === Set((1L, 2L)))
+  }
+
   test("embeddingPairs refuses a corpus above maxRows at execution time") {
     val vecs = (1L to 10L).map(i => (i, Array(i.toFloat, 1f, 0f)))
       .toDF("vec_id", "embedding")

@@ -34,6 +34,10 @@ object GenScale {
 
   def generate(spark: org.apache.spark.sql.SparkSession,
                src: String, dst: String, copies: Int): Unit = {
+    // embedding rotation shifts by the replica index — beyond the
+    // dimensionality the slice arithmetic would go negative
+    require(copies >= 1 && copies <= 64,
+      s"copies=$copies must be in [1, 64] (embedding rotation bound)")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Column, DataFrame}
     import scala.jdk.CollectionConverters._
