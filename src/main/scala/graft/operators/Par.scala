@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Shared fan-out helper. */
@@ -32,6 +32,30 @@ object Par {
     val sess = df.sparkSession
     val target = sess.conf.get("spark.sql.shuffle.partitions").toInt
     if (estimatedScanSplits(df) >= target) df else df.repartition(target)
+  }
+
+  /** Fan-out for a parse/compute stage whose final OUTPUT is ordered
+    * by `keys`: range-exchange the narrow source FIRST and let the
+    * caller finish with `sortWithinPartitions` over the full output
+    * order. A trailing `orderBy` costs the expensive lineage twice —
+    * RangePartitioning's boundary sampling executes the whole child
+    * plan (synthesis + parse) once before the real pass runs it again
+    * (profiled: the orderBy was 0.8 s of geo_osm_relation_parse's
+    * 1.24 s at sf0.1). Exchanging the narrow pre-parse rows instead
+    * makes the sample pass a bare column scan, runs the parse exactly
+    * once (post-exchange), and yields the identical total order and
+    * partition layout the orderBy would have produced — range
+    * partitions are emitted in key order and each is sorted within.
+    * Unconditional (unlike `spread`): an ordered result needs the
+    * range exchange regardless of how many splits the scan has. */
+  def spreadOrdered(df: DataFrame, keys: Column*): DataFrame = {
+    // explicit partition count: a bare repartitionByRange lets AQE
+    // coalesce the (narrow, tiny) pre-parse shuffle down to one
+    // partition — which then serializes the expensive parse stage the
+    // exchange exists to parallelize (measured: geo_osm_relation_parse
+    // 1.24 -> 1.89 s before pinning)
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(target, keys: _*)
   }
 
   /** Estimated effective input splits of `df`'s scan: MAX over source

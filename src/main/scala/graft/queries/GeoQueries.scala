@@ -169,10 +169,11 @@ object GeoQueries {
     val nodeSchema = StructType.fromDDL(
       "_id BIGINT, _lat BIGINT, _lon BIGINT, " +
         "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
-    graft.operators.Par.spread(
-      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
+    graft.operators.Par.spreadOrdered(
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+      col("event_id"))
       .select(col("event_id"),
-        from_xml(col("x"), nodeSchema).as("w"))
+        from_xml(xml, nodeSchema).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("osm_id"),
@@ -183,7 +184,7 @@ object GeoQueries {
       .select(col("event_id"), col("osm_id"), col("lat"), col("lon"),
         col("tags")("highway").as("highway"),
         col("tags")("ref").as("ref_user"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val geoOsmXmlParseSql: String = """
@@ -210,9 +211,10 @@ object GeoQueries {
     val waySchema = StructType.fromDDL(
       "_id BIGINT, nd ARRAY<STRUCT<_ref: BIGINT>>, " +
         "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
-    graft.operators.Par.spread(
-      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
-      .select(col("event_id"), from_xml(col("x"), waySchema).as("w"))
+    graft.operators.Par.spreadOrdered(
+      Tables.events(s, dir).select(col("event_id"), col("event_type")),
+      col("event_id"))
+      .select(col("event_id"), from_xml(xml, waySchema).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("way_id"),
@@ -221,7 +223,7 @@ object GeoQueries {
         element_at(col("w.nd"), -1).getField("_ref").as("last_ref"),
         map_from_entries(transform(col("w.tag"),
           t => struct(t.getField("_k"), t.getField("_v"))))("highway").as("highway"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val geoOsmWayParseSql: String = """
@@ -253,9 +255,10 @@ object GeoQueries {
     val relSchema = StructType.fromDDL(
       "_id BIGINT, member ARRAY<STRUCT<_type: STRING, _ref: BIGINT, _role: STRING>>, " +
         "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
-    graft.operators.Par.spread(
-      Tables.events(s, dir).select(col("event_id"), xml.as("x")))
-      .select(col("event_id"), from_xml(col("x"), relSchema).as("w"))
+    graft.operators.Par.spreadOrdered(
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+      col("event_id"))
+      .select(col("event_id"), from_xml(xml, relSchema).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("relation_id"),
@@ -270,7 +273,7 @@ object GeoQueries {
         col("member_types"), col("first_ref"), col("last_ref"), col("roles"),
         col("tags")("type").as("rel_type"),
         col("tags")("route_ref").as("route_ref"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val geoOsmRelationParseSql: String = """
@@ -292,8 +295,8 @@ object GeoQueries {
     * coordinates survive bit-exactly, so the oracle checks the parsed
     * FIELDS and formatting cancels out. */
   def geoGeojsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val p = graft.operators.Par.spread(
-      pos(s, dir).select("event_id", "lat", "lon", "event_type"))
+    val p = graft.operators.Par.spreadOrdered(
+      pos(s, dir).select("event_id", "lat", "lon", "event_type"), col("event_id"))
     val feature = to_json(struct(
       lit("Feature").as("type"),
       col("event_id").as("id"),
@@ -312,7 +315,7 @@ object GeoQueries {
         col("f.geometry.coordinates").getItem(0).as("lon"),
         col("f.geometry.coordinates").getItem(1).as("lat"),
         col("f.properties.highway").as("highway"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val geoGeojsonRoundtripSql: String = PositionView.oracleCte + """

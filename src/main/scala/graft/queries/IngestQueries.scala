@@ -32,14 +32,23 @@ object IngestQueries {
   private def spreadEv(s: SparkSession, dir: String, cols: Column*): DataFrame =
     graft.operators.Par.spread(events(s, dir).select(cols: _*))
 
+  /** spreadEv for parse queries whose output is ordered by event_id
+    * (+ parse-generated secondary keys): range-exchange the narrow
+    * source ONCE up front and finish with sortWithinPartitions instead
+    * of orderBy — same total order, but the orderBy's range-boundary
+    * sampling would re-execute the whole synthesis+parse lineage (see
+    * Par.spreadOrdered). */
+  private def spreadEvOrdered(s: SparkSession, dir: String, cols: Column*): DataFrame =
+    graft.operators.Par.spreadOrdered(events(s, dir).select(cols: _*), col("event_id"))
+
   // ---- ing_json_props ----------------------------------------------------
 
   def ingJsonProps(s: SparkSession, dir: String): DataFrame =
-    spreadEv(s, dir, col("event_id"), col("props")).select(
+    spreadEvOrdered(s, dir, col("event_id"), col("props")).select(
       col("event_id"),
       from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").as("k"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
 
   val ingJsonPropsSql: String = """
     |SELECT event_id,
@@ -62,7 +71,7 @@ object IngestQueries {
     val schema = StructType.fromDDL(
       "vehicle_id BIGINT, route_id BIGINT, lat_e4 BIGINT, " +
         "lon_e4 BIGINT, direction BIGINT, flag BIGINT, ts_sec BIGINT")
-    spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
+    spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("ts"))
       .select(col("event_id"), from_csv(line, schema, Map.empty[String, String]).as("p"))
       .select(
         col("event_id"),
@@ -73,7 +82,7 @@ object IngestQueries {
         col("p.direction").as("direction"),
         col("p.flag").as("flag"),
         col("p.ts_sec").as("ts_sec"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val ingCsvPositionsSql: String = """
@@ -104,7 +113,7 @@ object IngestQueries {
       lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
       lit(",\"t\":\""), col("event_type"), lit("\"}]"))
     val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
-    spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
+    spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(
         col("event_id"),
@@ -114,7 +123,7 @@ object IngestQueries {
           .as("p"))
       .select(col("event_id"), col("evt_name"),
         col("p.id").as("payload_id"), col("p.t").as("payload_t"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val ingSocketioParseSql: String = """
@@ -154,7 +163,7 @@ object IngestQueries {
       concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
       .otherwise(goodFrame)
     val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
-    spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
+    spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(col("frame"),
         regexp_extract(col("frame"), pattern, 1).as("evt_name"),
@@ -367,9 +376,9 @@ object IngestQueries {
   def ingJsonlPositions(s: SparkSession, dir: String): DataFrame = {
     // spread before the per-row synthesis + JSON parse (single-split source)
     val parsed = graft.sources.PositionLog.parseLines(
-      spreadEv(s, dir, col("event_id"), col("user_id"), col("ts"))
+      spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("ts"))
         .select(col("event_id"), positionEnvelopeLine.as("line")), col("line"))
-    positionEnvelopeProjection(parsed).orderBy("event_id", "pos_idx")
+    positionEnvelopeProjection(parsed).sortWithinPartitions("event_id", "pos_idx")
   }
 
   val ingJsonlPositionsSql: String = """
@@ -408,11 +417,11 @@ object IngestQueries {
       routeJson(col("user_id")), lit(","), routeJson(col("user_id") + 100),
       lit("]}"))
     val parsed = graft.sources.PositionLog.parseRouteLines(
-      spreadEv(s, dir, col("event_id"), col("user_id"))
+      spreadEvOrdered(s, dir, col("event_id"), col("user_id"))
         .select(col("event_id"), line.as("line")), col("line"))
     parsed.select("event_id", "poll_number", "route_count", "route_idx",
       "route_id", "route_number", "route_type")
-      .orderBy("event_id", "route_idx")
+      .sortWithinPartitions("event_id", "route_idx")
   }
 
   val ingRoutesJsonlSql: String = """
@@ -449,7 +458,7 @@ object IngestQueries {
     val schema = StructType.fromDDL(
       "latitude DOUBLE, longitude DOUBLE, elevation DOUBLE, timezone STRING, " +
         "hourly STRUCT<time: ARRAY<BIGINT>, temperature_2m: ARRAY<BIGINT>>")
-    spreadEv(s, dir, col("event_id"), col("ts"))
+    spreadEvOrdered(s, dir, col("event_id"), col("ts"))
       .select(col("event_id"), from_json(json, schema).as("w"))
       .select(col("event_id"), col("w.latitude").as("latitude"),
         posexplode(arrays_zip(col("w.hourly.time"), col("w.hourly.temperature_2m")))
@@ -457,7 +466,7 @@ object IngestQueries {
       .select(col("event_id"), col("idx"), col("latitude"),
         col("h.time").as("hour_epoch"),
         (col("h.temperature_2m") / 10.0).as("temp_c"))
-      .orderBy("event_id", "idx")
+      .sortWithinPartitions("event_id", "idx")
   }
 
   val ingWeatherJsonSql: String = """
@@ -498,11 +507,11 @@ object IngestQueries {
     val lat1 = col("event_id") * 7919 % 3000 * 10000 + 3030000000L
     val bin = unhex(concat(
       hexLe(lng1), hexLe(lat1), hexLe(lng1 + 1), hexLe(lat1 + 1)))
-    spreadEv(s, dir, col("event_id"))
+    spreadEvOrdered(s, dir, col("event_id"))
       .select(col("event_id"), explode(BinaryGpsDecode(bin)).as("c"))
       .select(col("event_id"), col("c.off").as("off"),
         col("c.lon").as("lon"), col("c.lat").as("lat"))
-      .orderBy("event_id", "off")
+      .sortWithinPartitions("event_id", "off")
   }
 
   /** The full WebSocket wire path: the reference receives binary GPS
@@ -529,7 +538,7 @@ object IngestQueries {
       lit(-1).as("off"),
       lit(null).cast("double").as("lon"),
       lit(null).cast("double").as("lat")))
-    spreadEv(s, dir, col("event_id"))
+    spreadEvOrdered(s, dir, col("event_id"))
       .withColumn("frame",
         when(col("event_id") % 97 === 0, concat(frame0, lit("!@")))
           .otherwise(frame0))
@@ -542,7 +551,7 @@ object IngestQueries {
           .otherwise(BinaryGpsDecode(col("bytes")))).as("c"))
       .select(col("event_id"), col("c.off").as("off"),
         col("c.lon").as("lon"), col("c.lat").as("lat"))
-      .orderBy("event_id", "off")
+      .sortWithinPartitions("event_id", "off")
   }
 
   val ingBase64GpsSql: String = """
