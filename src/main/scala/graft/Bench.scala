@@ -93,6 +93,12 @@ object Bench {
     // the contaminated one (a tight re-run is the distrust resolved;
     // a loose one keeps the flag). Requeued names are published.
     val requeued = scala.collection.mutable.ListBuffer[String]()
+    // pre-requeue minima for every requeued query: extra back-to-back
+    // samples can only LOWER a min-of-N, so publishing the original
+    // minimum next to the final one quantifies what the re-measurement
+    // bought — the consumer sees the effect instead of trusting that
+    // selective re-runs didn't bias the flagged queries downward
+    val premin = scala.collection.mutable.Map[String, Double]()
     if (repeats >= 2) {
       val unstable = selected.filter { case (name, _) =>
         val steady = times(name).filter(_._1 >= 2).map(_._2)
@@ -100,6 +106,7 @@ object Bench {
       }
       unstable.foreach { case (name, fn) =>
         requeued += name
+        premin(name) = times(name).map(_._2).min
         // demote ALL original samples to round 1: they still feed the
         // min (which therefore can only drop), while the spread basis
         // becomes the re-runs alone
@@ -135,20 +142,23 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    // field order matters: stdout truncation between here and the driver's
-    // artifact keeps the TAIL (round 6 lost the minima and kept the spread,
-    // which reads exactly like per-query times). Emit diagnostics first and
-    // the authoritative minima map + total LAST so the surviving suffix is
-    // always self-describing.
     val requeuedJson = requeued.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"queries":$qs,"value":${f3(total)}}"""
-    // stdout can get truncated between here and the driver's artifact
-    // (BENCH_r05 lost its head mid-JSON); persist the authoritative copy
-    // to disk as well so the full line always survives the round
+    val preminJson = requeued.map(n => "\"" + n + "\":" + f3(premin(n)))
+      .mkString("{", ",", "}")
+    // FULL artifact (spread map included) goes to disk: stdout between
+    // here and the driver's BENCH_r* capture gets tail-truncated (round
+    // 6 lost the minima; round 10's capture cut the first 14 query
+    // entries out of the single long line and json-parsed to null)
+    val full = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"queries":$qs,"value":${f3(total)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    // stdout gets ONE COMPACT line (no spread map — that halves the
+    // length) so the driver's bounded tail capture holds the complete
+    // JSON: every per-query minimum plus the total, self-contained.
+    // Diagnostics beyond errors/warmup/requeue live in the disk copy.
+    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"queries":$qs,"value":${f3(total)}}"""
     println(json)
     System.out.flush()
     spark.stop()

@@ -356,30 +356,43 @@ object Dedup {
           shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("bh"))
       .select(col("__id"), col("sig"), col("bh.band").as("band"), col("bh.v").as("v"))
-    val bounded = banded
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "v")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // per-row bucket survival + per-DOC survived-band bitmask: bit b of
+    // okMask says "this doc's band-b bucket was not degenerate-capped".
+    // The mask rides the bucket join so the first-collision predicate
+    // below can skip capped bands — one extra narrow window shuffle on
+    // __id (id, sig, band, v — no embedding payloads).
+    val counted = banded
+      .withColumn("__ok", count(lit(1)).over(Window.partitionBy("band", "v")) <= maxBucket)
+    val bounded = counted
+      .withColumn("okMask",
+        sum(when(col("__ok"), expr("shiftleft(1L, cast(band as int))"))
+          .otherwise(lit(0L))).over(Window.partitionBy("__id")))
+      .filter(col("__ok"))
+      .drop("__ok")
     // FIRST-COLLISION dedup instead of a global distinct: a pair
     // colliding in k bands would surface k times from the bucket join;
-    // emitting it only from the EARLIEST band whose slices agree (a
-    // pure codegen bit-ops predicate over the two signatures riding
-    // the join) makes every candidate unique by construction — the
+    // emitting it only from the EARLIEST band that (a) has agreeing
+    // slices and (b) SURVIVED the bucket cap (a pure codegen bit-ops
+    // predicate over the two signatures + the survived mask riding the
+    // join) makes every candidate unique by construction — the
     // candidate-set shuffle that a distinct would cost simply never
-    // exists. (With an active maxBucket a pair whose earliest shared
-    // band was degenerate-capped is dropped rather than re-emitted by
-    // a later band — a capped bucket is non-evidence by declaration,
-    // and the recall audit column prices whatever that costs.)
+    // exists. The survived bit matters: without it, a pair whose
+    // earliest agreeing band was degenerate-capped would be dropped
+    // outright instead of re-emitted by a later surviving band — a
+    // recall hole the cap was never meant to open. Agreeing slices put
+    // both docs in the SAME bucket, so one side's mask bit decides.
     def slice(c: Column, b: Int): Column =
       shiftrightunsigned(c, b * r).bitwiseAND(lit(mask))
     // bands = 1 has no earlier band to collide in — guard the reduce
     val earlierEq =
       if (bands == 1) lit(false)
       else (0 until bands - 1).map { bp =>
-        col("band") > bp && (slice(col("a_sig"), bp) === slice(col("b_sig"), bp))
+        col("band") > bp &&
+          (slice(col("a_sig"), bp) === slice(col("b_sig"), bp)) &&
+          (shiftrightunsigned(col("a_mask"), bp).bitwiseAND(lit(1L)) === 1L)
       }.reduce(_ || _)
     val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"),
-        col("sig").as("a_sig"))
+        col("sig").as("a_sig"), col("okMask").as("a_mask"))
       .join(bounded.select(col("band"), col("v"), col("__id").as("b_id"),
         col("sig").as("b_sig")), Seq("band", "v"))
       .filter(col("a_id") < col("b_id") && !earlierEq)

@@ -28,8 +28,42 @@ object Stage {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), AnyRef]()
 
+  /** Drops every entry owned by a session whose SparkContext has
+    * stopped. Checkpointed frames of a dead context are unreadable AND
+    * unreclaimable while the memo pins them — across a many-session
+    * test suite that is a slow executor-block leak. Runs automatically
+    * on every memo access (the map is small: one entry per staged
+    * artifact), so a long-lived JVM self-heals without anyone calling
+    * [[evict]]. Entries of a still-running session are never touched —
+    * a context-sharing sibling session keeps its stages. */
+  private def purgeStopped(): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Explicitly releases all stages of `s` (e.g. a service swapping
+    * input dirs mid-session, or a suite tearing a session down while
+    * its context lives on). Dropping the map references is the whole
+    * job: localCheckpoint blocks are reclaimed by the ContextCleaner
+    * once the RDDs become unreachable. Returns entries removed. */
+  def evict(s: SparkSession): Int = {
+    var n = 0
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq s) { it.remove(); n += 1 }
+    n
+  }
+
+  /** Staged-entry count for `s` — observability + spec probe. */
+  def entriesFor(s: SparkSession): Int = {
+    var n = 0
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq s) n += 1
+    n
+  }
+
   private def memo[T <: AnyRef](s: SparkSession, dir: String, key: String)
                                (build: => T): T = {
+    purgeStopped()
     val k = (s, dir, key)
     val existing = cache.get(k)
     if (existing != null) existing.asInstanceOf[T]

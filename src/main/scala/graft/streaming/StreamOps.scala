@@ -129,6 +129,10 @@ object StreamOps {
   val ReplayStateParts: Int =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
 
+  /** Marker file naming a directory as a [[runToDated]] landing zone —
+    * the only kind of directory its pre-replay clear may delete. */
+  val DatedZoneMarker = "_GRAFT_DATED_ZONE"
+
   /** Runs a finite streaming query to a memory sink and returns the
     * sink table. AvailableNow processes the full backlog then stops —
     * the batch-replay harness for stream operators.
@@ -148,15 +152,36 @@ object StreamOps {
     * consumes the live stream into date-rotated files; here each
     * micro-batch appends to the dates its rows belong to). The landing
     * dir is cleared first: the replay contract is "the backlog lands
-    * exactly once", and a stale zone would double-count. */
+    * exactly once", and a stale zone would double-count.
+    *
+    * The recursive clear REFUSES any target that is not a landing zone
+    * this writer created (marker file) and not empty/absent: a miswired
+    * outDir (testdata, a shared dir) must error, never be silently
+    * wiped. */
   def runToDated(s: SparkSession, df: DataFrame, tsCol: String,
                  outDir: String): Unit = {
-    val root = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(root)) {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(outDir)
+    val marker = root.resolve(DatedZoneMarker)
+    if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      val entries = Files.list(root).iterator().asScala.toList
+      // marker-less acceptance for zones predating the marker: every
+      // entry is a date_key= partition dir or a _/. bookkeeping file —
+      // a testdata dir (bare *.parquet files) or any shared dir fails
+      val looksDated = entries.forall { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".") ||
+          (n.startsWith("date_key=") && Files.isDirectory(p))
+      }
+      require(entries.isEmpty || Files.exists(marker) || looksDated,
+        s"runToDated: refusing to clear '$outDir' — non-empty, missing the " +
+          s"$DatedZoneMarker marker and not shaped like a dated landing zone")
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
     }
+    Files.createDirectories(root)
+    Files.createFile(marker)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, ReplayStateParts.toString)
