@@ -152,7 +152,12 @@ object MiscQueries {
     * transforms, so no watermark or state store is involved and the
     * identical code runs against a socket/Kafka source. */
   def stPositionsParse(s: SparkSession, dir: String): DataFrame = {
-    val lines = StreamOps.eventsStream(s, dir)
+    // spread the narrow source rows across the session parallelism
+    // INSIDE the stream: the micro-batch inherits the single-file
+    // backlog's one split, which would pin the whole parse on one core
+    val lines = StreamOps.spreadStream(
+      StreamOps.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts")))
       .select(col("event_id"),
         IngestQueries.positionEnvelopeLine.as("line"))
     val parsed = IngestQueries.positionEnvelopeProjection(
