@@ -46,16 +46,34 @@ object Multimodal {
   }
 
   /** STUB — deterministic fake for the media decode / feature-extract
-    * step (no codecs in this container). Emits a stable pseudo-feature
-    * vector derived from the bytes so downstream schema/partition logic
-    * is exercised end-to-end. A real deployment replaces this body with
-    * an actual decoder; the signature (binary -> array<double>) is the
-    * contract. */
-  def decodeFeaturesStub(bin: Column): Column =
+    * step (no codecs in this container). Emits byte-summary features
+    * (length, mean byte value, fraction of bytes above 0x20) computed
+    * from the raw bytes in one aggregate pass, so downstream
+    * schema/partition logic is exercised end-to-end AND the output is
+    * SQL-expressible — DuckDB reproduces the same three numbers from
+    * the text, which upgrades mm_decode_features from a rows-only
+    * check to a hash-verified one (the previous crc32/xxhash64 fake
+    * had no oracle counterpart). A real deployment replaces this body
+    * with an actual decoder; the signature (binary -> array<double>)
+    * is the contract. */
+  def decodeFeaturesStub(bin: Column): Column = {
+    // byte values via hex slice -> int: stays in the binary domain
+    // (no charset assumption), codegen-friendly HOFs only
+    val bytes = transform(sequence(lit(1), length(bin)),
+      i => conv(hex(bin.substr(i, lit(1))), 16, 10).cast("long"))
+    val acc = aggregate(bytes,
+      struct(lit(0L).as("s"), lit(0L).as("k")),
+      (a, b) => struct(
+        (a.getField("s") + b).as("s"),
+        (a.getField("k") + when(b > 32, 1L).otherwise(0L)).as("k")))
+    // empty payload -> all-zero features (an array<double> contract
+    // cannot carry nulls through typed consumers)
+    val n = nullif(length(bin).cast("long"), lit(0L))
     array(
       length(bin).cast("double"),
-      (crc32(bin) % 1000000L).cast("double") / 1000000.0,
-      (xxhash64(bin) % 1000000L).cast("double") / 1000000.0)
+      coalesce(acc.getField("s").cast("double") / n, lit(0.0)),
+      coalesce(acc.getField("k").cast("double") / n, lit(0.0)))
+  }
 
   /** Resize planning: aspect-preserving fit of (w, h) so the LONG side
     * becomes `target`, plus the tile-batch shape a vision encoder

@@ -25,6 +25,18 @@ object DedupQueries {
     * within 1e-5 of the cut. */
   val CosineThreshold = 0.45
 
+  /** Deterministic ordering for the family's SMALL deliverables (pair
+    * lists, duplicate-cluster summaries — orders of magnitude smaller
+    * than the corpus at any scale): a one-partition sort instead of
+    * orderBy, whose range-boundary sampling executes the result
+    * lineage's final stage twice just to pick boundaries for a frame
+    * AQE would coalesce to one partition anyway (measured 0.48 ->
+    * 0.31 s on dd_incremental at sf0.1). Per-document outputs
+    * (dd_exact, dd_cluster) keep orderBy — they scale with the
+    * corpus. */
+  private def sortSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   def ddExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("fp")
@@ -50,7 +62,7 @@ object DedupQueries {
         Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)))
         .repartition(col("sg")),
       JaccardThreshold)
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
 
   val ddNgramJaccardSql: String = """
     |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -113,6 +125,9 @@ object DedupQueries {
     * and the candidate joins all consume it without re-exchanging a
     * single index row — the shuffle that dominated the round-9 bench
     * for this family happens once, at staging. */
+  private[queries] def labIndex(s: SparkSession, dir: String): DataFrame =
+    shingleIndex(s, dir)
+
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "index") {
       Dedup.invertedIndex(hashedShingles(s, dir)).repartition(col("sg"))
@@ -132,14 +147,14 @@ object DedupQueries {
         k = 64, bands = 16, threshold = JaccardThreshold),
       exactJaccard(s, dir),
       Seq("a_id", "b_id"))
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Audit.withRecall(
       Dedup.simhashPairsFromShingles(docShingles(s, dir), maxHamming = 7),
       exactJaccard(s, dir),
       Seq("a_id", "b_id"))
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
 
   /** Exact all-pairs cosine pairs staged once for the
     * dd_embedding_lsh recall audit. The registered dd_embedding does
@@ -155,7 +170,7 @@ object DedupQueries {
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       CosineThreshold)
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
 
   /** The LSH-routed embedding near-dup (the scale path; see the
     * embeddingPairs scaladoc for why the exact baseline cannot be
@@ -167,7 +182,7 @@ object DedupQueries {
       Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = SimilarityQueries.Dim, threshold = CosineThreshold),
       embExactPairs(s, dir), Seq("a_id", "b_id"))
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
 
   /** Duplicate-cluster assignment: connected components over the exact
     * Jaccard pair graph — every doc labeled with the minimum doc_id
@@ -216,7 +231,7 @@ object DedupQueries {
       .filter(col("n_docs") > 1)
       .select(col("cluster_id").as("keep_id"), col("n_docs"),
         col("bytes_total"), col("bytes_dropped"))
-      .orderBy("keep_id")
+      .transform(sortSmall(_, "keep_id"))
   }
 
   val ddKeepListSql: String = """
@@ -260,7 +275,7 @@ object DedupQueries {
       idx.filter(col("__id") % 5 === 0),
       idx.filter(col("__id") % 5 =!= 0),
       JaccardThreshold)
-      .orderBy("new_id", "old_id")
+      .transform(sortSmall(_, "new_id", "old_id"))
   }
 
   /** Incremental CLUSTER maintenance (Dedup.updateComponents): the

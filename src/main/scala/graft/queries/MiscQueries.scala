@@ -203,15 +203,30 @@ object MiscQueries {
   // ---- mm_decode_features ------------------------------------------------
 
   /** Drives the documented decode STUB through the registry so the
-    * swap-in point for a real codec is exercised end-to-end (rows-only:
-    * the fake features are hash-derived). */
+    * swap-in point for a real codec is exercised end-to-end. The
+    * byte-summary fake features (length / mean byte / inked fraction)
+    * are reproducible from the text in DuckDB, so this is
+    * hash-verified — integer sums divided as doubles are IEEE-
+    * identical across engines. */
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame =
     payloads(s, dir)
       .select(col("doc_id"),
         Multimodal.decodeFeaturesStub(col("payload")).as("features"))
       .select(col("doc_id"), col("features").getItem(0).as("f_len"),
-        col("features").getItem(1).as("f_crc"), col("features").getItem(2).as("f_hash"))
+        col("features").getItem(1).as("f_mean"), col("features").getItem(2).as("f_ink"))
       .orderBy("doc_id")
+
+  val mmDecodeFeaturesSql: String = """
+    |WITH b AS (
+    |  SELECT doc_id, length(text) AS n,
+    |    list_transform(range(1, length(text) + 1),
+    |                   i -> ord(substring(text, i, 1))) AS bs
+    |  FROM documents)
+    |SELECT doc_id,
+    |  CAST(n AS DOUBLE) AS f_len,
+    |  coalesce(CAST(list_sum(bs) AS DOUBLE) / nullif(n, 0), 0.0) AS f_mean,
+    |  coalesce(CAST(len(list_filter(bs, x -> x > 32)) AS DOUBLE) / nullif(n, 0), 0.0) AS f_ink
+    |FROM b ORDER BY doc_id""".stripMargin
 
   // ---- ag_approx_quantile ------------------------------------------------
 
@@ -432,5 +447,6 @@ object MiscQueries {
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,
     "st_session_window" -> stSessionWindowSql,
-    "mm_resize_plan" -> mmResizePlanSql)
+    "mm_resize_plan" -> mmResizePlanSql,
+    "mm_decode_features" -> mmDecodeFeaturesSql)
 }

@@ -72,6 +72,21 @@ class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[(String, Long)].collect().toSeq === Seq(("20240101", 2L), ("20240102", 1L)))
   }
 
+  test("runToDated refuses to clear a directory that is not a landing zone") {
+    val dir = java.nio.file.Files.createTempDirectory("notazone")
+    java.nio.file.Files.writeString(dir.resolve("precious.parquet"), "data")
+    val src = Seq(day(1, 1L)).toDF("id", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("datedsrc2").toString
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.runToDated(spark,
+        spark.readStream.schema(src.schema).parquet(stage), "ts", dir.toString)
+    }
+    assert(e.getMessage.contains("refusing to clear"))
+    // the miswired target survives untouched
+    assert(java.nio.file.Files.exists(dir.resolve("precious.parquet")))
+  }
+
   test("a date filter reaches the scan as a partition filter") {
     val dir = freshDir()
     val df = (1 to 10).map(d => day(d, d.toLong)).toDF("id", "ts")
