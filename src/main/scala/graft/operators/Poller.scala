@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Poll event for the stateful lifecycle operator. */
+case class PollEvent(event_id: Long, client_id: Long, ts_us: Long, outcome: String)
+
+/** Per-client state: `consec` is the reset-at-threshold poll-failure
+  * counter, `runPos` the position inside the current failure run
+  * (resets only on success — drives the exponential backoff). */
+case class PollState(consec: Int, runPos: Int)
+
+/** Control action derived for one failed poll. */
+case class PollAction(client_id: Long, event_id: Long, outcome: String,
+                      consec_failures: Long, session_refresh: Boolean,
+                      reconnect_delay_s: Double)
+
+/** Poller failure-handling lifecycle as a DATA transform — the control
+  * decisions of the reference's runtime loops derived from a poll
+  * outcome log.
+  *
+  * Reference semantics (kpt/poller):
+  *  - poller.py:139-187 `_poll_loop`: `consecutive_failures` increments
+  *    on every failure, resets on success; a 403 (`CookiesExpiredError`,
+  *    poller.py:172-177) refreshes the session immediately; at
+  *    `max_consecutive_failures = 3` (config.py:105) the session is
+  *    refreshed and the counter resets (poller.py:184-187).
+  *  - poller.py:30-48 / websocket_client.py:333-374 reconnect backoff:
+  *    delay starts at `base_delay = 5.0`, doubles per consecutive
+  *    failure, capped at `max_delay = 300.0` (config.py:81-82), resets
+  *    on success.
+  *
+  * Both counters have closed forms over the failure-run position `pos`
+  * (1-based index of the failure within its maximal run of consecutive
+  * failures): `consec = ((pos-1) mod 3) + 1` (the mod captures the
+  * reset-at-threshold) and `delay = min(5·2^(pos-1), 300)`. That makes
+  * the whole lifecycle window-expressible — one shuffle on client_id —
+  * which is [[lifecycle]]; [[PollLifecycle.assign]] is the same state
+  * machine as literal streaming state (flatMapGroupsWithState), the
+  * form that runs against the live feed. Both are verified against the
+  * same DuckDB oracle.
+  */
+object Poller {
+
+  /** Deterministic poll-outcome derivation from the events table:
+    * 'error' events are failed polls, a fifth of them expired-cookie
+    * 403s; everything else is a successful poll. */
+  def outcomeCol: Column =
+    when(col("event_type") === "error",
+      when(col("event_id") % 5 === 0, lit("http_403")).otherwise(lit("fail")))
+      .otherwise(lit("ok"))
+
+  /** Batch lifecycle: per failed poll, the consecutive-failure count,
+    * whether the poller refreshes the session (threshold hit or 403),
+    * and the reconnect backoff delay.
+    *
+    * Single shuffle on client_id: the failure-run position is computed
+    * with two window passes over the SAME (partition, order) spec —
+    * `fails_so_far` and the last success's value of it — so the second
+    * pass reuses the first's exchange and sort rather than
+    * re-partitioning by (client, run) as the naive two-key window
+    * would. At 100 TB this is one hash exchange of (client, ts)
+    * tuples; state per task is one running count.
+    *
+    * `events` must carry client_id, event_id, ts_us, outcome. */
+  def lifecycle(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isFail = col("outcome") =!= "ok"
+    events
+      .withColumn("fails_so_far", sum(when(isFail, 1L).otherwise(0L)).over(w))
+      .withColumn("fails_at_ok", max(when(!isFail, col("fails_so_far"))).over(w))
+      .where(isFail)
+      .withColumn("pos", col("fails_so_far") - coalesce(col("fails_at_ok"), lit(0L)))
+      .select(col("client_id"), col("event_id"), col("outcome"),
+        ((col("pos") - 1) % 3 + 1).as("consec_failures"),
+        (((col("pos") - 1) % 3 + 1 === 3) || col("outcome") === "http_403")
+          .as("session_refresh"),
+        least(lit(5.0) * pow(lit(2.0), col("pos") - 1), lit(300.0))
+          .as("reconnect_delay_s"))
+  }
+
+  /** DuckDB mirror of [[lifecycle]] + [[outcomeCol]] over the events
+    * table (two-key window instead of the exchange-reusing rewrite —
+    * the oracle states the semantics, the engine states the plan). */
+  val lifecycleSql: String = """
+    |WITH p AS (
+    |  SELECT user_id AS client_id, event_id, epoch_us(ts) AS tus,
+    |    CASE WHEN event_type = 'error'
+    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403' ELSE 'fail' END
+    |         ELSE 'ok' END AS outcome
+    |  FROM events),
+    |r AS (
+    |  SELECT *, sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END)
+    |      OVER (PARTITION BY client_id ORDER BY tus, event_id
+    |            ROWS UNBOUNDED PRECEDING) AS ok_run
+    |  FROM p),
+    |f AS (
+    |  SELECT *, row_number()
+    |      OVER (PARTITION BY client_id, ok_run ORDER BY tus, event_id) AS pos
+    |  FROM r WHERE outcome <> 'ok')
+    |SELECT client_id, event_id, outcome,
+    |  (pos - 1) % 3 + 1 AS consec_failures,
+    |  ((pos - 1) % 3 + 1 = 3) OR (outcome = 'http_403') AS session_refresh,
+    |  least(5.0 * power(2, pos - 1), 300.0) AS reconnect_delay_s
+    |FROM f ORDER BY client_id, event_id""".stripMargin
+}
+
+/** The same lifecycle as LITERAL streaming state — one PollState per
+  * client carried across micro-batches via flatMapGroupsWithState,
+  * the sequential form of the reference's in-process counters. Within
+  * a batch the group's events are sorted by (ts_us, event_id); memory
+  * is bounded by events-per-client-per-batch. Cross-batch agreement
+  * with the closed form requires per-client event-time-ordered arrival
+  * across batches, as with [[graft.streaming.StatefulSession]]. */
+object PollLifecycle {
+  def assign(events: Dataset[PollEvent]): Dataset[PollAction] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.client_id)
+      .flatMapGroupsWithState[PollState, PollAction](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, it: Iterator[PollEvent], state: GroupState[PollState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(PollState(0, 0))
+          val out = Seq.newBuilder[PollAction]
+          sorted.foreach { e =>
+            if (e.outcome == "ok") st = PollState(0, 0)
+            else {
+              // cap runPos: the delay saturates at 300 s from pos 7 on,
+              // so the cap only guards the Int, never the value
+              val pos = math.min(st.runPos + 1, 1 << 20)
+              val consec = st.consec + 1
+              out += PollAction(cid, e.event_id, e.outcome, consec.toLong,
+                consec >= 3 || e.outcome == "http_403",
+                math.min(5.0 * math.pow(2.0, pos - 1), 300.0))
+              st = PollState(if (consec >= 3) 0 else consec, pos)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

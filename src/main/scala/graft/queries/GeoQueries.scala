@@ -516,9 +516,22 @@ object GeoQueries {
     |ORDER BY a.poly_id""".stripMargin
   }
 
+  // ---- geo_overpass_build ------------------------------------------------
+
+  /** Overpass QL construction for the reference's six fetch sets — the
+    * fetch-side counterpart of the geo_osm_* result parsers (see
+    * [[graft.operators.Overpass]] for the importer.py:16-176 mapping).
+    * Data-driven: filter-spec rows in, one QL string per query set out,
+    * with both string aggregations order-pinned. */
+  def geoOverpassBuild(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Overpass.buildQueries(graft.operators.Overpass.specDf(s))
+
+  val geoOverpassBuildSql: String = graft.operators.Overpass.oracleSql
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_overpass_build" -> (geoOverpassBuild _),
     "geo_point_in_poly" -> (geoPointInPoly _),
     "geo_poly_join" -> (geoPolyJoin _),
     "geo_poly_concave" -> (geoPolyConcave _),
@@ -533,6 +546,7 @@ object GeoQueries {
     "geo_geojson_roundtrip" -> (geoGeojsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "geo_overpass_build" -> geoOverpassBuildSql,
     "geo_point_in_poly" -> geoPointInPolySql,
     "geo_poly_join" -> geoPolyJoinSql,
     "geo_poly_concave" -> geoPolyConcaveSql,

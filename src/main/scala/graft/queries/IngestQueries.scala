@@ -587,9 +587,28 @@ object IngestQueries {
     |         (lng1 + 1) / 100000000.0, (lat1 + 1) / 100000000.0 FROM e)
     |SELECT event_id, off, lon, lat FROM r ORDER BY event_id, off""".stripMargin
 
+  // ---- ing_poll_lifecycle ------------------------------------------------
+
+  /** Poller failure-handling lifecycle derived from the poll-outcome
+    * log: consecutive-failure counts, session-refresh decisions
+    * (threshold or 403) and exponential reconnect backoff — the control
+    * plane of kpt/poller/poller.py:139-187 + websocket_client.py:333-374
+    * as a single-shuffle window transform (see
+    * [[graft.operators.Poller]] for the closed forms). */
+  def ingPollLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val polls = events(s, dir)
+      .select(col("user_id").as("client_id"), col("event_id"),
+        expr(PositionView.TsUsSql).as("ts_us"),
+        graft.operators.Poller.outcomeCol.as("outcome"))
+    graft.operators.Poller.lifecycle(polls).orderBy("client_id", "event_id")
+  }
+
+  val ingPollLifecycleSql: String = graft.operators.Poller.lifecycleSql
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_poll_lifecycle" -> (ingPollLifecycle _),
     "ing_json_props" -> (ingJsonProps _),
     "ing_csv_positions" -> (ingCsvPositions _),
     "ing_socketio_parse" -> (ingSocketioParse _),
@@ -605,6 +624,7 @@ object IngestQueries {
     "ing_upsert" -> (ingUpsert _))
 
   val oracles: Map[String, String] = Map(
+    "ing_poll_lifecycle" -> ingPollLifecycleSql,
     "ing_json_props" -> ingJsonPropsSql,
     "ing_csv_positions" -> ingCsvPositionsSql,
     "ing_socketio_parse" -> ingSocketioParseSql,

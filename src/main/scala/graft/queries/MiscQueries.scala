@@ -417,7 +417,31 @@ object MiscQueries {
 
   // ---- registry ----------------------------------------------------------
 
+  // ---- st_reconnect_backoff ----------------------------------------------
+
+  /** The poller failure-handling lifecycle as LITERAL streaming state:
+    * flatMapGroupsWithState carries one (consec, runPos) PollState per
+    * client across micro-batches — the sequential form of the
+    * reference's in-process counters (poller.py:139-187 + the
+    * websocket reconnect backoff), replayed over the events backlog and
+    * verified against the same closed-form DuckDB oracle as the batch
+    * window version (ing_poll_lifecycle). */
+  def stReconnectBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = StreamOps.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id").as("client_id"),
+        expr(graft.sources.PositionView.TsUsSql).as("ts_us"),
+        graft.operators.Poller.outcomeCol.as("outcome"))
+      .as[graft.operators.PollEvent]
+    val actions = graft.operators.PollLifecycle.assign(src).toDF()
+    StreamOps.runToMemory(s, actions, "st_reconnect_backoff_sink", "append")
+      .orderBy("client_id", "event_id")
+  }
+
+  val stReconnectBackoffSql: String = graft.operators.Poller.lifecycleSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_reconnect_backoff" -> (stReconnectBackoff _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
     "st_windowed_counts" -> (stWindowedCounts _),
@@ -436,6 +460,7 @@ object MiscQueries {
     "st_stream_join" -> (stStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st_reconnect_backoff" -> stReconnectBackoffSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
