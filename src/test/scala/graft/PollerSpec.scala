@@ -2,7 +2,8 @@ package graft
 
 import graft.operators.{PollAction, PollEvent, PollLifecycle, Poller}
 
-class PollerSpec extends SparkSpec {
+class PollerSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   // one client, 7-failure run with a 403 at position 4, then a success,
@@ -36,6 +37,16 @@ class PollerSpec extends SparkSpec {
       .collect().toSeq.sortBy(_.event_id)
       .map(a => (a.event_id, a.consec_failures, a.session_refresh, a.reconnect_delay_s))
     assert(got === expected)
+  }
+
+  test("lifecycle is a single data shuffle: both window passes share one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Poller.lifecycle(eventsDf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size == 1,
+      s"expected ONE client_id exchange feeding both window passes:\n$plan")
   }
 
   test("independent clients never share counter state") {

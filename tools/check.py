@@ -48,6 +48,20 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # Scaled-data normalization: the driver's events.parquet carries ts
+    # as TIMESTAMP(NANOS), but GenScale's 10x copies write raw nanos
+    # BIGINT (Spark has no nanos timestamp type to write back). Expose
+    # the same TIMESTAMP_NS view either way so every oracle binds
+    # identically; micros truncation is invisible — all oracle ts math
+    # goes through epoch_us/CAST, both micro-resolution.
+    ts_type = {c: str(ty) for c, ty in
+               zip(con.table("events").columns, con.table("events").types)}
+    if ts_type.get("ts") == "BIGINT":
+        con.execute("DROP VIEW events")
+        con.execute(
+            "CREATE VIEW events AS SELECT * REPLACE "
+            "(CAST(make_timestamp(ts // 1000) AS TIMESTAMP_NS) AS ts) "
+            f"FROM '{sf}/events.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out}/*")
                    if os.path.isdir(p))
