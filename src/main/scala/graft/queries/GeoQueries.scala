@@ -89,19 +89,27 @@ object GeoQueries {
       .orderBy("event_id")
   }
 
+  /** Oracle in packed-min AGGREGATION form (the same argmin the engine
+    * computes), not a row_number window: the window forces DuckDB to
+    * SORT the full |pos|×|sig| cross product — at 10× data that is a
+    * 5-billion-row external sort that exhausted disk in the sf1 gate —
+    * while min() streams through a 1M-entry hash table. Tie-break is
+    * identical: min over (dist_micro·10^10 + signal_id) orders by
+    * (rounded distance, signal_id). */
   val geoNearestSignalSql: String = {
     PositionView.oracleCte + s""",
     |sig AS (
     |  SELECT event_id AS signal_id, lat AS s_lat, lon AS s_lon
     |  FROM pos WHERE event_id % 199 = 0),
     |d AS (
-    |  SELECT p.event_id, sig.signal_id,
-    |    round(${TrafficQueries.havSql("lat", "lon", "s_lat", "s_lon")}, 6) AS dist_km
+    |  SELECT p.event_id,
+    |    CAST(round(round(${TrafficQueries.havSql("lat", "lon", "s_lat", "s_lon")}, 6) * 1e6)
+    |      AS HUGEINT) * 10000000000 + sig.signal_id AS pk
     |  FROM pos p CROSS JOIN sig),
-    |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
-    |        ORDER BY dist_km, signal_id) AS rn FROM d)
-    |SELECT event_id, signal_id, dist_km FROM r WHERE rn = 1
-    |ORDER BY event_id""".stripMargin
+    |m AS (SELECT event_id, min(pk) AS mk FROM d GROUP BY event_id)
+    |SELECT event_id, CAST(mk % 10000000000 AS BIGINT) AS signal_id,
+    |  CAST(mk // 10000000000 AS BIGINT) / 1e6 AS dist_km
+    |FROM m ORDER BY event_id""".stripMargin
   }
 
   // ---- geo_tag_stats -----------------------------------------------------

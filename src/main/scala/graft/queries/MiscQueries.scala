@@ -310,14 +310,20 @@ object MiscQueries {
       .orderBy("user_id", "sess_start")
   }
 
+  // both windows tiebreak on event_id: with duplicate (user_id, ts)
+  // rows — legal input, and exactly what GenScale's 10x densification
+  // produces — a bare ORDER BY t leaves the running sum's tie order
+  // unspecified, so brk=0 duplicates could precede their run's brk=1
+  // row and leak into the PREVIOUS session (caught by the sf1 gate:
+  // 3 sessions split differently than the engine's session_window)
   val stSessionWindowSql: String = """
-    |WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
-    |m AS (SELECT user_id, t,
-    |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+    |WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+    |m AS (SELECT user_id, t, event_id,
+    |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
     |                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
     |      FROM e),
     |s AS (SELECT user_id, t,
-    |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+    |        sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
     |                       ROWS UNBOUNDED PRECEDING) AS sid
     |      FROM m)
     |SELECT user_id, min(t) AS sess_start,
