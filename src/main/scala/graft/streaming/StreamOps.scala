@@ -134,12 +134,14 @@ object StreamOps {
     * FOUR stores per partition) regardless of rows held. At the
     * session's 32 shuffle partitions that is 128 near-empty store
     * commits per batch — measured 5.3 s → 2.2 s on the replayed
-    * interval join by dropping to 8. A production unbounded feed sizes
-    * this to the executor fleet instead; it is a deployment knob, not
-    * operator semantics (results are partitioning-independent, which
-    * the DuckDB-hash checks pin). */
+    * interval join by dropping to 8, and a further ~15 % across the
+    * eight-query replay family at 4 (probed 8/4/2: 12.6/10.8/12.1 s —
+    * 2 starts starving the stateful stages' parallelism). A production
+    * unbounded feed sizes this to the executor fleet instead; it is a
+    * deployment knob, not operator semantics (results are
+    * partitioning-independent, which the DuckDB-hash checks pin). */
   val ReplayStateParts: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
 
   /** Marker file naming a directory as a [[runToDated]] landing zone —
     * the only kind of directory its pre-replay clear may delete. */

@@ -112,6 +112,15 @@ Where the ratios come from (structure, not noise):
   DuckDB column re-derives the full chain per query; the per-query
   SQL is unchanged, so correctness still hash-verifies end to end.
 
+- **The round-11 oracle rewrite RAISED the totals bar on purpose.**
+  geo_nearest_signal's oracle moved from a row_number window (17.4 s in
+  DuckDB at sf0.1 — and a disk-exhausting 5-billion-row sort at sf1) to
+  the packed-min aggregation the engine itself computes (~9-10 s). The
+  faster oracle shrinks the DuckDB denominator by ~7 s, so the totals
+  ratio rose versus round 10 even though every Spark number improved or
+  held; keeping the slower oracle would have been the flattering choice
+  and the wrong one.
+
 - `dd_incremental` sits stably under the gate since the one-partition
   deliverable sort landed: three consecutive isolated bench windows
   measured 0.425 / 0.450 / 0.452 s vs the 0.304 s oracle
