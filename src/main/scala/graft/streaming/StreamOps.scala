@@ -15,15 +15,23 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as stored (ts is int64 TIMESTAMP(NANOS), read as
-    * Long under the nanosAsLong session conf). */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as stored, with `ts` parameterized: the driver's
+    * parquet has shipped ts as INT64 TIMESTAMP(NANOS) (read as Long
+    * under nanosAsLong) and as TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across
+    * rounds, and GenScale copies write raw BIGINT nanos. The stream
+    * source needs an explicit schema, so [[eventsStream]] peeks the
+    * file's batch footer once and normalizes to the engine-canonical
+    * Long nanos after read — the same contract as Tables.events. */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  val EventsSchema: StructType = eventsSchema(LongType)
 
   /** The file stream source requires a DIRECTORY; the testdata table is
     * a single parquet file, so stage a symlink to it under a scratch
@@ -42,7 +50,16 @@ object StreamOps {
     // would report false, making createSymbolicLink throw forever)
     Files.deleteIfExists(link)
     Files.createSymbolicLink(link, src)
-    s.readStream.schema(EventsSchema).parquet(stage.toString)
+    // one-time footer peek for the ts vintage (Long nanos vs TIMESTAMP);
+    // a batch schema read costs a footer, not a scan
+    val tsType = s.read.parquet(src.toString).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val raw = s.readStream.schema(eventsSchema(tsType)).parquet(stage.toString)
+    tsType match {
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => raw
+    }
   }
 
   /** Fans a replayed stream out to the session's shuffle parallelism
