@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,27 +12,62 @@ import org.apache.spark.sql.functions._
   * rows keyed by time; the analysis joins "conditions at that moment").
   *
   * Implementation is the union-tag-window pattern: tag both sides, union,
-  * ONE hash shuffle on the key, sort by (time, side) within partitions,
-  * then last-non-null window to propagate the right row forward. O(n log
-  * n) per partition, no broadcast of the big side, no point-lookup joins
-  * — survives a 100 TB left side as long as keys hash-spread (the right
-  * side is a time series per key, naturally small per partition).
+  * ONE hash shuffle, sort by (time, side) within partitions, then a
+  * last-non-null window to propagate the right row forward.
+  *
+  * An as-of key is typically low-cardinality (5 event types, 25 routes),
+  * so a key-partitioned window caps parallelism at |keys| no matter how
+  * many executors exist — a 100 TB left side would funnel through 5
+  * sorted partitions. Above [[BucketBytesTarget]] of (Catalyst-estimated)
+  * left input per window group the operator therefore partitions the
+  * window on (key, TIME BUCKET) instead, restoring parallelism at the
+  * cost of a cross-bucket fix-up that is exact and cheap: the last right
+  * payload of every earlier bucket is computed on the RIGHT side only
+  * (the small series), cumulated per key over a |keys| x B frame, and
+  * injected into the union as a synthetic NULL-time row per bucket —
+  * ascending sort puts NULLS FIRST, so the carry-in lands ahead of every
+  * real row of its bucket and the fill stays a pure window; the big side
+  * never joins. Bucket boundaries come from the right side's time range
+  * (the series spans the observation period by construction); left rows
+  * outside it clamp to the edge buckets. Bucketing is monotone in time,
+  * so "same time => same bucket" and every in-bucket window sees exactly
+  * the right rows between its carry-in and the row itself — the result
+  * is row-identical to the single-window form (spec-asserted).
+  *
+  * Below the threshold the single-window plan runs as-is: at small
+  * volume the fix-up's fixed stages (series checkpoint, bounds, carry
+  * frame) cost more than the skew they remove (measured +0.4 s at
+  * sf0.1), while the estimate-driven switch keeps the 100 TB path the
+  * default — an UNKNOWN size (no stats) estimates huge and buckets.
   */
 object AsOfJoin {
+
+  /** Estimated left bytes above which the window is time-bucketed. */
+  val BucketBytesTarget: Long = 256L << 20
 
   /** @param left       big side; must carry `keyCols` and `timeCol`
     * @param right      series side; must carry `keyCols`, `timeCol`, and
     *                   `valueCols` (columns to attach)
     * @param timeCol    orderable column name present on both sides
     * @param valueCols  right-side payload column names to carry over
+    * @param buckets    time buckets per key; 0 = size the bucket count
+    *                   from the left plan's size estimate (1 bucket per
+    *                   [[BucketBytesTarget]], capped at the session's
+    *                   shuffle parallelism)
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               timeCol: String, valueCols: Seq[String]): DataFrame = {
+               timeCol: String, valueCols: Seq[String],
+               buckets: Int = 0): DataFrame = {
     val leftCols = left.columns
     // A valueCol name colliding with a left column would emit the name
     // twice in taggedLeft and corrupt the unionByName — fail fast.
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    val b = if (buckets > 0) buckets else {
+      val bytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = BigInt(left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      ((bytes / BucketBytesTarget) min parts max BigInt(1)).toInt
+    }
     // Contract: right must be unique per (keyCols, timeCol) — duplicate
     // right timestamps would make which value wins nondeterministic.
     // Series produced by groupBy(hour) satisfy this by construction.
@@ -40,7 +75,14 @@ object AsOfJoin {
     // SQL equality never matches NULL keys, but a window partitionBy
     // groups NULLs together — drop null-key right rows so a null-key
     // left row falls through to null values exactly like an ASOF JOIN.
-    val rightNonNull = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    //
+    // Bucketed path: lazy checkpoint — the series then feeds three
+    // consumers (time bounds, the union, the per-bucket boundary agg);
+    // without lineage truncation a derived series (weatherSeries is
+    // itself a groupBy) would re-aggregate once per consumer.
+    val rightRaw = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    val rightNonNull = if (b == 1) rightRaw else rightRaw.localCheckpoint(eager = false)
+
     // side=0 sorts right rows before left rows at equal time → a right
     // row at exactly t is visible to a left row at t (inclusive as-of).
     // Values travel as ONE struct, not independent columns: filling each
@@ -50,9 +92,10 @@ object AsOfJoin {
     // rows, so last(ignoreNulls) always lands on a single right row.
     val payloadType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c).copy(name = c)))
+    val payload = struct(valueCols.map(col): _*)
     val taggedRight = rightNonNull.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
-        struct(valueCols.map(col): _*).as("__vals")) ++
+        payload.as("__vals")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
@@ -60,10 +103,59 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("__vals")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val (unioned, partCols) =
+      if (b == 1) (taggedRight.unionByName(taggedLeft), keyCols.map(col))
+      else {
+        // Bucket boundaries ride the plan as a broadcast 1-row aggregate
+        // — no driver-side collect. Double cast: monotone for any
+        // orderable numeric/timestamp time, which is all bucketing needs
+        // (the in-bucket sort still uses the exact timeCol).
+        val bounds = rightNonNull.agg(
+          min(col(timeCol).cast("double")).as("__lo"),
+          max(col(timeCol).cast("double")).as("__hi"))
+        def withBucket(df: DataFrame): DataFrame = {
+          val w = (col("__hi") - col("__lo")) / b
+          df.crossJoin(broadcast(bounds))
+            .withColumn("__tb",
+              // empty/degenerate right (null or zero-width bounds) -> one
+              // bucket; clamp handles left times outside the right range
+              when(col("__lo").isNull || (w <= 0), lit(0)).otherwise(
+                least(greatest(
+                  floor((col(timeCol).cast("double") - col("__lo")) / w).cast("int"),
+                  lit(0)), lit(b - 1))))
+            .drop("__lo", "__hi")
+        }
+        // Cross-bucket carry-in, computed on the SMALL side only: the
+        // last right payload per (key, bucket), spread onto the full
+        // key x bucket grid (a bucket with no right rows still needs the
+        // carry from earlier ones; bucket 0 joins in so its payload
+        // enters the carry window — its own carry is null and drops at
+        // the isNotNull filter), then "last earlier bucket's value" per
+        // key — a window over |keys| x B rows.
+        val grpCols = keyCols :+ "__tb"
+        val perBucket = withBucket(rightNonNull)
+          .groupBy(grpCols.map(col): _*)
+          .agg(max_by(payload, col(timeCol)).as("__last"))
+        val grid = rightNonNull.select(keyCols.map(col): _*).distinct()
+          .withColumn("__tb", explode(sequence(lit(0), lit(b - 1), lit(1))))
+        val cw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryRows = grid.join(perBucket, grpCols, "left")
+          .withColumn("__vals", last(col("__last"), ignoreNulls = true).over(cw))
+          .filter(col("__vals").isNotNull)
+          .select(keyCols.map(col) ++ Seq(
+            lit(null).cast(left.schema(timeCol).dataType).as(timeCol),
+            lit(-1).as("__side"), col("__vals"), col("__tb")) ++
+            leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
+              .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        (withBucket(taggedRight.unionByName(taggedLeft)).unionByName(carryRows),
+          keyCols.map(col) :+ col("__tb"))
+      }
+
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = taggedRight.unionByName(taggedLeft)
+    val filled = unioned
       .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++

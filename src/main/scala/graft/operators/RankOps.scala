@@ -56,6 +56,12 @@ object RankOps {
               floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
               lit(0)), lit(buckets - 1)))))
       .drop("__lo", "__hi", "__w")
+      // lazy checkpoint: the bucketed frame feeds BOTH the counts/offsets
+      // aggregate and the per-bucket rank window — without lineage
+      // truncation the source scan + bucket projection runs once per
+      // branch (and the two branches' exchanges cannot be reused, since
+      // the counts side partial-aggregates before its shuffle)
+      .localCheckpoint(eager = false)
     val inBucketW = Window.partitionBy("__bucket")
       .orderBy(col(sortCol).asc, col(tieCol).asc)
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))

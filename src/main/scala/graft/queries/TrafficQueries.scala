@@ -425,21 +425,43 @@ object TrafficQueries {
     * engines. */
   def geoMapExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val labels = Seq((1, "tram"), (2, "trolleybus"), (3, "bus"))
       .toDF("route_type", "route_label")
-    val latest = SpeedOps.latestPerKey(pos(s, dir), "vehicle_id",
-      Seq("ts_us", "event_id"))
-      .select("vehicle_id", "route_id", "lat", "lon", "ts_us")
-    val avgSpeed = speeds(s, dir).groupBy("vehicle_id")
-      .agg(round(avg("speed_kmh"), 2).as("avg_speed"))
+    // Latest position and average speed both key on vehicle_id, so ONE
+    // hash exchange serves both: the lag window partitions on the key
+    // and the groupBy right after inherits that partitioning (no second
+    // exchange, no second pos scan, no vehicle-level join — the
+    // latest-row pick becomes a max_by over the same grouped rows).
+    val w = Window.partitionBy("vehicle_id").orderBy("ts_us", "event_id")
+    val paired = pos(s, dir)
+      .select("event_id", "vehicle_id", "route_id", "lat", "lon", "ts_us", "ts_s")
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("prev_ts_s", lag("ts_s", 1).over(w))
+    val dt = col("ts_s") - col("prev_ts_s")
+    val spd = GeoFunctions.haversineKm(col("prev_lat"), col("prev_lon"),
+      col("lat"), col("lon")) / dt * 3600
+    // same pair validity chain as SpeedOps.speeds (null prev rows fall
+    // out because every comparison against null is false)
+    val valid = col("prev_ts_s").isNotNull &&
+      dt > 0 && dt <= SynthMaxGapS &&
+      spd > 0 && spd < SpeedOps.MaxRealisticSpeedKmh
+    val perVehicle = paired.groupBy("vehicle_id").agg(
+      max_by(struct(col("route_id"), col("lat"), col("lon"), col("ts_us")),
+        struct(col("ts_us"), col("event_id"))).as("__latest"),
+      // avg over valid pairs only; single-position vehicles -> 0.0
+      // (visualize.py:185-187), matching the old left-join coalesce
+      coalesce(round(avg(when(valid, spd)), 2), lit(0.0)).as("avg_speed"))
     // lazy checkpoint: the enriched latest-position frame feeds BOTH
     // the Feature rows and the map-center aggregate — without lineage
-    // truncation the scan+window+join subtree executes once per branch
-    val feat = latest
+    // truncation the scan+window+agg subtree executes once per branch
+    val feat = perVehicle
+      .select(col("vehicle_id"), col("__latest.route_id").as("route_id"),
+        col("__latest.lat").as("lat"), col("__latest.lon").as("lon"),
+        col("__latest.ts_us").as("ts_us"), col("avg_speed"))
       .withColumn("route_type", (col("route_id") % 3 + 1).cast("int"))
       .join(broadcast(labels), "route_type")
-      .join(avgSpeed, Seq("vehicle_id"), "left")
-      .withColumn("avg_speed", coalesce(col("avg_speed"), lit(0.0)))
       .localCheckpoint(eager = false)
     val center = feat.agg(
       round(avg("lat"), 6).as("center_lat"),

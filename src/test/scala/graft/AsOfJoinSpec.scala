@@ -48,6 +48,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.getDouble(1) === 7.0)
   }
 
+  test("bucketed path is row-identical to the single-window form") {
+    // 40 left rows / 7 right rows over keys a,b with matches that cross
+    // bucket boundaries at every B; B > #distinct-times forces empty
+    // buckets, exercising the carry-through-empty-bucket path
+    val l = left((1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i * 3 % 41)): _*)
+    val r = right(Seq(5L, 11L, 17L, 23L).map(t => ("a", t, t * 1.0)) ++
+      Seq(2L, 19L, 33L).map(t => ("b", t, t * 10.0)): _*)
+    val single = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"), buckets = 1)
+      .orderBy("id").collect().toSeq
+    for (b <- Seq(2, 4, 16, 64)) {
+      val bucketed = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"), buckets = b)
+        .orderBy("id").collect().toSeq
+      assert(bucketed === single, s"buckets=$b diverged")
+    }
+  }
+
   test("backward rejects valueCols colliding with left columns") {
     val l = left((1L, "a", 1L)).withColumnRenamed("id", "v")
     val r = right(("a", 1L, 1.0))

@@ -14,45 +14,52 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions._
 
     val dir = "/root/testdata/sf0.1"
-    val nBits = 32; val bands = 8; val dim = 64; val thr = 0.45
-    val r = nBits / bands; val mask = (1L << r) - 1
 
-    def e = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("__id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", normPre(col("emb")))
-    def banded = graft.operators.Par.spread(e.select(col("__id"), col("emb")))
-      .withColumn("sig", hyperplaneSigPre(col("emb"), nBits, dim))
-      .select(col("__id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("v"))
-      }: _*)).as("bh"))
-      .select(col("__id"), col("bh.band").as("band"), col("bh.v").as("v"))
-    def bounded = banded
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band", "v")))
-      .filter(col("__bn") <= 1000)
-      .drop("__bn")
-    def cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"))
-      .join(bounded.select(col("band"), col("v"), col("__id").as("b_id")),
-        Seq("band", "v"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    def verified = cand
-      .join(e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")), "a_id")
-      .join(e.select(col("__id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb")), "b_id")
-      .withColumn("cos", dotPre(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= thr)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
-
-    for (i <- 1 to 3) {
-      time(s"banded r$i")(banded)
-      time(s"bounded r$i")(bounded)
-      time(s"cand r$i")(cand)
-      time(s"verified r$i")(verified)
+    // original single-window as-of (parallelism = |keys|)
+    def oldBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    timeCol: String, valueCols: Seq[String]): DataFrame = {
+      val leftCols = left.columns
+      val rightNonNull = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+      val payloadType = org.apache.spark.sql.types.StructType(
+        valueCols.map(c => right.schema(c).copy(name = c)))
+      val taggedRight = rightNonNull.select(
+        keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
+          struct(valueCols.map(col): _*).as("__vals")) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      val taggedLeft = left.select(
+        keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
+          lit(null).cast(payloadType).as("__vals")) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col): _*)
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(timeCol).asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val filled = taggedRight.unionByName(taggedLeft)
+        .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
+      filled.filter(col("__side") === 1)
+        .select(leftCols.map(col) ++
+          valueCols.map(c => col(s"__asof.$c").as(c)): _*)
     }
-    println("cand count: " + cand.count())
+
+    def pos = sources.PositionView.fromEvents(Tables.events(spark, dir))
+    def series = pos
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts_h"))
+      .agg(round(sum("value"), 2).as("w_temp"))
+      .filter(hour(col("ts_h")) % 3 === 0)
+      .withColumnRenamed("ts_h", "ts")
+    def left = pos.select("event_id", "event_type", "ts")
+
+    def oldQ = oldBackward(left, series, Seq("event_type"), "ts", Seq("w_temp"))
+      .select("event_id", "w_temp").orderBy("event_id")
+    def newQ = operators.AsOfJoin.backward(left, series, Seq("event_type"), "ts", Seq("w_temp"))
+      .select("event_id", "w_temp").orderBy("event_id")
+
+    for (i <- 1 to 4) {
+      time(s"old r$i")(oldQ)
+      time(s"new r$i")(newQ)
+    }
     spark.stop()
   }
 }
