@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -92,6 +92,15 @@ object GraftExtensions {
       // oracle replicates; custom vocabs construct the expression directly
       arity("bpe_token_count", 1)(exprs =>
         BpeTokenCount(exprs.head, graft.functions.TextFunctions.BpeVocab))),
+    (FunctionIdentifier("osm_node_parse"),
+      new ExpressionInfo(classOf[OsmNodeParse].getName, "osm_node_parse"),
+      arity("osm_node_parse", 1)(exprs => OsmNodeParse(exprs.head))),
+    (FunctionIdentifier("osm_way_parse"),
+      new ExpressionInfo(classOf[OsmWayParse].getName, "osm_way_parse"),
+      arity("osm_way_parse", 1)(exprs => OsmWayParse(exprs.head))),
+    (FunctionIdentifier("osm_relation_parse"),
+      new ExpressionInfo(classOf[OsmRelationParse].getName, "osm_relation_parse"),
+      arity("osm_relation_parse", 1)(exprs => OsmRelationParse(exprs.head))),
     (FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       // raw AggregateFunction: the analyzer wraps it into an

@@ -173,15 +173,14 @@ object GeoQueries {
       lit("\"><tag k=\"highway\" v=\""), col("event_type"),
       lit("\"/><tag k=\"ref\" v=\""), col("user_id").cast("string"),
       lit("\"/></node>"))
-    // attributes surface with the _ prefix; tag children as an array
-    val nodeSchema = StructType.fromDDL(
-      "_id BIGINT, _lat BIGINT, _lon BIGINT, " +
-        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
+    // attributes surface with the _ prefix; tag children as an array.
+    // Native single-pass parse (plans/OsmXml.scala) — from_xml is
+    // CodegenFallback and split the codegen span around itself.
     graft.operators.Par.spreadOrdered(
       Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
       col("event_id"))
       .select(col("event_id"),
-        from_xml(xml, nodeSchema).as("w"))
+        graft.plans.OsmXml.node(xml).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("osm_id"),
@@ -216,13 +215,10 @@ object GeoQueries {
       lit("<way id=\""), col("event_id").cast("string"), lit("\">"),
       nd(base), nd(base + 1), nd(base + 2),
       lit("<tag k=\"highway\" v=\""), col("event_type"), lit("\"/></way>"))
-    val waySchema = StructType.fromDDL(
-      "_id BIGINT, nd ARRAY<STRUCT<_ref: BIGINT>>, " +
-        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
     graft.operators.Par.spreadOrdered(
       Tables.events(s, dir).select(col("event_id"), col("event_type")),
       col("event_id"))
-      .select(col("event_id"), from_xml(xml, waySchema).as("w"))
+      .select(col("event_id"), graft.plans.OsmXml.way(xml).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("way_id"),
@@ -260,13 +256,10 @@ object GeoQueries {
       lit("<tag k=\"type\" v=\""), col("event_type"),
       lit("\"/><tag k=\"route_ref\" v=\""), col("user_id").cast("string"),
       lit("\"/></relation>"))
-    val relSchema = StructType.fromDDL(
-      "_id BIGINT, member ARRAY<STRUCT<_type: STRING, _ref: BIGINT, _role: STRING>>, " +
-        "tag ARRAY<STRUCT<_k: STRING, _v: STRING>>")
     graft.operators.Par.spreadOrdered(
       Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
       col("event_id"))
-      .select(col("event_id"), from_xml(xml, relSchema).as("w"))
+      .select(col("event_id"), graft.plans.OsmXml.relation(xml).as("w"))
       .select(
         col("event_id"),
         col("w._id").as("relation_id"),
