@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -92,6 +92,9 @@ object GraftExtensions {
       // oracle replicates; custom vocabs construct the expression directly
       arity("bpe_token_count", 1)(exprs =>
         BpeTokenCount(exprs.head, graft.functions.TextFunctions.BpeVocab))),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      arity("normalize_text", 1)(exprs => NormalizeText(exprs.head))),
     (FunctionIdentifier("osm_node_parse"),
       new ExpressionInfo(classOf[OsmNodeParse].getName, "osm_node_parse"),
       arity("osm_node_parse", 1)(exprs => OsmNodeParse(exprs.head))),

@@ -68,9 +68,11 @@ object TextFunctions {
     (length(regexp_replace(text, "\\s+", "")).cast("double")) / tokenCount(text)
 
   /** Canonical normalized form used for fingerprinting / exact dedup:
-    * lowercase, non-alnum → space, squeeze whitespace, trim. */
-  def normalized(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    * lowercase, non-alnum → space, squeeze whitespace, trim. Native
+    * one-scan expression (plans/NormalizeText) — the equivalent
+    * two-regexp_replace tree pays two java-regex passes per document,
+    * the dominant cost of exact dedup at corpus scale. */
+  def normalized(text: Column): Column = graft.plans.NormalizeText(text)
 
   /** Content fingerprint: md5 hex of the normalized text (md5 is
     * identical across Spark and DuckDB → oracle-checkable). */
