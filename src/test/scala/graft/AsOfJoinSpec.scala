@@ -65,6 +65,22 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucket count adapts to the left plan's size estimate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val r = right(("k", 5L, 1.0))
+    // ~40M-row range: Catalyst estimates >> BucketBytesTarget -> the
+    // plan must carry the time-bucket column (plan-only; not executed)
+    val big = spark.range(40000000L)
+      .select(col("id"), lit("k").as("k"), (col("id") % 1000).as("t"))
+    val bucketed = AsOfJoin.backward(big, r, Seq("k"), "t", Seq("v"))
+    assert(bucketed.queryExecution.analyzed.toString.contains("__tb"),
+      "large left estimate should pick the bucketed window")
+    // a tiny left stays on the single-window plan (no fix-up stages)
+    val small = AsOfJoin.backward(left((1L, "k", 5L)), r, Seq("k"), "t", Seq("v"))
+    assert(!small.queryExecution.analyzed.toString.contains("__tb"),
+      "small left estimate should stay single-window")
+  }
+
   test("backward rejects valueCols colliding with left columns") {
     val l = left((1L, "a", 1L)).withColumnRenamed("id", "v")
     val r = right(("a", 1L, 1.0))

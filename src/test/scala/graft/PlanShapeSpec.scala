@@ -103,4 +103,16 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(singleShuffles.nonEmpty,
       s"spread must fan out a single-split source:\n${single.queryExecution.executedPlan}")
   }
+
+  test("geo_osm parses run inside whole-stage codegen (from_xml broke the span)") {
+    for (q <- Seq("geo_osm_xml_parse", "geo_osm_way_parse", "geo_osm_relation_parse")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      val spans = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("osm_") => w
+      }
+      assert(spans.nonEmpty,
+        s"$q: the parse projection left whole-stage codegen:\n$plan")
+    }
+  }
 }
