@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("convex_contains"),
+      new ExpressionInfo(classOf[ConvexContains].getName, "convex_contains"),
+      arity("convex_contains", 3)(exprs =>
+        ConvexContains(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("ray_cast_contains"),
       new ExpressionInfo(classOf[RayCastContains].getName, "ray_cast_contains"),
       arity("ray_cast_contains", 3)(exprs =>

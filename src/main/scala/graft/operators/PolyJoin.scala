@@ -37,24 +37,16 @@ import org.apache.spark.sql.functions._
   */
 object PolyJoin {
 
-  /** Consecutive-vertex edge structs of a closed ring: vertex i paired
-    * with vertex i+1, last wrapping to first. */
-  private def ringEdges(verts: Column): Column =
-    zip_with(
-      verts,
-      concat(slice(verts, lit(2), size(verts) - 1), slice(verts, 1, 1)),
-      (a, b) => struct(a("x").as("ax"), a("y").as("ay"),
-        b("x").as("bx"), b("y").as("by")))
-
   /** True iff (lat, lon) is inside-or-on the convex CCW ring `verts`
     * (array of struct{x: lon, y: lat}) — every edge cross product
-    * non-negative. The identical arithmetic tree to
+    * non-negative. The identical arithmetic to
     * GeoFunctions.pointInConvexPoly / convexPolySql, so engine and
-    * oracle agree bit-for-bit even for boundary points. */
+    * oracle agree bit-for-bit even for boundary points. Native codegen
+    * expression (plans/GeoContains.ConvexContains) like the ray-cast
+    * variant: the forall/zip_with tree it replaces was interpreted,
+    * and this predicate runs once per candidate pair in the join. */
   def containsConvex(lat: Column, lon: Column, verts: Column): Column =
-    forall(ringEdges(verts), e =>
-      (e("bx") - e("ax")) * (lat - e("ay")) -
-        (e("by") - e("ay")) * (lon - e("ax")) >= 0)
+    call_function("convex_contains", verts, lat, lon)
 
   /** True iff (lat, lon) is inside the ARBITRARY simple ring `verts`
     * (convex or concave, either orientation) by ray-crossing parity: a

@@ -70,6 +70,62 @@ object RayCastContains {
   }
 }
 
+/** Convex CCW containment: every edge cross product non-negative
+  * (boundary-inclusive) — the compiled form of PolyJoin.containsConvex's
+  * forall/zip_with tree, which was interpreted per candidate pair in
+  * the containment join's post-join filter. Identical operand order to
+  * the HOF tree and the convex oracle SQL, so hashes are unchanged. */
+case class ConvexContains(verts: Expression, lat: Expression, lon: Expression)
+  extends TernaryExpression {
+  override def first: Expression = verts
+  override def second: Expression = lat
+  override def third: Expression = lon
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "convex_contains"
+  override def checkInputDataTypes() = {
+    val ok = verts.dataType match {
+      case ArrayType(StructType(Array(
+        StructField(_, DoubleType, _, _), StructField(_, DoubleType, _, _))), _) =>
+        lat.dataType == DoubleType && lon.dataType == DoubleType
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<x double, y double>>, double, double)")
+  }
+
+  override def nullSafeEval(v: Any, la: Any, lo: Any): Any =
+    ConvexContains.compute(v.asInstanceOf[ArrayData],
+      la.asInstanceOf[Double], lo.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, la, lo) =>
+      s"graft.plans.ConvexContains.compute($v, $la, $lo)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression) =
+    copy(verts = newFirst, lat = newSecond, lon = newThird)
+}
+
+object ConvexContains {
+  /** Called from generated code. Cross-product sign fold, edge i ->
+    * i+1 wrapping — (bx-ax)*(lat-ay) - (by-ay)*(lon-ax) >= 0 for all
+    * edges, the exact HOF-tree arithmetic. */
+  def compute(verts: ArrayData, lat: Double, lon: Double): Boolean = {
+    val n = verts.numElements()
+    var i = 0
+    while (i < n) {
+      val a = verts.getStruct(i, 2)
+      val b = verts.getStruct((i + 1) % n, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      if (!((bx - ax) * (lat - ay) - (by - ay) * (lon - ax) >= 0)) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** abs(shoelace)/2 of the ring, in squared coordinate units. Left-fold
   * accumulation in vertex order — the order the HOF tree and the
   * oracle's ordered list_sum use. */
