@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("byte_stats"),
+      new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+      arity("byte_stats", 1)(exprs => ByteStats(exprs.head))),
     (FunctionIdentifier("convex_contains"),
       new ExpressionInfo(classOf[ConvexContains].getName, "convex_contains"),
       arity("convex_contains", 3)(exprs =>

@@ -57,15 +57,11 @@ object Multimodal {
     * with an actual decoder; the signature (binary -> array<double>)
     * is the contract. */
   def decodeFeaturesStub(bin: Column): Column = {
-    // byte values via hex slice -> int: stays in the binary domain
-    // (no charset assumption), codegen-friendly HOFs only
-    val bytes = transform(sequence(lit(1), length(bin)),
-      i => conv(hex(bin.substr(i, lit(1))), 16, 10).cast("long"))
-    val acc = aggregate(bytes,
-      struct(lit(0L).as("s"), lit(0L).as("k")),
-      (a, b) => struct(
-        (a.getField("s") + b).as("s"),
-        (a.getField("k") + when(b > 32, 1L).otherwise(0L)).as("k")))
+    // one compiled byte scan (plans/ByteStats) — the per-byte
+    // hex/conv HOF fold it replaces was interpreted and allocated a
+    // hex string per byte; integer sums are order-free so the swap
+    // changes no hash
+    val acc = graft.plans.ByteStats(bin)
     // empty payload -> all-zero features (an array<double> contract
     // cannot carry nulls through typed consumers)
     val n = nullif(length(bin).cast("long"), lit(0L))
