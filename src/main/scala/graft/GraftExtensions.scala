@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -111,6 +111,9 @@ object GraftExtensions {
     (FunctionIdentifier("osm_relation_parse"),
       new ExpressionInfo(classOf[OsmRelationParse].getName, "osm_relation_parse"),
       arity("osm_relation_parse", 1)(exprs => OsmRelationParse(exprs.head))),
+    (FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      arity("ws_token_count", 1)(exprs => WsTokenCount(exprs.head))),
     (FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       // raw AggregateFunction: the analyzer wraps it into an

@@ -12,7 +12,10 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace-token count — native one-scan expression
+    * (plans/WsTokenCount), value-identical to `size(tokens(text))`
+    * without allocating the token array. */
+  def tokenCount(text: Column): Column = graft.plans.WsTokenCount(text)
 
   /** BPE-ish pre-tokenizer: letter runs, single digits, single
     * punctuation marks. Same regex works in Java and RE2 (DuckDB). */
