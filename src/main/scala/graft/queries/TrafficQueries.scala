@@ -440,8 +440,14 @@ object TrafficQueries {
       .withColumn("prev_lon", lag("lon", 1).over(w))
       .withColumn("prev_ts_s", lag("ts_s", 1).over(w))
     val dt = col("ts_s") - col("prev_ts_s")
+    // nullif guards the divisor: dt == 0 pairs (duplicate per-vehicle
+    // timestamps) are invalid anyway, but `spd` is a subexpression the
+    // generated code may hoist and evaluate EAGERLY (codegen CSE does
+    // not respect the && short-circuit), which under ANSI turned a
+    // filtered-out row into a DIVIDE_BY_ZERO at 10x data. A null speed
+    // fails `valid` exactly like the old pre-division filter did.
     val spd = GeoFunctions.haversineKm(col("prev_lat"), col("prev_lon"),
-      col("lat"), col("lon")) / dt * 3600
+      col("lat"), col("lon")) / nullif(dt, lit(0)) * 3600
     // same pair validity chain as SpeedOps.speeds (null prev rows fall
     // out because every comparison against null is false)
     val valid = col("prev_ts_s").isNotNull &&
