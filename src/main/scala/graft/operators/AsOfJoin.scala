@@ -107,12 +107,24 @@ object AsOfJoin {
       if (b == 1) (taggedRight.unionByName(taggedLeft), keyCols.map(col))
       else {
         // Bucket boundaries ride the plan as a broadcast 1-row aggregate
-        // — no driver-side collect. Double cast: monotone for any
-        // orderable numeric/timestamp time, which is all bucketing needs
-        // (the in-bucket sort still uses the exact timeCol).
+        // — no driver-side collect. The bucket key must be a MONOTONE
+        // numeric image of the time column (the in-bucket sort still
+        // uses the exact timeCol): a bare double cast covers numerics
+        // but is not defined for timestamps (TIMESTAMP_NTZ -> DOUBLE
+        // is not a valid cast), so temporal types go through their
+        // epoch integers. The NTZ -> TIMESTAMP cast reinterprets the
+        // same micros under the engine's pinned UTC session timezone —
+        // monotone, which is all bucketing needs.
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        def asBucketKey(c: Column): Column = left.schema(timeCol).dataType match {
+          case TimestampType => unix_micros(c).cast("double")
+          case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("double")
+          case DateType => unix_date(c).cast("double")
+          case _ => c.cast("double")
+        }
         val bounds = rightNonNull.agg(
-          min(col(timeCol).cast("double")).as("__lo"),
-          max(col(timeCol).cast("double")).as("__hi"))
+          min(asBucketKey(col(timeCol))).as("__lo"),
+          max(asBucketKey(col(timeCol))).as("__hi"))
         def withBucket(df: DataFrame): DataFrame = {
           val w = (col("__hi") - col("__lo")) / b
           df.crossJoin(broadcast(bounds))
@@ -121,7 +133,7 @@ object AsOfJoin {
               // bucket; clamp handles left times outside the right range
               when(col("__lo").isNull || (w <= 0), lit(0)).otherwise(
                 least(greatest(
-                  floor((col(timeCol).cast("double") - col("__lo")) / w).cast("int"),
+                  floor((asBucketKey(col(timeCol)) - col("__lo")) / w).cast("int"),
                   lit(0)), lit(b - 1))))
             .drop("__lo", "__hi")
         }

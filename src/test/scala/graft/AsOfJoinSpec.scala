@@ -65,6 +65,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed path handles timestamp_ntz time columns (ta_asof's shape)") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // the production caller buckets on a TIMESTAMP_NTZ column; the
+    // bucketing cast-to-double must work for it, and small-input gates
+    // only exercise b=1 — so force the bucketed path here
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("t", timestamp_micros(col("t") * 1000000L).cast("timestamp_ntz"))
+    val l = ntz(left((1L to 30L).map(i => (i, "a", i * 7 % 40)): _*))
+    val r = ntz(right(("a", 5L, 1.0), ("a", 15L, 2.0), ("a", 25L, 3.0)))
+    val single = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"), buckets = 1)
+      .orderBy("id").collect().toSeq
+    for (b <- Seq(4, 16)) {
+      val bucketed = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"), buckets = b)
+        .orderBy("id").collect().toSeq
+      assert(bucketed === single, s"ntz buckets=$b diverged")
+    }
+  }
+
   test("bucket count adapts to the left plan's size estimate") {
     import org.apache.spark.sql.functions.{col, lit}
     val r = right(("k", 5L, 1.0))
