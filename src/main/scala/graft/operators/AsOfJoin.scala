@@ -132,9 +132,12 @@ object AsOfJoin {
               // empty/degenerate right (null or zero-width bounds) -> one
               // bucket; clamp handles left times outside the right range
               when(col("__lo").isNull || (w <= 0), lit(0)).otherwise(
+                // clamp in the LONG domain BEFORE narrowing: a left time
+                // > 2^31 bucket widths outside the right range would
+                // overflow the int cast (ANSI throw / wrapped clamp-to-0)
                 least(greatest(
-                  floor((asBucketKey(col(timeCol)) - col("__lo")) / w).cast("int"),
-                  lit(0)), lit(b - 1))))
+                  floor((asBucketKey(col(timeCol)) - col("__lo")) / w),
+                  lit(0L)), lit((b - 1).toLong)).cast("int")))
             .drop("__lo", "__hi")
         }
         // Cross-bucket carry-in, computed on the SMALL side only: the

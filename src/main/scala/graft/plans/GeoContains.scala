@@ -58,6 +58,10 @@ object RayCastContains {
     var crossings = 0
     var i = 0
     while (i < n) {
+      // null vertex (ArrayType containsNull permits it): the HOF tree
+      // yields null, which in this expression's filter/join-condition
+      // position drops the row exactly as false does
+      if (verts.isNullAt(i) || verts.isNullAt((i + 1) % n)) return false
       val a = verts.getStruct(i, 2)
       val b = verts.getStruct((i + 1) % n, 2)
       val ax = a.getDouble(0); val ay = a.getDouble(1)
@@ -115,6 +119,9 @@ object ConvexContains {
     val n = verts.numElements()
     var i = 0
     while (i < n) {
+      // null vertex -> false, mirroring the forall/zip_with tree's null
+      // in filter position (see RayCastContains.compute)
+      if (verts.isNullAt(i) || verts.isNullAt((i + 1) % n)) return false
       val a = verts.getStruct(i, 2)
       val b = verts.getStruct((i + 1) % n, 2)
       val ax = a.getDouble(0); val ay = a.getDouble(1)

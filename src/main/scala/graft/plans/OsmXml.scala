@@ -102,8 +102,7 @@ object OsmXml {
         // close tag — must match the root (children self-close)
         val j = text.indexOf('>', i)
         if (j < 0) return null
-        if (!text.regionMatches(i + 2, root._1.name, 0, root._1.name.length))
-          return null
+        if (!closeTagMatches(text, i, root._1.name)) return null
         return (root._1, children)
       } else {
         val c = parseTag(text, i)
@@ -117,14 +116,23 @@ object OsmXml {
           if (k + 1 >= n || text.charAt(k) != '<' || text.charAt(k + 1) != '/')
             return null
           val j = text.indexOf('>', k)
-          if (j < 0 || !text.regionMatches(k + 2, c._1.name, 0, c._1.name.length))
-            return null
+          if (j < 0 || !closeTagMatches(text, k, c._1.name)) return null
           i = j + 1
         }
         children.add(c._1)
       }
     }
     null // unreachable
+  }
+
+  /** `</name>` at `openIdx` (the '<'): the name must match EXACTLY —
+   *  a prefix match would accept `</nodeExtra>` as the close of
+   *  `<node>`, where from_xml yields null. The char after the name
+   *  must be '>' or whitespace. */
+  private def closeTagMatches(s: String, openIdx: Int, name: String): Boolean = {
+    if (!s.regionMatches(openIdx + 2, name, 0, name.length)) return false
+    val after = openIdx + 2 + name.length
+    after < s.length && (s.charAt(after) == '>' || Character.isWhitespace(s.charAt(after)))
   }
 
   private def skipWs(s: String, from: Int): Int = {

@@ -65,6 +65,20 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("a left time 2^31+ bucket widths past the right range still clamps") {
+    // floor((t-lo)/w) exceeds Int.MaxValue here; the clamp must happen
+    // in the LONG domain before the int narrowing (ANSI would throw on
+    // the overflow, non-ANSI would wrap negative and clamp to bucket 0,
+    // silently attaching a stale value instead of the last-bucket carry)
+    val l = left((1L, "a", Long.MaxValue / 2), (2L, "a", 3L))
+    val r = right(("a", 0L, 1.0), ("a", 2L, 2.0), ("a", 4L, 3.0))
+    for (b <- Seq(2, 4)) {
+      val out = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"), buckets = b)
+        .select("id", "v").as[(Long, Double)].collect().toMap
+      assert(out === Map(1L -> 3.0, 2L -> 2.0), s"buckets=$b diverged")
+    }
+  }
+
   test("bucketed path handles timestamp_ntz time columns (ta_asof's shape)") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     // the production caller buckets on a TIMESTAMP_NTZ column; the

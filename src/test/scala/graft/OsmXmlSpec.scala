@@ -63,6 +63,10 @@ class OsmXmlSpec extends SparkSpec {
       "<node id=\"1\"",            // unterminated tag
       "<node id=1 lat=\"2\"/>",    // unquoted attribute
       "<node id=\"1\"><tag k=\"a\" v=\"b\"/>", // missing close tag
+      // close-tag name must match EXACTLY, not by prefix: from_xml
+      // yields null for both of these
+      "<node id=\"1\"><tag k=\"a\" v=\"b\"/></nodeExtra>",
+      "<node id=\"1\"><tag k=\"a\" v=\"b\"></tagX></node>",
       "<relation id=\"1\"><member type=\"way\"><nested/></member></relation>") // nesting
     val out = bad.toDF("x")
       .select(graft.plans.OsmXml.node(col("x")).as("w"))

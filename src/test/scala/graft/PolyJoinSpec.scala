@@ -156,6 +156,20 @@ class PolyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(math.abs(got(3) - 2.0) < 1e-12)
   }
 
+  test("a null vertex yields false (no NPE) for both containment folds") {
+    // ArrayType containsNull permits a null element; the compiled loops
+    // must drop the row like the HOF trees' null did, not NPE in codegen
+    val df = spark.sql(
+      """SELECT array(named_struct('x', 0.0D, 'y', 0.0D),
+        |             cast(null as struct<x: double, y: double>),
+        |             named_struct('x', 1.0D, 'y', 1.0D)) AS verts""".stripMargin)
+    val out = df.select(
+      PolyJoin.containsConvex(lit(0.5), lit(0.5), $"verts").as("c"),
+      PolyJoin.containsRayCast(lit(0.5), lit(0.5), $"verts").as("r"))
+      .as[(Boolean, Boolean)].collect().head
+    assert(out === ((false, false)))
+  }
+
   test("plans a broadcast hash join on the cell key — never a cartesian") {
     val q = PolyJoin.containsJoin(pts((1L, 0.5, 0.5)),
       "lat", "lon", polyDf(squares), "poly_id", "verts", cellDeg = 0.5)
