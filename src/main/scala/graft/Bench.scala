@@ -154,11 +154,43 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    // stdout gets ONE COMPACT line (no spread map — that halves the
-    // length) so the driver's bounded tail capture holds the complete
-    // JSON: every per-query minimum plus the total, self-contained.
-    // Diagnostics beyond errors/warmup/requeue live in the disk copy.
-    val json = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"queries":$qs,"value":${f3(total)}}"""
+    // stdout gets ONE COMPACT line that must fit the driver's bounded
+    // tail capture (2000 chars — rounds 10 and 11 both head-truncated a
+    // longer line and json-parsed to null). Full query names alone total
+    // ~1.6 KB, so a flat name->sec map can never fit: names are grouped
+    // as family -> csv-of-suffixes ("qn") with a flat aligned
+    // millisecond array ("qms"); key reconstruction = family + "_" +
+    // suffix, iterating qn's families in listed order and each csv left
+    // to right. Everything else (spread, requeue diagnostics, the flat
+    // 3-decimal map) lives in the disk artifact named by "full".
+    val famOrder = scala.collection.mutable.LinkedHashMap[String, List[String]]()
+    results.foreach { case (name, _, _, _) =>
+      val (fam, suf) = name.indexOf('_') match {
+        case -1 => (name, "")
+        case i => (name.substring(0, i), name.substring(i + 1))
+      }
+      famOrder(fam) = famOrder.getOrElse(fam, Nil) :+ suf
+    }
+    val timesByName = results.map { case (k, v, _, _) => k -> v }.toMap
+    val qn = famOrder.map { case (fam, sufs) =>
+      "\"" + fam + "\":\"" + sufs.mkString(",") + "\"" }.mkString("{", ",", "}")
+    val qms = famOrder.flatMap { case (fam, sufs) => sufs.map { suf =>
+      val key = if (suf.isEmpty) fam else s"${fam}_$suf"
+      val v = timesByName(key)
+      if (v < 0) "-1" else math.round(v * 1000).toString
+    } }.mkString("[", ",", "]")
+    // error DETAILS are bounded (first 2) so a broken run cannot push
+    // the line back over the capture window; the count is always exact
+    val errHead = errors.take(2).map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    def line(withQueries: Boolean): String = {
+      val q = if (withQueries) s""","enc":"fam_suffix; qms=ms","qn":$qn,"qms":$qms""" else ""
+      s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","nerr":${errors.size},"errors":$errHead,"full":"$outFile","value":${f3(total)}$q}"""
+    }
+    // belt and braces: if a pathological error string still overflows
+    // the window, drop to the summary-only form rather than emit a line
+    // the driver will truncate mid-JSON (capture = last 2000 chars; the
+    // trailing newline rides inside it)
+    val json = if (line(true).length <= 1980) line(true) else line(false)
     println(json)
     System.out.flush()
     spark.stop()
