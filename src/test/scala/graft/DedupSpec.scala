@@ -54,6 +54,36 @@ class DedupSpec extends SparkSpec {
       exact.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("jaccardPairsPrefix equals the full-index path across thresholds") {
+    // recall is the property at stake: the prefix filter must never
+    // drop a qualifying pair. Sweep thresholds so prefix lengths of
+    // 1..several are exercised, on a corpus with exact dups, near-dups,
+    // disjoint docs and a single-shingle doc.
+    val docs = corpus.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (7L, "alpha beta gamma"), // single shingle
+      (8L, "alpha beta gamma")  // its exact dup
+    ).toDF("doc_id", "text"))
+    val hsh = Dedup.hashShingles(Dedup.shingles(docs, "doc_id", "text", 3))
+    for (t <- Seq(0.5, 0.8, 0.95, 1.0)) {
+      val full = Dedup.jaccardPairsFromHashes(hsh, t)
+        .collect().map(_.toString).sorted.toSeq
+      val pref = Dedup.jaccardPairsPrefix(hsh, t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pref === full, s"prefix path diverged at t=$t")
+    }
+  }
+
+  test("jaccardPairsPrefix: empty and single-doc corpora yield no pairs") {
+    val empty = Dedup.hashShingles(Dedup.shingles(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 3))
+    assert(Dedup.jaccardPairsPrefix(empty, 0.8).count() === 0)
+    val one = Dedup.hashShingles(Dedup.shingles(
+      Seq((1L, "just one document right here")).toDF("doc_id", "text"),
+      "doc_id", "text", 3))
+    assert(Dedup.jaccardPairsPrefix(one, 0.8).count() === 0)
+  }
+
   test("simhashPairs ignores docs with no shingles (no all-ones pairing)") {
     val tiny = Seq(
       (1L, "a b"), (2L, "c d"), (3L, "e f"), // all shorter than n=3
