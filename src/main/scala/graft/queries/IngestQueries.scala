@@ -282,7 +282,10 @@ object IngestQueries {
     val out = "/tmp/graft-dated/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val posDf = PositionView.fromEvents(events(s, dir))
       .select("event_id", "vehicle_id", "ts", "value")
-    graft.sources.DatedWriter.writeDated(posDf, "ts", out)
+    // one file per date: ~3k rows/date at sf0.1 — four files each was
+    // over-split (file-commit overhead, not parallelism, dominated);
+    // the knob rises with the per-date volume at scale
+    graft.sources.DatedWriter.writeDated(posDf, "ts", out, filesPerDate = 1)
     graft.sources.DatedWriter.readDated(s, out)
       .filter(col("date_key") >= "20240105" && col("date_key") <= "20240108")
       .groupBy("date_key")

@@ -221,9 +221,13 @@ object StreamOps {
     }
     Files.createDirectories(root)
     Files.createFile(marker)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, ReplayStateParts.toString)
+    // NO ReplayStateParts override here: this pipeline is STATELESS
+    // (foreachBatch file sink, no state store), so shrinking shuffle
+    // partitions only strangles the dated write's parallelism — the
+    // (date_key, salt) clustering inside writeDated bounds the FILE
+    // count regardless of partition count (measured: the in-batch
+    // write dominated st_dated_sink at 8 parts; session-level
+    // parallelism cuts its wall time without changing output shape).
     try {
       val q = df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -234,7 +238,6 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
-      s.conf.set(key, prev)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
   }
