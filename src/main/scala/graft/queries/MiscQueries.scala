@@ -291,6 +291,45 @@ object MiscQueries {
     |  round(sum(value), 2) AS sum_value
     |FROM events GROUP BY 1 ORDER BY date_key""".stripMargin
 
+  // ---- st_recover_buffered -----------------------------------------------
+
+  /** Buffered-position recovery across a dropped session
+    * (poller.py:70-77 `_recover_buffered_positions`): the backlog
+    * replays through the dated sink in four micro-batches; the run is
+    * KILLED mid-stream right after batch 1's rows are staged
+    * (buffered) but before they land — then a restart from the same
+    * checkpoint recovers the staged batch and finishes the backlog.
+    * The oracle aggregates the raw events, so the hash proves the
+    * crash+recovery path loses NOTHING (the buffered batch re-enters)
+    * and duplicates NOTHING (batches 0's landed file is not
+    * re-appended; the recovered move overwrites its own deterministic
+    * target). See StreamOps.runToDatedRecoverable for the lifecycle
+    * mapping onto the reference's buffer/.processing/confirm files. */
+  def stRecoverBuffered(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = "/tmp/graft-stream-recover/" + key
+    val ckpt = "/tmp/graft-stream-recover-ckpt/" + key
+    def src = StreamOps.eventsStreamSliced(s, dir, 4)
+      .select(col("event_id"), col("user_id").as("vehicle_id"),
+        timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
+        col("value"))
+    val dropped =
+      try { StreamOps.runToDatedRecoverable(s, src, "ts", out, ckpt,
+        failAtBatch = Some(1L), fresh = true); false }
+      catch { case _: StreamOps.PlantedStreamFailure => true }
+    require(dropped, "planted mid-stream failure did not fire")
+    // the next session: same checkpoint, no planted failure — recovers
+    // the buffered batch and drains the remaining backlog
+    StreamOps.runToDatedRecoverable(s, src, "ts", out, ckpt)
+    graft.sources.DatedWriter.readDated(s, out)
+      .groupBy("date_key")
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("date_key")
+  }
+
+  val stRecoverBufferedSql: String = stDatedSinkSql
+
   // ---- st_session_window -------------------------------------------------
 
   /** Streaming session windows via the native session_window
@@ -462,6 +501,7 @@ object MiscQueries {
     "ag_approx_topk" -> (agApproxTopk _),
     "st_session_window" -> (stSessionWindow _),
     "st_dated_sink" -> (stDatedSink _),
+    "st_recover_buffered" -> (stRecoverBuffered _),
     "q_skew_join" -> (qSkewJoin _),
     "st_stream_join" -> (stStreamJoin _))
 
@@ -474,6 +514,7 @@ object MiscQueries {
     "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,
     "st_dated_sink" -> stDatedSinkSql,
+    "st_recover_buffered" -> stRecoverBufferedSql,
     "st_positions_parse" -> stPositionsParseSql,
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,

@@ -62,6 +62,36 @@ object StreamOps {
     }
   }
 
+  /** [[eventsStream]] over an N-file staged copy of the events table,
+    * read one file per micro-batch — the multi-batch replay harness
+    * for restart/recovery operators (a single-file backlog is one
+    * AvailableNow batch, which cannot exercise a MID-stream failure).
+    * The sliced copy is staged once per (dir, slices) and reused:
+    * batch boundaries then stay fixed across the failed run and its
+    * recovery restart, exactly like the reference's buffer files
+    * surviving a dropped session. */
+  def eventsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
+      Integer.toHexString(src.toString.hashCode)
+    val stage = Paths.get("/tmp/graft-stream", key, s"events-x$slices")
+    if (!Files.exists(stage.resolve("_SUCCESS"))) {
+      s.read.parquet(src.toString).repartition(slices)
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    val tsType = s.read.parquet(src.toString).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val raw = s.readStream.schema(eventsSchema(tsType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    tsType match {
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => raw
+    }
+  }
+
   /** Fans a replayed stream out to the session's shuffle parallelism
     * before a compute-bound stateless stage — the streaming
     * counterpart of Par.spread: a micro-batch inherits its source's
@@ -240,6 +270,126 @@ object StreamOps {
     } finally {
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
+  }
+
+  /** Thrown by [[runToDatedRecoverable]]'s planted failure — the
+    * simulated dropped session. */
+  final class PlantedStreamFailure(batchId: Long)
+    extends RuntimeException(s"planted stream failure at batch $batchId")
+
+  /** [[runToDated]] with CRASH-RECOVERY semantics — the Spark mirror of
+    * the reference's buffered-position recovery
+    * (kpt/poller/poller.py:70-77 `_recover_buffered_positions` over
+    * websocket_client.py:33-56 `ConcurrentFileQueue.recover`): positions
+    * buffered when a session drops are re-emitted by the next session
+    * exactly once (buffer/.processing files survive the crash; recovery
+    * writes them and deletes the files; `confirm_flush` marks a
+    * completed hand-off).
+    *
+    * The mirror maps each piece onto Structured Streaming's restart
+    * contract:
+    *   - buffer/.processing file  → a per-batch STAGING dir under
+    *     `_staging/batch=<id>` (rows written, not yet in the zone);
+    *   - recover() on reconnect   → the checkpointed restart replaying
+    *     the uncommitted batch (foreachBatch is at-least-once);
+    *   - write-once guarantee     → the move into the zone names files
+    *     deterministically (`b<batchId>.parquet` per date dir, one file
+    *     per (batch, date)), so a replayed move OVERWRITES rather than
+    *     appends — no duplication whatever the crash point;
+    *   - confirm_flush()          → the `_commits/<batchId>` marker; a
+    *     marked batch short-circuits on replay.
+    *
+    * `failAtBatch` plants the dropped session: the batch's rows are
+    * staged (buffered) and the stream then dies BEFORE the zone move —
+    * exactly the reference's crash window. A rerun with the same
+    * `checkpointDir` recovers: it re-runs that batch, re-stages, moves,
+    * commits, and continues the backlog. `fresh = true` clears zone and
+    * checkpoint for a deterministic full replay.
+    *
+    * Scale: per batch this adds one staging write and |dates-touched|
+    * renames — O(batch), nothing proportional to the zone. The `_`
+    * prefixes keep staging/commit bookkeeping invisible to readers. */
+  def runToDatedRecoverable(s: SparkSession, df: DataFrame, tsCol: String,
+                            outDir: String, checkpointDir: String,
+                            failAtBatch: Option[Long] = None,
+                            fresh: Boolean = false): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(outDir)
+    val marker = root.resolve(DatedZoneMarker)
+    if (fresh) {
+      if (Files.exists(root)) {
+        val entries = Files.list(root).iterator().asScala.toList
+        require(entries.isEmpty || Files.exists(marker),
+          s"runToDatedRecoverable: refusing to clear '$outDir' — non-empty " +
+            s"and missing the $DatedZoneMarker marker")
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      val ckpt = Paths.get(checkpointDir)
+      if (Files.exists(ckpt)) {
+        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+    Files.createDirectories(root)
+    if (!Files.exists(marker)) Files.createFile(marker)
+    val commits = root.resolve("_commits")
+    Files.createDirectories(commits)
+    try {
+      val q = df.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!Files.exists(commits.resolve(batchId.toString))) {
+            val staging = root.resolve("_staging").resolve(s"batch=$batchId")
+            graft.sources.DatedWriter.writeDated(batch.toDF(), tsCol,
+              staging.toString, mode = "overwrite", filesPerDate = 1)
+            if (failAtBatch.contains(batchId))
+              throw new PlantedStreamFailure(batchId)
+            // idempotent hand-off: one file per (batch, date), named by
+            // the batch id — a replayed move can only overwrite itself
+            Files.list(staging).iterator().asScala
+              .filter(p => p.getFileName.toString.startsWith("date_key=") &&
+                Files.isDirectory(p))
+              .foreach { dateDir =>
+                val dst = root.resolve(dateDir.getFileName.toString)
+                Files.createDirectories(dst)
+                val parts = Files.list(dateDir).iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet")).toList
+                require(parts.size <= 1,
+                  s"filesPerDate=1 write produced ${parts.size} files in $dateDir")
+                parts.foreach(p => Files.move(p, dst.resolve(s"b$batchId.parquet"),
+                  StandardCopyOption.REPLACE_EXISTING))
+              }
+            Files.createFile(commits.resolve(batchId.toString))
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      // unwrap the StreamingQueryException shell so callers plant and
+      // catch the SAME exception type
+      case e: Throwable if causedByPlanted(e) => throw rootPlanted(e)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    }
+  }
+
+  private def causedByPlanted(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[PlantedStreamFailure]) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  private def rootPlanted(e: Throwable): PlantedStreamFailure = {
+    var c: Throwable = e
+    while (!c.isInstanceOf[PlantedStreamFailure]) c = c.getCause
+    c.asInstanceOf[PlantedStreamFailure]
   }
 
   def runToMemory(s: SparkSession, df: DataFrame, name: String,

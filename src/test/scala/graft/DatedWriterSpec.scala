@@ -72,6 +72,41 @@ class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[(String, Long)].collect().toSeq === Seq(("20240101", 2L), ("20240102", 1L)))
   }
 
+  test("recoverable replay: planted crash loses the buffered batch, restart recovers it exactly once") {
+    import graft.streaming.StreamOps
+    val dir = freshDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("recoverckpt").toString
+    // 4 source files -> 4 micro-batches (maxFilesPerTrigger=1 on the
+    // recoverable path is the caller's staging; emulate with 4 files)
+    val rows = (1L to 40L).map(i => day((i % 4 + 1).toInt, i))
+    val stage = java.nio.file.Files.createTempDirectory("recoversrc").toString
+    val srcDf = rows.toDF("id", "ts")
+    srcDf.repartition(4).write.mode("overwrite").parquet(stage)
+    def src = spark.readStream.schema(srcDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+
+    // session 1 drops right after batch 1 is staged (buffered)
+    intercept[StreamOps.PlantedStreamFailure] {
+      StreamOps.runToDatedRecoverable(spark, src, "ts", dir, ckpt,
+        failAtBatch = Some(1L), fresh = true)
+    }
+    val afterCrash = DatedWriter.readDated(spark, dir).count()
+    assert(afterCrash < 40, "crash point must leave the zone incomplete")
+    // the buffered rows sit in staging, not the zone — the reference's
+    // buffer file surviving the dropped session
+    assert(new java.io.File(s"$dir/_staging/batch=1").exists())
+
+    // session 2: same checkpoint, no failure — recovery + drain
+    StreamOps.runToDatedRecoverable(spark, src, "ts", dir, ckpt)
+    val back = DatedWriter.readDated(spark, dir)
+    assert(back.count() === 40, "recovered zone must hold every row exactly once")
+    assert(back.select("id").distinct().count() === 40, "no duplicated rows")
+
+    // a THIRD run over the same checkpoint is a no-op on the zone
+    StreamOps.runToDatedRecoverable(spark, src, "ts", dir, ckpt)
+    assert(DatedWriter.readDated(spark, dir).count() === 40)
+  }
+
   test("runToDated refuses to clear a directory that is not a landing zone") {
     val dir = java.nio.file.Files.createTempDirectory("notazone")
     java.nio.file.Files.writeString(dir.resolve("precious.parquet"), "data")
