@@ -23,4 +23,21 @@ class ApproxTopkSpec extends SparkSpec {
     // every reported item exists in the exact counts (left join hit)
     assert(out.filter(col("exact_n").isNull).count() === 0L)
   }
+
+  test("ag_approx_quantile median stays inside the sketch's error floor") {
+    // the spec floor for the self-audit column the driver's rows-only
+    // check cannot see: percentile_approx at accuracy=1000 guarantees
+    // rank error <= 1/1000; on the events value distribution that
+    // bounds the median's relative error well under 2% — a sketch
+    // regression (accuracy knob, expression swap) must fail here, the
+    // same guard the LSH recall floors give the dedup family
+    val out = graft.queries.MiscQueries.agApproxQuantile(spark, sf)
+    val errs = out.select("median_rel_err").as[Double].collect()
+    assert(errs.nonEmpty, "no groups produced")
+    assert(errs.forall(_ <= 0.02),
+      s"median rel_err above floor: ${errs.mkString(",")}")
+    // p99 must sit between the exact median and the max by construction
+    val bad = out.filter(col("approx_p99") < col("exact_median")).count()
+    assert(bad === 0L, "approx_p99 below the exact median")
+  }
 }
