@@ -91,13 +91,36 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     val d = data.select(col(idCol).as("did"), toDouble(col(vecCol)).as("demb"),
       col(clusterCol).as("cluster"))
-      .withColumn("dnrm", normPre(col("demb")))
     // element-wise mean per cluster: explode positions once, re-pack
     val cent = d.select(col("cluster"), posexplode(col("demb")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos").agg(avg("x").as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cemb"))
+    ivfTopKWithCentroids(data, queries, idCol, vecCol, clusterCol,
+      cent, "cluster", "cemb", k, nprobe)
+  }
+
+  /** [[ivfTopK]] with the centroid table handed in — the SCALE shape:
+    * on a real corpus the centroids come from a separate (sampled)
+    * k-means job and are versioned alongside the cluster assignment,
+    * not recomputed per query; the in-plan mean of the other overload
+    * is the self-contained stand-in that reads the whole corpus once
+    * just to rebuild them. `centroids` needs one row per cluster:
+    * (centClusterCol, centVecCol: array<numeric>). Identical results
+    * to the in-plan overload when the handed-in frame IS the
+    * per-cluster mean (pinned by SimilaritySpec). Probe scoring,
+    * candidate generation and the bounded-heap top-k are shared. */
+  def ivfTopKWithCentroids(data: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, clusterCol: String,
+                           centroids: DataFrame, centClusterCol: String,
+                           centVecCol: String, k: Int,
+                           nprobe: Int = 2): DataFrame = {
+    val d = data.select(col(idCol).as("did"), toDouble(col(vecCol)).as("demb"),
+      col(clusterCol).as("cluster"))
+      .withColumn("dnrm", normPre(col("demb")))
+    val cent = centroids.select(col(centClusterCol).as("cluster"),
+      toDouble(col(centVecCol)).as("cemb"))
       .withColumn("cnrm", normPre(col("cemb")))
     val q = withNorm(queries, idCol, vecCol, "q")
     val probeW = Window.partitionBy("qid").orderBy(

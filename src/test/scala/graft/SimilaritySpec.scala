@@ -68,4 +68,27 @@ class SimilaritySpec extends SparkSpec {
     val brute = ranks(Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10))
     assert(ivf === brute)
   }
+
+  test("ivfTopK with handed-in centroids equals the in-plan recompute") {
+    import org.apache.spark.sql.functions._
+    // the scale path: centroids arrive precomputed (k-means job output)
+    // instead of being rebuilt from the corpus inside the query plan.
+    // Handing in exactly the per-cluster mean must reproduce the
+    // in-plan overload row for row — scores, ranks and tie-breaks.
+    val cents = emb.select(col("label"),
+        posexplode(graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    for (np <- Seq(1, 2)) {
+      val inPlan = ranks(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        clusterCol = "label", k = 5, nprobe = np))
+      val handed = ranks(Similarity.ivfTopKWithCentroids(emb, queries,
+        "vec_id", "embedding", "label", cents, "label", "cvec", k = 5,
+        nprobe = np))
+      assert(handed === inPlan, s"nprobe=$np diverged")
+    }
+  }
 }
