@@ -309,7 +309,7 @@ object MiscQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = "/tmp/graft-stream-recover/" + key
     val ckpt = "/tmp/graft-stream-recover-ckpt/" + key
-    def src = StreamOps.eventsStreamSliced(s, dir, 4)
+    def src = StreamOps.eventsStreamSliced(s, dir, 3)
       .select(col("event_id"), col("user_id").as("vehicle_id"),
         timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
         col("value"))

@@ -77,7 +77,12 @@ object StreamOps {
       Integer.toHexString(src.toString.hashCode)
     val stage = Paths.get("/tmp/graft-stream", key, s"events-x$slices")
     if (!Files.exists(stage.resolve("_SUCCESS"))) {
-      s.read.parquet(src.toString).repartition(slices)
+      // TIME-RANGED slices, not round-robin: a real backlog drains in
+      // rough time order, so each micro-batch should touch a time
+      // window's worth of dates, not every date in the zone (a
+      // round-robin slice made every batch write all ~30 date
+      // partitions; ranged slices cut the per-batch file count ~4x)
+      s.read.parquet(src.toString).repartitionByRange(slices, col("ts"))
         .write.mode("overwrite").parquet(stage.toString)
     }
     val tsType = s.read.parquet(src.toString).schema
@@ -342,8 +347,15 @@ object StreamOps {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!Files.exists(commits.resolve(batchId.toString))) {
             val staging = root.resolve("_staging").resolve(s"batch=$batchId")
-            graft.sources.DatedWriter.writeDated(batch.toDF(), tsCol,
-              staging.toString, mode = "overwrite", filesPerDate = 1)
+            // recover(), not rebuild: a COMPLETE staged batch (atomic
+            // job commit = _SUCCESS) is exactly the reference's buffer
+            // file surviving the dropped session — the restart re-emits
+            // it without re-deriving it. A partial write (no _SUCCESS)
+            // is rewritten from the replayed batch.
+            if (!Files.exists(staging.resolve("_SUCCESS"))) {
+              graft.sources.DatedWriter.writeDated(batch.toDF(), tsCol,
+                staging.toString, mode = "overwrite", filesPerDate = 1)
+            }
             if (failAtBatch.contains(batchId))
               throw new PlantedStreamFailure(batchId)
             // idempotent hand-off: one file per (batch, date), named by

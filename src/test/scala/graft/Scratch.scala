@@ -14,31 +14,37 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamOps
-    import graft.sources.PositionView
 
     val dir = "/root/testdata/sf0.1"
-    val out = "/tmp/graft-stream-dated/_root_testdata_sf0.1"
-    def srcStream = StreamOps.eventsStream(spark, dir)
+
+    def full = queries.MiscQueries.queries("st_recover_buffered")(spark, dir)
+
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = "/tmp/graft-stream-recover/" + key
+    val ckpt = "/tmp/graft-stream-recover-ckpt/" + key
+    def src = StreamOps.eventsStreamSliced(spark, dir, 4)
       .select(col("event_id"), col("user_id").as("vehicle_id"),
-        timestamp_micros(expr(PositionView.TsUsSql)).as("ts"),
+        timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
         col("value"))
 
-    def runAt(parts: Int): Unit = {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, parts.toString)
-      try StreamOps.runToDated(spark, srcStream, "ts", out)
-      finally spark.conf.set(key, prev)
-    }
-
-    def full = queries.MiscQueries.queries("st_dated_sink")(spark, dir)
-    def fullIng = queries.IngestQueries.queries("ing_dated_write")(spark, dir)
-
     for (i <- 1 to 3) {
-      timeU(s"st.run@4 r$i") { runAt(4) }
-      timeU(s"st.run@32 r$i") { runAt(32) }
-      timeU(s"st.full r$i") { full.write.format("noop").mode("overwrite").save() }
-      timeU(s"ing.full r$i") { fullIng.write.format("noop").mode("overwrite").save() }
+      timeU(s"run1(fail) r$i") {
+        try StreamOps.runToDatedRecoverable(spark, src, "ts", out, ckpt,
+          failAtBatch = Some(1L), fresh = true)
+        catch { case _: StreamOps.PlantedStreamFailure => () }
+      }
+      timeU(s"run2(recover) r$i") {
+        StreamOps.runToDatedRecoverable(spark, src, "ts", out, ckpt)
+      }
+      timeU(s"readback r$i") {
+        graft.sources.DatedWriter.readDated(spark, out)
+          .groupBy("date_key")
+          .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"),
+            round(sum("value"), 2).as("sum_value"))
+          .orderBy("date_key")
+          .write.format("noop").mode("overwrite").save()
+      }
+      timeU(s"full r$i") { full.write.format("noop").mode("overwrite").save() }
     }
     spark.stop()
   }

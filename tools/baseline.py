@@ -51,6 +51,18 @@ def main():
     rows_only = sorted(set(spark_q) - set(oracle))
     ro_spark = sum(spark_q[n] for n in rows_only)
     stamp = datetime.date.today().isoformat()
+    # dd_incremental prose derives from the SAME window as the table —
+    # a hardcoded version of this bullet once contradicted its own
+    # table row (doc-sync rule: one run, one number, both places)
+    dd = next((r for r in rows if r[0] == "dd_incremental" and r[2] is not None),
+              None)
+    dd_bullet = "" if dd is None else f"""
+- `dd_incremental` in THIS window: {dd[2]:.3f} s vs the {dd[1]:.3f} s
+  oracle ({dd[2] / dd[1]:.2f}x) — generated from the table row, so
+  table and prose cannot diverge. At a ~0.3 s oracle time the
+  remaining gap is the fixed multi-stage floor, not data work; SCALE.md
+  shows the floor amortizing on 10x data as the first bullet argues.
+"""
     with open(out_md, "w") as f:
         f.write(f"""# BASELINE — DuckDB oracle timings vs Spark ({stamp})
 
@@ -112,23 +124,17 @@ Where the ratios come from (structure, not noise):
   DuckDB column re-derives the full chain per query; the per-query
   SQL is unchanged, so correctness still hash-verifies end to end.
 
-- **The round-11 oracle rewrite RAISED the totals bar on purpose.**
-  geo_nearest_signal's oracle moved from a row_number window (17.4 s in
-  DuckDB at sf0.1 — and a disk-exhausting 5-billion-row sort at sf1) to
-  the packed-min aggregation the engine itself computes (~9-10 s). The
-  faster oracle shrinks the DuckDB denominator by ~7 s, so the totals
-  ratio rose versus round 10 even though every Spark number improved or
-  held; keeping the slower oracle would have been the flattering choice
-  and the wrong one.
-
-- `dd_incremental` sits stably under the gate since the one-partition
-  deliverable sort landed: three consecutive isolated bench windows
-  measured 0.425 / 0.450 / 0.452 s vs the 0.304 s oracle
-  (1.40-1.49x). At a 0.3 s oracle time the remaining gap is the fixed
-  multi-stage floor, not data work — SCALE.md shows the query growing
-  only 2.4x on 10x data, i.e. the floor amortizes as the first bullet
-  argues.
-
+- **Oracle formulations are kept HONEST, not flattering.** Round 11
+  rewrote geo_nearest_signal's oracle from a 17.4 s row_number window
+  to the ~10 s packed-min aggregation the engine computes — shrinking
+  the DuckDB denominator and RAISING the totals bar. Round 12 measured
+  a DuckDB formulation of dd_ngram_jaccard's new prefix-filter
+  algorithm and kept the committed full-index oracle because it is the
+  FASTER DuckDB form (0.38 s vs 0.64 s measured): the AllPairs prefix
+  filter pays off on Spark because its cost is stage/exchange-bound,
+  while DuckDB's in-memory hash join is already optimal on the full
+  index.
+{dd_bullet}
 Scale behavior is rehearsed separately: `BENCH_SF1.json` (see
 SCALE.md) times the heavy families on 10x data generated by
 `graft.GenScale` — per-query growth for 10x input lands between 1.2x
