@@ -5,6 +5,22 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** Shared fan-out helper. */
 object Par {
+
+  /** Broadcast hint iff the plan's own size estimate is under
+    * `maxBytes` — the estimate-driven counterpart of the adaptive
+    * as-of bucket count and the conditional [[spread]]. Use it for a
+    * join side that is dimension-SHAPED at test scale but grows with
+    * the corpus (TPC-H customer: 15 k rows at sf0.1, 15 B at 100 TB):
+    * a hard `broadcast()` hint would OOM the large deployment, while
+    * the planner's stat-based pick under-broadcasts locally (its
+    * decompressed estimate of a narrow dim overshoots the default
+    * 10 MB threshold). The 64 MB default is an executor-memory-safe
+    * dim budget; past it the join stays shuffled. */
+  def broadcastIfSmall(df: DataFrame,
+                       maxBytes: Long = 64L << 20): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) org.apache.spark.sql.functions.broadcast(df) else df
+  }
   /** Spreads narrow rows across the session's shuffle parallelism
     * before a compute-bound stage (per-row parsing, hashing, pair
     * products) — but ONLY when the scan cannot already feed that many

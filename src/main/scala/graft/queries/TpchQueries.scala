@@ -86,15 +86,23 @@ object TpchQueries {
     val sup = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    // customer is dim-SHAPED here but scales with the corpus, so the
+    // broadcast is estimate-driven (Par.broadcastIfSmall): at sf0.1 it
+    // rides the fact join broadcast (-0.3 s measured — the planner's
+    // decompressed estimate overshot the default threshold), at
+    // cluster scale it stays a shuffled join. The 5-row deliverable
+    // takes the one-partition sort.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(c, col("o_custkey") === col("c_custkey") &&
+      .join(graft.operators.Par.broadcastIfSmall(c),
+        col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name").asc)
+      .repartition(1)
+      .sortWithinPartitions(col("revenue").desc, col("n_name").asc)
   }
 
   val q5Sql: String =
@@ -121,7 +129,9 @@ object TpchQueries {
       .filter(col("rnk") <= 3)
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
-      .orderBy("n_name", "rnk")
+      // top-3-per-nation deliverable (|nations| x 3 rows): one-partition
+      // sort, not orderBy's sampling double-execution
+      .repartition(1).sortWithinPartitions("n_name", "rnk")
   }
 
   val topCustomerPerNationSql: String =
@@ -144,7 +154,14 @@ object TpchQueries {
     * computed with a parallel bucketed rank instead of funneling every
     * order row through one task's global sort. */
   def decileStats(s: SparkSession, dir: String): DataFrame = {
-    graft.operators.RankOps.exactNtile(Tables.orders(s, dir),
+    // project BEFORE ranking: the bucketed frame is checkpointed and
+    // window-sorted — carrying the other seven order columns through
+    // both cost ~0.4 s at sf0.1 for a 2-column computation. The 10-row
+    // deliverable takes the one-partition sort (sortSmall doctrine):
+    // orderBy's range sampling re-executes the final agg just to pick
+    // boundaries for a frame AQE would coalesce anyway.
+    graft.operators.RankOps.exactNtile(
+      Tables.orders(s, dir).select("o_totalprice", "o_orderkey"),
       "o_totalprice", "o_orderkey", 10, "decile")
       .groupBy("decile")
       .agg(
@@ -153,7 +170,7 @@ object TpchQueries {
         round(max("o_totalprice"), 2).as("max_price"),
         // cent-rounded-sum / count: see q1 avg_price boundary note
         (round(sum("o_totalprice"), 2) / count(lit(1))).as("avg_price"))
-      .orderBy("decile")
+      .repartition(1).sortWithinPartitions("decile")
   }
 
   val decileStatsSql: String =
