@@ -42,6 +42,19 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // FileOutputCommitter v2 renames task output straight into the
+      // destination at task commit instead of staging it for a second,
+      // DRIVER-SEQUENTIAL rename pass at job commit. On the local-FS
+      // bench this is noise (renames are ~free), but on an HDFS-backed
+      // cluster the v1 job-commit loop serializes one namenode rename
+      // per file — for the dated sinks that is |dates| x filesPerDate
+      // renames on the driver per micro-batch. Tasks here are
+      // deterministic, so a retried task rewrites identical bytes and
+      // v2's weaker failure atomicity cannot produce a wrong zone;
+      // recovery-critical writes (runToDatedRecoverable) additionally
+      // gate visibility on their own _commits markers and never trust
+      // directory presence alone.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -71,6 +71,11 @@ class DedupSpec extends SparkSpec {
       val pref = Dedup.jaccardPairsPrefix(hsh, t)
         .collect().map(_.toString).sorted.toSeq
       assert(pref === full, s"prefix path diverged at t=$t")
+      // the shuffle-bytes-bound scale shape (light candidates + cached
+      // verify) must produce the identical pair set
+      val once = Dedup.jaccardPairsPrefixOnce(hsh, t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(once === full, s"prefixOnce path diverged at t=$t")
     }
   }
 
