@@ -35,7 +35,16 @@ object DatedWriter {
     require(filesPerDate >= 1, s"filesPerDate=$filesPerDate must be >= 1")
     val dated = df.withColumn("date_key", date_format(col(tsCol), "yyyyMMdd"))
     val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerDate))
-    dated.repartition(col("date_key"), salt)
+    // EXPLICIT partition count: a bare repartition(cols) lets AQE
+    // coalesce the small shuffle to ONE post-shuffle partition
+    // (advisory 64 MB >> a replay batch), which turns the write into a
+    // single sequential sort-based task opening |dates| parquet
+    // writers one after another — measured 0.75 -> 0.52 s at sf0.1.
+    // Pinning the session's shuffle parallelism keeps whole
+    // (date, salt) groups per task (≤1 file per group either way) with
+    // the date dirs written concurrently.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    dated.repartition(parts, col("date_key"), salt)
       .write.partitionBy("date_key").format(format).mode(mode).save(outDir)
   }
 

@@ -43,6 +43,12 @@ object DatedProbe {
       t("writeDated") {
         graft.sources.DatedWriter.writeDated(posDf, "ts", out, filesPerDate = 1)
       }
+      t("writeDated_expl32") {
+        val dated = posDf.withColumn("date_key", date_format(col("ts"), "yyyyMMdd"))
+        dated.repartition(32, col("date_key"))
+          .write.partitionBy("date_key").mode("overwrite")
+          .parquet("/tmp/graft-probe-ingdated32")
+      }
       val rb = t("readback_build") {
         graft.sources.DatedWriter.readDated(spark, out)
           .filter(col("date_key") >= "20240105" && col("date_key") <= "20240108")
