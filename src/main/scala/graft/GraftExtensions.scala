@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, TopKPairs, WordShingles, WsTokenCount}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head,
         litInt(exprs(1), "minhash_sig k")))),
+    (FunctionIdentifier("sorted_shingle_hashes"),
+      new ExpressionInfo(classOf[SortedShingleHashes].getName, "sorted_shingle_hashes"),
+      arity("sorted_shingle_hashes", 2)(exprs => SortedShingleHashes(exprs.head,
+        litInt(exprs(1), "sorted_shingle_hashes n")))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      arity("sorted_intersect_count", 2)(exprs =>
+        SortedIntersectCount(exprs.head, exprs(1)))),
     (FunctionIdentifier("byte_stats"),
       new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
       arity("byte_stats", 1)(exprs => ByteStats(exprs.head))),

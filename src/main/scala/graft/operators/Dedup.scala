@@ -202,6 +202,55 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jac")
   }
 
+  /** [[jaccardPairsPrefixRaw]] straight from the documents frame, with
+    * the whole per-doc chain — tokenize → shingle → string-dedup →
+    * xxhash64 → sort — FUSED into one codegen expression per side
+    * (plans.SortedShingleHashes): the unfused chain materializes the
+    * string array, re-walks it to hash, then sorts through
+    * `array_sort`, whose comparator lambda the engine evaluates
+    * INTERPRETED per element pair; and because the self-join computes
+    * its lineage on both sides, every per-pass saving lands twice.
+    * Candidate verification walks the two sorted arrays with a merge
+    * intersect (plans.SortedIntersectCount) instead of
+    * array_intersect's per-pair hash set. Rows identical to
+    * [[jaccardPairsPrefixRaw]] ∘ [[hashShingles]] ∘ [[shingles]]
+    * (asserted in DedupSpec) up to the already-documented 64-bit
+    * collision regime.
+    *
+    * The self-join consumes ONE shared exchange: both sides project
+    * off the same `repartition(sg)` node, so AQE's stage reuse ships
+    * the exploded prefix frame (and computes the fused chain) exactly
+    * once — the raw two-sided shape pays both twice because its
+    * per-side aliasing breaks exchange canonicalization. Verified at
+    * runtime (ReusedExchange in the adaptive plan; DedupSpec pins row
+    * identity). */
+  def jaccardPairsPrefixFromText(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, threshold: Double): DataFrame = {
+    val hs = Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
+      .select(col("__id"),
+        coalesce(graft.plans.SortedShingleHashes(col("__text"), n),
+          array().cast("array<long>")).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+    val pre = hs.select(col("__id"), col("sz"), col("hs"),
+      explode(slice(col("hs"), lit(1), greatest(lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg"))
+    val ex = pre.repartition(col("sg"))
+    val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"),
+      col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
+    val b = ex.select(col("__id").as("b_id"), col("sz").as("b_sz"),
+      col("hs").as("hs_b"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .withColumn("shared",
+        graft.plans.SortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "shared", "jac")
+  }
+
   /** [[jaccardPairsPrefix]] with the sorted-hash frame materialized
     * ONCE inside the query (a lazy in-query localCheckpoint, so every
     * run still pays for its own shingle/hash/sort work — this is not

@@ -121,6 +121,128 @@ object ArrayXxHash64 {
   }
 }
 
+/** Sorted xxhash64 shingle hashes in ONE pass:
+  * `array_sort(array_xxhash64(word_shingles(text, n, distinct=true)))`
+  * fused into a single expression. The unfused chain materializes the
+  * string array, re-walks it for hashing, then sorts via `array_sort`
+  * — whose comparator is a LAMBDA the engine evaluates interpreted per
+  * element pair. One native pass builds the strings in a reused
+  * buffer, dedups (STRING-level, first occurrence — the same set the
+  * unfused chain hashes), hashes straight to a long[], and
+  * Arrays.sort()s it. Hash-collided distinct shingles keep BOTH longs,
+  * exactly like the unfused chain (sorted adjacency) — equality is
+  * asserted in TextShinglesSpec. Null text yields null (wrap in
+  * coalesce for empty-array semantics); fewer than n tokens yields an
+  * empty array. */
+case class SortedShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle width n=$n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_shingle_hashes"
+  override def inputTypes = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    SortedShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SortedShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedShingleHashes =
+    copy(child = newChild)
+}
+
+object SortedShingleHashes {
+  private val Whitespace = Pattern.compile("\\s+")
+
+  def apply(c: Column, n: Int): Column =
+    call_function("sorted_shingle_hashes", c, lit(n))
+
+  /** Called from generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = Whitespace.split(text.trim().toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val count = toks.length - n + 1
+    val out = new Array[Long](count)
+    val seen = new java.util.HashSet[String](count * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var m = 0
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val u = UTF8String.fromString(s)
+        out(m) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, ArrayXxHash64.Seed)
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, m)
+    new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** Intersection SIZE of two ascending-sorted long arrays by a merge
+  * walk — `size(array_intersect(a, b))` without building the
+  * intersection array or its hash set, for arrays the caller already
+  * keeps sorted (the prefix-filter dedup path). Multiset semantics
+  * match array_intersect on set-like inputs (each value counted once;
+  * duplicate values — hash-collided shingles — advance both cursors
+  * together, matching array_intersect's distinct-output contract).
+  * Null array yields null. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SortedIntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+
+  /** Called from generated code. Both inputs must be sorted ascending;
+    * duplicate values are counted once (set semantics). */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        c += 1
+        val v = va
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    c
+  }
+}
+
 /** MinHash signature from pre-hashed shingles in ONE pass: element j of
   * the result is min over input hashes h of xxhash64(h, j) — exactly
   * `array((0 until k).map(j => array_min(transform(hs, h =>

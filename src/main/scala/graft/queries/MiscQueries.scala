@@ -308,7 +308,7 @@ object MiscQueries {
   def stRecoverBuffered(s: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = "/tmp/graft-stream-recover/" + key
-    val ckpt = "/tmp/graft-stream-recover-ckpt/" + key
+    val ckpt = StreamOps.recoverCheckpointDir(key)
     def src = StreamOps.eventsStreamSliced(s, dir, 3)
       .select(col("event_id"), col("user_id").as("vehicle_id"),
         timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),

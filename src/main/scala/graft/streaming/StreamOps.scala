@@ -199,6 +199,50 @@ object StreamOps {
     * the only kind of directory its pre-replay clear may delete. */
   val DatedZoneMarker = "_GRAFT_DATED_ZONE"
 
+  /** Root for the replay harness's streaming checkpoints — tmpfs
+    * (/dev/shm) when the host has one, else java.io.tmpdir. A finite
+    * replay's offset/commit WAL and state-store delta files are
+    * ephemeral machinery (a production feed checkpoints to durable
+    * shared storage sized for its fleet — this is the same deployment
+    * knob as ReplayStateParts), but every micro-batch pays their
+    * create/sync latency INLINE on the driver path; on the bench host
+    * the spinning-dir default is the dominant share of the per-batch
+    * floor across the whole st_* family. Results are
+    * checkpoint-location-independent, which the DuckDB-hash checks
+    * pin. */
+  private val CheckpointRoot: java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm.resolve("graft-ckpt")
+      else Paths.get(sys.props("java.io.tmpdir"), "graft-ckpt")
+    Files.createDirectories(base)
+    base
+  }
+
+  /** Fresh single-run checkpoint dir under [[CheckpointRoot]]. The
+    * caller deletes it when its query terminates — an explicit
+    * checkpointLocation is never auto-cleaned by Spark, and a STALE
+    * one would make the next AvailableNow replay skip the already-
+    * committed backlog entirely. */
+  private def freshCheckpoint(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(CheckpointRoot, "run-")
+
+  /** Persistent (cross-restart) checkpoint dir for the RECOVERABLE
+    * replays: survives the planted crash because it outlives the
+    * query, exactly like the reference's buffer files outliving the
+    * dropped session. Lives under the same root as the ephemeral
+    * checkpoints. */
+  def recoverCheckpointDir(key: String): String =
+    CheckpointRoot.resolve("recover-" + key).toString
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   /** Runs a finite streaming query to a memory sink and returns the
     * sink table. AvailableNow processes the full backlog then stops —
     * the batch-replay harness for stream operators.
@@ -263,8 +307,10 @@ object StreamOps {
     // count regardless of partition count (measured: the in-batch
     // write dominated st_dated_sink at 8 parts; session-level
     // parallelism cuts its wall time without changing output shape).
+    val ckpt = freshCheckpoint()
     try {
       val q = df.writeStream
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           graft.sources.DatedWriter.writeDated(batch.toDF(), tsCol, outDir,
             mode = "append", filesPerDate = filesPerDate)
@@ -273,6 +319,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
+      deleteRecursive(ckpt)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
   }
@@ -409,16 +456,19 @@ object StreamOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, ReplayStateParts.toString)
+    val ckpt = freshCheckpoint()
     try {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally {
       s.conf.set(key, prev)
+      deleteRecursive(ckpt)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
     s.table(name)

@@ -76,6 +76,12 @@ class DedupSpec extends SparkSpec {
       val once = Dedup.jaccardPairsPrefixOnce(hsh, t)
         .collect().map(_.toString).sorted.toSeq
       assert(once === full, s"prefixOnce path diverged at t=$t")
+      // the fused-expression headline path (SortedShingleHashes +
+      // SortedIntersectCount) must also produce the identical pair set
+      val fused = Dedup.jaccardPairsPrefixFromText(docs, "doc_id", "text", 3, t)
+        .dropDuplicates()
+        .collect().map(_.toString).sorted.toSeq
+      assert(fused === full, s"fused prefix path diverged at t=$t")
     }
   }
 

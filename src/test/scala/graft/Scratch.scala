@@ -13,65 +13,95 @@ object Scratch {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.StreamOps
 
     val dir = "/root/testdata/sf0.1"
-    def small(df: DataFrame, cols: String*) =
-      df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
-    // q_decile_stats: current vs projected-input + small-sort
-    def decCur = queries.TpchQueries.queries("q_decile_stats")(spark, dir)
-    def decNew = {
-      val slim = Tables.orders(spark, dir).select("o_totalprice", "o_orderkey")
-      small(graft.operators.RankOps.exactNtile(slim,
-        "o_totalprice", "o_orderkey", 10, "decile")
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n"),
-          round(min("o_totalprice"), 2).as("min_price"),
-          round(max("o_totalprice"), 2).as("max_price"),
-          (round(sum("o_totalprice"), 2) / count(lit(1))).as("avg_price")),
-        "decile")
+    // st_stream_join: per-batch duration breakdown from the streaming
+    // progress — where do 2.5 s go?
+    def joinOnce(tag: String): Unit = {
+      val joined = StreamOps.intervalJoin(
+        StreamOps.eventsStream(spark, dir), "click", "purchase", "1 hour")
+        .select(col("user_id"), col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"))
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, StreamOps.ReplayStateParts.toString)
+      val t0 = System.nanoTime()
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "scratch-ckpt-")
+      val q = joined.writeStream
+        .format("memory").queryName(s"scr_$tag").outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t1 = System.nanoTime()
+      spark.conf.set(key, prev)
+      println(f"SCRATCH join[$tag] total=${(t1 - t0) / 1e9}%5.2f s")
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${new java.util.TreeMap[String, java.lang.Long](d)}")
+      }
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+    if (sys.env.contains("SCRATCH_JOIN")) { joinOnce("r1"); joinOnce("r2"); joinOnce("r3") }
 
-    // q5: current vs broadcast customer
-    def q5Cur = queries.TpchQueries.queries("q5_local_supplier")(spark, dir)
-    def q5New = {
-      val l = Tables.lineitem(spark, dir)
-      val o = Tables.orders(spark, dir)
-      val c = Tables.customer(spark, dir)
-      val sup = Tables.supplier(spark, dir)
-      val n = Tables.nation(spark, dir)
-      val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .repartition(1)
-        .sortWithinPartitions(col("revenue").desc, col("n_name").asc)
+    // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
+    import graft.operators.Dedup
+    val t = queries.DedupQueries.JaccardThreshold
+    def ngramFused = Dedup.jaccardPairsPrefixFromText(
+      Tables.documents(spark, dir), "doc_id", "text", 3, t)
+      .repartition(1).dropDuplicates().sortWithinPartitions("a_id", "b_id")
+    def ngramRaw = Dedup.jaccardPairsPrefixRaw(
+      Dedup.hashShingles(
+        Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3)), t)
+      .repartition(1).dropDuplicates().sortWithinPartitions("a_id", "b_id")
+    def ngramShared = {
+      import graft.operators.Par
+      val hs = Par.spread(Tables.documents(spark, dir)
+        .select(col("doc_id").as("__id"), col("text").as("__text")))
+        .select(col("__id"),
+          coalesce(graft.plans.SortedShingleHashes(col("__text"), 3),
+            array().cast("array<long>")).as("hs"))
+        .withColumn("sz", size(col("hs")).cast("long"))
+      val pre = hs.select(col("__id"), col("sz"), col("hs"),
+        explode(slice(col("hs"), lit(1), greatest(lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")))).as("sg"))
+      val ex = pre.repartition(col("sg"))
+      val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"),
+        col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
+      val b = ex.select(col("__id").as("b_id"), col("sz").as("b_sz"),
+        col("hs").as("hs_b"), col("sg"))
+      a.join(b, Seq("sg"))
+        .filter(col("a_id") < col("b_id") &&
+          col("a_sz") >= lit(t) * col("b_sz") &&
+          col("b_sz") >= lit(t) * col("a_sz"))
+        .withColumn("shared",
+          graft.plans.SortedIntersectCount(col("hs_a"), col("hs_b")))
+        .withColumn("jac",
+          col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+        .filter(col("jac") >= t)
+        .select("a_id", "b_id", "shared", "jac")
+        .repartition(1).dropDuplicates().sortWithinPartitions("a_id", "b_id")
     }
-
-    // ta_asof_weather / ta_weather_corr: small-sort finish
-    def asofCur = queries.TrafficQueries.queries("ta_asof_weather")(spark, dir)
-    def corrCur = queries.TrafficQueries.queries("ta_weather_corr")(spark, dir)
-    def topcCur = queries.TpchQueries.queries("q_top_customer_per_nation")(spark, dir)
-
-    for (i <- 1 to 3) {
-      time(s"decCur r$i")(decCur)
-      time(s"decNew r$i")(decNew)
-      time(s"q5Cur r$i")(q5Cur)
-      time(s"q5New r$i")(q5New)
-      time(s"asofCur r$i")(asofCur)
-      time(s"corrCur r$i")(corrCur)
-      time(s"topcCur r$i")(topcCur)
+    for (i <- 1 to 4) {
+      time(s"ngramFused  r$i")(ngramFused)
+      time(s"ngramShared r$i")(ngramShared)
     }
-    // row identity
     def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
-    println(s"SCRATCH dec identical=${rows(decCur) == rows(decNew)}")
-    println(s"SCRATCH q5 identical=${rows(q5Cur) == rows(q5New)}")
+    println(s"SCRATCH shared identical=${rows(ngramFused) == rows(ngramShared)}")
+    val dfS = ngramShared
+    dfS.collect()
+    val planStr = dfS.queryExecution.executedPlan.toString
+    println("SCRATCH shared post-exec reuse: " +
+      (planStr.contains("ReusedExchange") || planStr.contains("reused")) +
+      " exchanges=" + "Exchange".r.findAllIn(planStr).length)
+    ngramRaw.count() // keep raw referenced
     spark.stop()
   }
 }

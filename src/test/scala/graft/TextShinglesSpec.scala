@@ -69,4 +69,43 @@ class TextShinglesSpec extends SparkSpec {
       .select(MinHashSig(col("hs"), 4).as("fast")).collect()
     assert(rows.head.isNullAt(0))
   }
+
+  test("SortedShingleHashes equals array_sort(ArrayXxHash64(WordShingles(distinct)))") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                 // heavy duplicate shingles
+      "  leading and trailing  ",
+      "one two",                   // fewer than n tokens
+      "",
+      null
+    ).toDF("text")
+    for (n <- Seq(2, 3)) {
+      val legacy: Column = array_sort(ArrayXxHash64(
+        graft.plans.WordShingles(col("text"), n, distinct = true)))
+      val rows = texts
+        .select(graft.plans.SortedShingleHashes(col("text"), n).as("fast"),
+          legacy.as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+    }
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L)),
+      (Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)),      // duplicates count once
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(-5L, 0L, 4L), Seq(-5L, 0L, 4L))
+    ).toDF("a", "b")
+    val rows = pairs
+      .select(graft.plans.SortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }
