@@ -90,7 +90,8 @@ object MiscQueries {
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
     val agg = StreamOps.windowedCounts(StreamOps.eventsStream(s, dir))
-    StreamOps.runToMemory(s, agg, "st_windowed_counts_sink", "complete")
+    StreamOps.runToMemory(s, agg, "st_windowed_counts_sink", "complete",
+      noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -109,7 +110,8 @@ object MiscQueries {
     * covering window start. */
   def stSlidingCounts(s: SparkSession, dir: String): DataFrame = {
     val agg = StreamOps.slidingCounts(StreamOps.eventsStream(s, dir))
-    StreamOps.runToMemory(s, agg, "st_sliding_counts_sink", "complete")
+    StreamOps.runToMemory(s, agg, "st_sliding_counts_sink", "complete",
+      noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("win_start"),
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
@@ -132,7 +134,8 @@ object MiscQueries {
     val dd = StreamOps.streamDedup(StreamOps.eventsStream(s, dir),
       Seq("user_id", "event_type"))
       .select("user_id", "event_type")
-    StreamOps.runToMemory(s, dd, "st_stream_dedup_sink", "append")
+    StreamOps.runToMemory(s, dd, "st_stream_dedup_sink", "append",
+      noFlush = true)
       .orderBy("user_id", "event_type")
   }
 
@@ -341,7 +344,8 @@ object MiscQueries {
     * row, session bounds included. */
   def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
     val agg = StreamOps.sessionCounts(StreamOps.eventsStream(s, dir), "30 minutes")
-    StreamOps.runToMemory(s, agg, "st_session_window_sink", "complete")
+    StreamOps.runToMemory(s, agg, "st_session_window_sink", "complete",
+      noFlush = true)
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("sess_start"),
         col("session_window.end").cast("timestamp_ntz").as("sess_end"),
@@ -410,7 +414,8 @@ object MiscQueries {
       StreamOps.eventsStream(s, dir), "click", "purchase", "1 hour")
       .select(col("user_id"), col("left_id").as("click_id"),
         col("right_id").as("purchase_id"))
-    StreamOps.runToMemory(s, joined, "st_stream_join_sink", "append")
+    StreamOps.runToMemory(s, joined, "st_stream_join_sink", "append",
+      noFlush = true)
       .orderBy("user_id", "click_id", "purchase_id")
   }
 

@@ -101,7 +101,12 @@ object TpchQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .repartition(1)
+      // coalesce(1) directly above the agg's exchange: final merge of
+      // the partials, the rounding and the deterministic sort run in
+      // the one post-shuffle task — one exchange fewer than
+      // agg + repartition(1); the map-side partial agg keeps the fact
+      // scan parallel (dd_incremental precedent)
+      .coalesce(1)
       .sortWithinPartitions(col("revenue").desc, col("n_name").asc)
   }
 
@@ -170,7 +175,8 @@ object TpchQueries {
         round(max("o_totalprice"), 2).as("max_price"),
         // cent-rounded-sum / count: see q1 avg_price boundary note
         (round(sum("o_totalprice"), 2) / count(lit(1))).as("avg_price"))
-      .repartition(1).sortWithinPartitions("decile")
+      // one-exchange finish: see q5's coalesce note
+      .coalesce(1).sortWithinPartitions("decile")
   }
 
   val decileStatsSql: String =

@@ -357,8 +357,9 @@ object TrafficQueries {
       .groupBy("event_type")
       .agg(round(corr(col("value"), col("w_temp")), 4).as("corr_vw"),
         count(col("w_temp")).as("n_obs"))
-      // per-event-type deliverable (5 rows): one-partition sort
-      .repartition(1).sortWithinPartitions("event_type")
+      // per-event-type deliverable (5 rows): coalesce(1) folds the
+      // final agg merge and the sort into one post-shuffle task
+      .coalesce(1).sortWithinPartitions("event_type")
   }
 
   val taWeatherCorrSql: String = PositionView.oracleCte + """,

@@ -451,11 +451,26 @@ object StreamOps {
     c.asInstanceOf[PlantedStreamFailure]
   }
 
+  /** `noFlush = true` skips the trailing ZERO-ROW micro-batch Spark
+    * appends to a stateful replay (noDataMicroBatches — it advances
+    * the watermark so evictions/timeouts fire), measured at 0.5-0.7 s
+    * of state-scan + store commits per replay. Only legal where that
+    * batch cannot add OUTPUT rows: complete-mode aggregations re-emit
+    * the full result every batch (the no-data pass re-emits an
+    * identical table), and watermarked INNER joins emit matches in the
+    * batch the rows arrive (eviction only trims state). Queries whose
+    * RESULTS need the watermark push — append-mode windowed aggs,
+    * outer joins, flatMapGroupsWithState event-time timeouts — must
+    * keep the default. The DuckDB-hash gate pins that every noFlush
+    * adopter is row-identical to the batch oracle. */
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
-                  mode: String): DataFrame = {
+                  mode: String, noFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
+    val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevFlush = s.conf.get(flushKey)
     s.conf.set(key, ReplayStateParts.toString)
+    if (noFlush) s.conf.set(flushKey, "false")
     val ckpt = freshCheckpoint()
     try {
       val q = df.writeStream
@@ -468,6 +483,7 @@ object StreamOps {
       q.awaitTermination()
     } finally {
       s.conf.set(key, prev)
+      s.conf.set(flushKey, prevFlush)
       deleteRecursive(ckpt)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }

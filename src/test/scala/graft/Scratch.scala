@@ -51,6 +51,19 @@ object Scratch {
     }
     if (sys.env.contains("SCRATCH_JOIN")) { joinOnce("r1"); joinOnce("r2"); joinOnce("r3") }
 
+    // noFlush A/B on a complete-mode windowed agg
+    if (sys.env.contains("SCRATCH_FLUSH")) {
+      def winOnce(tag: String, noFlush: Boolean): Unit = {
+        val agg = StreamOps.windowedCounts(StreamOps.eventsStream(spark, dir))
+        val t0 = System.nanoTime()
+        StreamOps.runToMemory(spark, agg, s"scrw_$tag", "complete",
+          noFlush = noFlush).write.format("noop").mode("overwrite").save()
+        println(f"SCRATCH win[$tag] noFlush=$noFlush total=${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      }
+      for (i <- 1 to 4) { winOnce(s"f$i", noFlush = false); winOnce(s"n$i", noFlush = true) }
+      spark.stop(); return
+    }
+
     // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
     import graft.operators.Dedup
     val t = queries.DedupQueries.JaccardThreshold
