@@ -28,7 +28,8 @@ object GeoQueries {
         GeoFunctions.gridX(col("lon"), 30.2, CellDeg).as("gx"),
         GeoFunctions.gridY(col("lat"), 50.3, CellDeg).as("gy"))
       .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"))
-      .orderBy("gx", "gy")
+      // bounded deliverable (|grid cells| rows): single-task finish
+      .coalesce(1).sortWithinPartitions("gx", "gy")
 
   val geoGridDensitySql: String = PositionView.oracleCte + """
     |SELECT CAST(floor((lon - 30.2) / 0.05) AS INT) AS gx,
@@ -123,7 +124,7 @@ object GeoQueries {
         .as(Seq("tag_key", "tag_value")))
       .groupBy(col("tag_key"), (col("tag_value") % 10).as("value_bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("tag_key", "value_bucket")
+      .coalesce(1).sortWithinPartitions("tag_key", "value_bucket")
 
   val geoTagStatsSql: String = """
     |SELECT 'k' AS tag_key,

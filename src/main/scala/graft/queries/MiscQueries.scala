@@ -449,7 +449,7 @@ object MiscQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(sum(col("value") * col("weight")), 2).as("wsum"))
-      .orderBy("event_type")
+      .coalesce(1).sortWithinPartitions("event_type")
   }
 
   // the oracle mirrors the INNER join against the same 5-row weight

@@ -33,7 +33,8 @@ object TpchQueries {
         (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
         (round(sum("l_discount"), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      // 4-row deliverable: single-task finish (see q5's coalesce note)
+      .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -206,7 +207,7 @@ object TpchQueries {
     Seq("no_lineitems", "with_lineitems").toDF("bucket")
       .join(broadcast(counted), Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("bucket")
+      .coalesce(1).sortWithinPartitions("bucket")
   }
 
   val orderFillRateSql: String =
@@ -271,7 +272,7 @@ object TpchQueries {
     graft.sources.Bucketing.bucketJoin(s, s"b_ord$key", s"b_li$key", "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("o_orderpriority")
+      .coalesce(1).sortWithinPartitions("o_orderpriority")
   }
 
   val bucketJoinSql: String = """
@@ -296,7 +297,8 @@ object TpchQueries {
         count(lit(1)).as("n"),
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"))
-      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+      .coalesce(1).sortWithinPartitions(col("gid"),
+        col("l_returnflag").asc_nulls_last,
         col("l_linestatus").asc_nulls_last)
 
   val qRollupSql: String = """

@@ -84,7 +84,8 @@ object TrafficQueries {
   // ---- ta_route_stats ----------------------------------------------------
 
   def taRouteStats(s: SparkSession, dir: String): DataFrame =
-    SpeedOps.routeStats(speeds(s, dir)).orderBy("route_id")
+    // bounded deliverable (|routes| rows): single-task finish — see q5
+    SpeedOps.routeStats(speeds(s, dir)).coalesce(1).sortWithinPartitions("route_id")
 
   val taRouteStatsSql: String = speedsCte + """
     |SELECT route_id,
@@ -103,7 +104,9 @@ object TrafficQueries {
       metric = "n_samples", tieBreak = "route_id", n = 10)
       .select(col("route_id"), col("avg_speed_kmh"), col("n_vehicles"),
         col("n_samples"), col("rank").cast("long").as("rank"))
-      .orderBy("rank")
+      // topNGroups is already one post-agg partition: in-place sort,
+      // no range-sampling re-execution of the stats lineage
+      .coalesce(1).sortWithinPartitions("rank")
 
   val taTopRoutesSql: String = speedsCte + """,
     |stats AS (
@@ -127,7 +130,7 @@ object TrafficQueries {
       metric = "avg_speed_kmh", tieBreak = "route_id", n = 10, asc = asc)
       .withColumn("rank", col("rank").cast("long"))
       .select("route_id", "avg_speed_kmh", "n_vehicles", "n_samples", "rank")
-      .orderBy("rank")
+      .coalesce(1).sortWithinPartitions("rank")
 
   def taSlowestRoutes(s: SparkSession, dir: String): DataFrame =
     routeRanking(s, dir, asc = true)
@@ -193,7 +196,8 @@ object TrafficQueries {
       .agg(count(lit(1)).as("n_events"),
         countDistinct("vehicle_id").as("n_vehicles"),
         round(sum("value"), 2).as("sum_value"))
-      .orderBy("hour")
+      // bounded deliverable (|hours| rows): single-task finish
+      .coalesce(1).sortWithinPartitions("hour")
 
   val taHourlyActivitySql: String = PositionView.oracleCte + """
     |SELECT date_trunc('hour', ts) AS hour,
@@ -380,7 +384,7 @@ object TrafficQueries {
     speeds(s, dir)
       .groupBy(floor(col("speed_kmh") / 10).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
+      .coalesce(1).sortWithinPartitions("bucket")
 
   val taSpeedHistogramSql: String = speedsCte + """
     |SELECT CAST(floor(speed_kmh / 10) AS INT) AS bucket, count(*) AS n
@@ -398,7 +402,7 @@ object TrafficQueries {
       .join(broadcast(labels), "route_type")
       .groupBy("route_id", "route_type", "route_label")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .orderBy("route_id")
+      .coalesce(1).sortWithinPartitions("route_id")
   }
 
   val taRouteLabelsSql: String = PositionView.oracleCte + """

@@ -64,6 +64,33 @@ object Scratch {
       spark.stop(); return
     }
 
+    // coalesce-finish A/B for the three suspicious conversions
+    if (sys.env.contains("SCRATCH_FIN")) {
+      def skewCoal = queries.MiscQueries.queries("q_skew_join")(spark, dir)
+      def skewOrd = {
+        import spark.implicits._
+        val weights = Seq(("signup", 2.0), ("purchase", 4.0), ("view", 0.5),
+          ("click", 1.0), ("error", 0.25)).toDF("event_type", "weight")
+        graft.operators.Skew.saltedJoin(
+          graft.operators.Par.spread(
+            Tables.events(spark, dir).select("event_type", "value")),
+          weights, "event_type", nSalts = 32)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value") * col("weight")), 2).as("wsum"))
+          .orderBy("event_type")
+      }
+      def fillCoal = queries.TpchQueries.queries("q_order_fill_rate")(spark, dir)
+      def hourCoal = queries.TrafficQueries.queries("ta_hourly_activity")(spark, dir)
+      for (i <- 1 to 4) {
+        time(s"skewCoal r$i")(skewCoal)
+        time(s"skewOrd  r$i")(skewOrd)
+        time(s"fillCoal r$i")(fillCoal)
+        time(s"hourCoal r$i")(hourCoal)
+      }
+      spark.stop(); return
+    }
+
     // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
     import graft.operators.Dedup
     val t = queries.DedupQueries.JaccardThreshold
