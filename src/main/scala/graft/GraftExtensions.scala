@@ -83,6 +83,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedShingleHashes].getName, "sorted_shingle_hashes"),
       arity("sorted_shingle_hashes", 2)(exprs => SortedShingleHashes(exprs.head,
         litInt(exprs(1), "sorted_shingle_hashes n")))),
+    (FunctionIdentifier("position_record_parse"),
+      new ExpressionInfo(classOf[graft.plans.PositionRecordParse].getName,
+        "position_record_parse"),
+      arity("position_record_parse", 1)(exprs =>
+        graft.plans.PositionRecordParse(exprs.head))),
+    (FunctionIdentifier("routes_record_parse"),
+      new ExpressionInfo(classOf[graft.plans.RoutesRecordParse].getName,
+        "routes_record_parse"),
+      arity("routes_record_parse", 1)(exprs =>
+        graft.plans.RoutesRecordParse(exprs.head))),
+    (FunctionIdentifier("asof_index"),
+      new ExpressionInfo(classOf[graft.plans.AsOfIndex].getName, "asof_index"),
+      arity("asof_index", 2)(exprs =>
+        graft.plans.AsOfIndex(exprs.head, exprs(1)))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(exprs =>

@@ -176,4 +176,57 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
+
+  /** [[backward]] for a BOUNDED series side, via broadcast + binary
+    * search: per key the series collapses to ONE row of time-sorted
+    * arrays, a broadcast hash join hands that row to every left row,
+    * and plans.AsOfIndex picks the last series index with
+    * series.t <= left.t inside generated code (O(log |series|) per
+    * row, no allocation). The big side is never shuffled, sorted or
+    * unioned — scan → broadcast probe → project — the scale-right
+    * shape whenever the right side is REFERENCE data: an hourly
+    * weather series is |hours| × |keys| rows however large the
+    * position stream grows. An unbounded right side must keep
+    * [[backward]] (a broadcast of it would not fit).
+    *
+    * Semantics match [[backward]] row for row (spec-asserted):
+    * inclusive at equal times (binary search takes <=), values travel
+    * as one struct (no torn matches), null-key right rows never match,
+    * null-key/null-time left rows and rows before the first series
+    * point get null values. */
+  def backwardBroadcast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                        timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    // monotone LONG image of the time column on both sides — binary
+    // search needs one orderable fixed-width type; temporal types go
+    // through their epoch integers (same normalization as the bucketed
+    // path's bucket key)
+    def asLong(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => unix_date(c).cast("long")
+      case _ => c.cast("long")
+    }
+    val rightNonNull = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    val payload = struct(valueCols.map(col): _*)
+    // one row per key: ascending times with payloads aligned — sorting
+    // (t, payload) structs keeps both arrays consistent after the split
+    val packed = rightNonNull
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        asLong(col(timeCol), right.schema(timeCol).dataType).as("__t"),
+        payload.as("__p")))).as("__s"))
+      .select(keyCols.map(col) ++ Seq(
+        col("__s.__t").as("__ts"), col("__s.__p").as("__ps")): _*)
+    val joined = left.join(broadcast(packed), keyCols, "left")
+    val idx = graft.plans.AsOfIndex(col("__ts"),
+      asLong(col(timeCol), left.schema(timeCol).dataType))
+    joined
+      .withColumn("__asof", when(idx >= 0, element_at(col("__ps"), idx + 1)))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
 }

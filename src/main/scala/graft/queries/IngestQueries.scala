@@ -343,7 +343,7 @@ object IngestQueries {
     * (event_id, user_id, ts[ns]) columns — ONE source of truth shared
     * by the batch parse (ing_jsonl_positions) and the streaming parse
     * (st_positions_parse), so both exercise the identical wire format. */
-  private[queries] def positionEnvelopeLine: Column = {
+  private[graft] def positionEnvelopeLine: Column = {
     def posJson(latE4: Column, lonE4: Column): Column = concat(
       lit("{\"vehicle_id\":"), col("user_id").cast("string"),
       lit(",\"route_id\":"), (col("user_id") % 25).cast("string"),
@@ -363,7 +363,7 @@ object IngestQueries {
   /** The parsed-envelope projection shared with st_positions_parse:
     * e4-scaled wire integers back to degrees, envelope bookkeeping
     * kept. (No sort here — the streaming side can only sort the sink.) */
-  private[queries] def positionEnvelopeProjection(parsed: DataFrame): DataFrame =
+  private[graft] def positionEnvelopeProjection(parsed: DataFrame): DataFrame =
     parsed.select(
       col("event_id"), col("pos_idx"), col("rec_count"),
       col("vehicle_id"), col("route_id"),

@@ -328,7 +328,10 @@ object TrafficQueries {
 
   def taAsofWeather(s: SparkSession, dir: String): DataFrame = {
     val left = pos(s, dir).select("event_id", "event_type", "ts")
-    AsOfJoin.backward(left, weatherSeries(s, dir),
+    // broadcast as-of: the weather series is REFERENCE data
+    // (|hours| x |types| rows at any corpus size), so the big side is
+    // probed in place — no shuffle/sort of the positions
+    AsOfJoin.backwardBroadcast(left, weatherSeries(s, dir),
       keyCols = Seq("event_type"), timeCol = "ts", valueCols = Seq("w_temp"))
       .select("event_id", "w_temp")
       .orderBy("event_id")
@@ -356,7 +359,7 @@ object TrafficQueries {
     * both engines (n_obs counts the pairs actually correlated). */
   def taWeatherCorr(s: SparkSession, dir: String): DataFrame = {
     val left = pos(s, dir).select("event_id", "event_type", "ts", "value")
-    AsOfJoin.backward(left, weatherSeries(s, dir),
+    AsOfJoin.backwardBroadcast(left, weatherSeries(s, dir),
       keyCols = Seq("event_type"), timeCol = "ts", valueCols = Seq("w_temp"))
       .groupBy("event_type")
       .agg(round(corr(col("value"), col("w_temp")), 4).as("corr_vw"),

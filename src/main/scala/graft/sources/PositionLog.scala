@@ -49,7 +49,7 @@ object PositionLog {
 
   /** One row per nested route with its in-record index. */
   def parseRouteLines(df: DataFrame, lineCol: Column): DataFrame =
-    df.withColumn("__rec", from_json(lineCol, RoutesRecordSchema))
+    df.withColumn("__rec", graft.plans.RoutesRecordParse(lineCol))
       .select(col("*"), col("__rec.poll_number").as("poll_number"),
         col("__rec.route_count").as("route_count"),
         posexplode(col("__rec.routes")).as(Seq("route_idx", "__r")))
@@ -60,7 +60,11 @@ object PositionLog {
   /** Parses a column of JSONL lines into one row per nested position,
     * keeping the in-record index (pos_idx) and the envelope count. */
   def parseLines(df: DataFrame, lineCol: Column): DataFrame =
-    df.withColumn("__rec", from_json(lineCol, RecordSchema))
+    // native fixed-schema parse (plans/PositionJson.scala): from_json is
+    // CodegenFallback and walks a generic converter; field-identical on
+    // canonical writer output (PositionJsonSpec), and the null-struct-
+    // on-malformed difference is invisible past the posexplode
+    df.withColumn("__rec", graft.plans.PositionRecordParse(lineCol))
       .select(col("*"), col("__rec.count").as("rec_count"),
         posexplode(col("__rec.positions")).as(Seq("pos_idx", "__p")))
       .select(col("*"), col("__p.vehicle_id").as("vehicle_id"),

@@ -120,4 +120,46 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
     }
   }
+
+  test("backwardBroadcast is row-identical to backward (long times)") {
+    // inclusive-at-equal-time, reach-back, before-first-series nulls,
+    // a key with no series at all, and a null left key
+    val l = left((1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i * 7 % 45)): _*)
+      .unionByName(Seq((99L, null: String, 10L)).toDF("id", "k", "t"))
+    val r = right(Seq(5L, 11L, 17L, 23L).map(t => ("a", t, t * 1.0)) ++
+      Seq(2L, 19L, 33L).map(t => ("b", t, t * 10.0)): _*)
+    val win = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+      .orderBy("id").collect().toSeq
+    val bc = AsOfJoin.backwardBroadcast(l, r, Seq("k"), "t", Seq("v"))
+      .orderBy("id").collect().toSeq
+    assert(bc === win)
+  }
+
+  test("backwardBroadcast is row-identical on timestamp_ntz times (ta_asof's shape)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left((1L to 30L).map(i => (i, "a", i * 5 % 37)): _*)
+      .withColumn("t", expr("timestampadd(HOUR, CAST(t AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')"))
+    val r = right(Seq(3L, 12L, 25L).map(t => ("a", t, t * 1.0)): _*)
+      .withColumn("t", expr("timestampadd(HOUR, CAST(t AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')"))
+    val win = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("v"))
+      .orderBy("id").collect().toSeq
+    val bc = AsOfJoin.backwardBroadcast(l, r, Seq("k"), "t", Seq("v"))
+      .orderBy("id").collect().toSeq
+    assert(bc === win)
+    // the probe side must carry no exchange of the left: broadcast join
+    val plan = AsOfJoin.backwardBroadcast(l, r, Seq("k"), "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected a broadcast join in:\n$plan")
+  }
+
+  test("backwardBroadcast never tears value columns across right rows") {
+    val l = Seq((1L, "a", 3L)).toDF("id", "k", "t")
+    val r = Seq(("a", 1L, Some(5.0), Some(3.0)), ("a", 2L, None, Some(7.0)))
+      .toDF("k", "t", "v1", "v2")
+    val out = AsOfJoin.backwardBroadcast(l, r, Seq("k"), "t", Seq("v1", "v2"))
+      .select("v1", "v2").collect().head
+    assert(out.isNullAt(0) && out.getDouble(1) === 7.0)
+  }
 }

@@ -64,6 +64,35 @@ object Scratch {
       spark.stop(); return
     }
 
+    // native-vs-from_json A/B on the streaming positions parse
+    if (sys.env.contains("SCRATCH_PJ")) {
+      def run(tag: String, native: Boolean): Unit = {
+        val lines = StreamOps.spreadStream(
+          StreamOps.eventsStream(spark, dir)
+            .select(col("event_id"), col("user_id"), col("ts")))
+          .select(col("event_id"),
+            queries.IngestQueries.positionEnvelopeLine.as("line"))
+        val rec = if (native) graft.plans.PositionRecordParse(col("line"))
+          else from_json(col("line"), sources.PositionLog.RecordSchema)
+        val parsed = queries.IngestQueries.positionEnvelopeProjection(
+          lines.withColumn("__rec", rec)
+            .select(col("*"), col("__rec.count").as("rec_count"),
+              posexplode(col("__rec.positions")).as(Seq("pos_idx", "__p")))
+            .select(col("*"), col("__p.vehicle_id").as("vehicle_id"),
+              col("__p.route_id").as("route_id"), col("__p.lat").as("lat"),
+              col("__p.lon").as("lon"), col("__p.direction").as("direction"),
+              col("__p.flag").as("flag"), col("__p.timestamp").as("pos_ts"))
+            .drop("__rec", "__p"))
+        val t0 = System.nanoTime()
+        StreamOps.runToMemory(spark, parsed, s"scrpj_$tag", "append")
+          .orderBy("event_id", "pos_idx")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCRATCH pj[$tag] native=$native total=${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      }
+      for (i <- 1 to 4) { run(s"f$i", native = false); run(s"n$i", native = true) }
+      spark.stop(); return
+    }
+
     // coalesce-finish A/B for the three suspicious conversions
     if (sys.env.contains("SCRATCH_FIN")) {
       def skewCoal = queries.MiscQueries.queries("q_skew_join")(spark, dir)
