@@ -608,6 +608,35 @@ object IngestQueries {
 
   val ingPollLifecycleSql: String = graft.operators.Poller.lifecycleSql
 
+  // ---- ing_compact_zone ----------------------------------------------------
+
+  /** Landing-zone COMPACTION round-trip: positions land date-rotated at
+    * filesPerDate=4 (a fragmented zone — the state any micro-batched
+    * appender leaves behind, one file per batch x date), then
+    * DatedWriter.compactDated rewrites each date partition down to one
+    * file and swaps the zone in place. The oracle aggregates the raw
+    * events, so the hash proves compaction loses and duplicates
+    * NOTHING; the file-count drop itself is asserted in
+    * DatedWriterSpec (file layout is not SQL-observable). */
+  def ingCompactZone(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft-dated-compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val posDf = PositionView.fromEvents(events(s, dir))
+      .select("event_id", "vehicle_id", "ts", "value")
+    graft.sources.DatedWriter.writeDated(posDf, "ts", out, filesPerDate = 4)
+    graft.sources.DatedWriter.compactDated(s, out, filesPerDate = 1)
+    graft.sources.DatedWriter.readDated(s, out)
+      .groupBy("date_key")
+      .agg(count(lit(1)).as("n"), countDistinct("vehicle_id").as("n_vehicles"),
+        round(sum("value"), 2).as("sum_value"))
+      .coalesce(1).sortWithinPartitions("date_key")
+  }
+
+  val ingCompactZoneSql: String = """
+    |SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS date_key,
+    |  count(*) AS n, count(DISTINCT user_id) AS n_vehicles,
+    |  round(sum(value), 2) AS sum_value
+    |FROM events GROUP BY 1 ORDER BY date_key""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,6 +653,7 @@ object IngestQueries {
     "ing_binary_gps" -> (ingBinaryGps _),
     "ing_base64_gps" -> (ingBase64Gps _),
     "ing_dated_write" -> (ingDatedWrite _),
+    "ing_compact_zone" -> (ingCompactZone _),
     "ing_upsert" -> (ingUpsert _))
 
   val oracles: Map[String, String] = Map(
@@ -640,5 +670,6 @@ object IngestQueries {
     "ing_binary_gps" -> ingBinaryGpsSql,
     "ing_base64_gps" -> ingBase64GpsSql,
     "ing_dated_write" -> ingDatedWriteSql,
+    "ing_compact_zone" -> ingCompactZoneSql,
     "ing_upsert" -> ingUpsertSql)
 }

@@ -432,7 +432,12 @@ object TrafficQueries {
     * deterministic and byte-identical to the oracle's — to_json field
     * order and double formatting would otherwise differ between
     * engines. */
-  def geoMapExport(s: SparkSession, dir: String): DataFrame = {
+  /** Enriched latest-position frame shared by [[geoMapExport]] and
+    * [[geoMapHtml]] — (vehicle_id, route_id, lat, lon, ts_us,
+    * avg_speed, route_label), lazily checkpointed per query so each
+    * deliverable's center aggregate and row emission read one
+    * materialization of the scan+window+agg subtree. */
+  private def mapFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val labels = Seq((1, "tram"), (2, "trolleybus"), (3, "bus"))
@@ -478,6 +483,11 @@ object TrafficQueries {
       .withColumn("route_type", (col("route_id") % 3 + 1).cast("int"))
       .join(broadcast(labels), "route_type")
       .localCheckpoint(eager = false)
+    feat
+  }
+
+  def geoMapExport(s: SparkSession, dir: String): DataFrame = {
+    val feat = mapFeatures(s, dir)
     val center = feat.agg(
       round(avg("lat"), 6).as("center_lat"),
       round(avg("lon"), 6).as("center_lon"))
@@ -523,6 +533,73 @@ object TrafficQueries {
     |  center_lat, center_lon
     |FROM feat, c ORDER BY vehicle_id""".stripMargin
 
+  // ---- geo_map_html ------------------------------------------------------
+
+  /** The FULL map document (visualize.py:172-206 `generate_html_map` +
+    * templates/vehicle_map.html): the Leaflet page with the map center
+    * and the latest-position array substituted, assembled from the same
+    * enriched frame as [[geoMapExport]]. The template bytes ride as
+    * data ([[HtmlMap]]); numeric substitutions are printf-formatted
+    * (%.6f center, %.4f coords, %.2f speed) where the reference
+    * interpolates Python float repr — explicit formatting is the only
+    * cross-engine byte-deterministic choice, same policy as
+    * geo_map_export. Positions are ordered by vehicle_id (the
+    * reference emits dict-insertion order, which is input-order
+    * dependent). One output row: (center_lat, center_lon, html) —
+    * hash-checked against a DuckDB oracle that assembles the
+    * identical document. */
+  def geoMapHtml(s: SparkSession, dir: String): DataFrame = {
+    val feat = mapFeatures(s, dir)
+    val obj = concat(
+      lit("{\"vehicle_id\":"), col("vehicle_id"),
+      lit(",\"route_id\":"), col("route_id"),
+      lit(",\"lat\":"), format_string("%.4f", col("lat")),
+      lit(",\"lon\":"), format_string("%.4f", col("lon")),
+      lit(",\"timestamp\":"), col("ts_us"),
+      lit(",\"avg_speed\":"), format_string("%.2f", col("avg_speed")),
+      lit("}"))
+    feat.agg(
+        coalesce(round(avg("lat"), 6), lit(CenterLat)).as("center_lat"),
+        coalesce(round(avg("lon"), 6), lit(CenterLon)).as("center_lon"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("vehicle_id").as("v"), obj.as("o")))),
+          x => x.getField("o")), ",").as("__pj"))
+      .select(col("center_lat"), col("center_lon"),
+        concat(lit(HtmlMap.Head),
+          format_string("%.6f", col("center_lat")), lit(", "),
+          format_string("%.6f", col("center_lon")),
+          lit(HtmlMap.Mid),
+          lit("["), col("__pj"), lit("]"),
+          lit(HtmlMap.Tail)).as("html"))
+  }
+
+  private def sqlLit(str: String): String = "'" + str.replace("'", "''") + "'"
+
+  val geoMapHtmlSql: String = speedsCte + s""",
+    |latest AS (
+    |  SELECT vehicle_id, route_id, lat, lon, ts_us
+    |  FROM (SELECT *, row_number() OVER (PARTITION BY vehicle_id
+    |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM pos)
+    |  WHERE rn = 1),
+    |sp AS (SELECT vehicle_id, round(avg(speed_kmh), 2) AS avg_speed
+    |       FROM speeds GROUP BY 1),
+    |feat AS (
+    |  SELECT l.vehicle_id, l.route_id, l.lat, l.lon, l.ts_us,
+    |    coalesce(s.avg_speed, 0.0) AS avg_speed
+    |  FROM latest l LEFT JOIN sp s USING (vehicle_id)),
+    |pj AS (SELECT string_agg(
+    |    '{"vehicle_id":' || vehicle_id || ',"route_id":' || route_id ||
+    |    ',"lat":' || printf('%.4f', lat) || ',"lon":' || printf('%.4f', lon) ||
+    |    ',"timestamp":' || ts_us || ',"avg_speed":' || printf('%.2f', avg_speed) ||
+    |    '}', ',' ORDER BY vehicle_id) AS pos FROM feat),
+    |c AS (SELECT coalesce(round(avg(lat), 6), 50.45) AS center_lat,
+    |             coalesce(round(avg(lon), 6), 30.52) AS center_lon FROM feat)
+    |SELECT center_lat, center_lon,
+    |  ${sqlLit(HtmlMap.Head)} || printf('%.6f', center_lat) || ', ' ||
+    |  printf('%.6f', center_lon) || ${sqlLit(HtmlMap.Mid)} ||
+    |  '[' || coalesce(pos, '') || ']' || ${sqlLit(HtmlMap.Tail)} AS html
+    |FROM c, pj""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,7 +618,8 @@ object TrafficQueries {
     "ta_weather_corr" -> (taWeatherCorr _),
     "ta_speed_histogram" -> (taSpeedHistogram _),
     "ta_route_labels" -> (taRouteLabels _),
-    "geo_map_export" -> (geoMapExport _))
+    "geo_map_export" -> (geoMapExport _),
+    "geo_map_html" -> (geoMapHtml _))
 
   val oracles: Map[String, String] = Map(
     "ta_speed_lag" -> taSpeedLagSql,
@@ -559,5 +637,80 @@ object TrafficQueries {
     "ta_weather_corr" -> taWeatherCorrSql,
     "ta_speed_histogram" -> taSpeedHistogramSql,
     "ta_route_labels" -> taRouteLabelsSql,
-    "geo_map_export" -> geoMapExportSql)
+    "geo_map_export" -> geoMapExportSql,
+    "geo_map_html" -> geoMapHtmlSql)
+}
+
+/** The reference's HTML map template (kpt/templates/vehicle_map.html),
+  * split at its three Template.substitute placeholders ($center_lat,
+  * $center_lon, $positions_json). This is the reference's OUTPUT
+  * CONTRACT — the exact bytes generate_html_map writes around the
+  * computed values — carried as data so the engine's geo_map_html and
+  * its DuckDB oracle assemble the identical document (the oracle SQL
+  * embeds the same constants, so the hash check pins the whole page).
+  */
+private[queries] object HtmlMap {
+  val Head: String = """<!DOCTYPE html>
+<html>
+<head>
+    <title>KPT Vehicle Positions</title>
+    <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css" />
+    <script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+    <style>
+        #map { height: 100vh; width: 100%; }
+        body { margin: 0; padding: 0; }
+        .legend { padding: 10px; background: white; border-radius: 5px; }
+        .legend h4 { margin: 0 0 10px 0; }
+    </style>
+</head>
+<body>
+    <div id="map"></div>
+    <script>
+        var map = L.map('map').setView(["""
+  val Mid: String = """], 12);
+        L.tileLayer('https://{s}.tile.openstreetmap.org/{z}/{x}/{y}.png', {
+            attribution: '&copy; OpenStreetMap contributors'
+        }).addTo(map);
+
+        var positions = """
+  val Tail: String = """;
+
+        function getColor(speed) {
+            if (speed < 10) return '#d73027';  // red - slow
+            if (speed < 20) return '#fc8d59';  // orange
+            if (speed < 30) return '#fee08b';  // yellow
+            if (speed < 40) return '#d9ef8b';  // light green
+            return '#1a9850';  // green - fast
+        }
+
+        positions.forEach(function(pos) {
+            var color = getColor(pos.avg_speed);
+            L.circleMarker([pos.lat, pos.lon], {
+                radius: 6,
+                fillColor: color,
+                color: '#000',
+                weight: 1,
+                opacity: 1,
+                fillOpacity: 0.8
+            }).addTo(map)
+              .bindPopup('Vehicle: ' + pos.vehicle_id + '<br>Route: ' + pos.route_id + '<br>Speed: ' + pos.avg_speed.toFixed(1) + ' km/h');
+        });
+
+        // Legend
+        var legend = L.control({position: 'bottomright'});
+        legend.onAdd = function(map) {
+            var div = L.DomUtil.create('div', 'legend');
+            div.innerHTML = '<h4>Avg Speed</h4>' +
+                '<i style="background:#d73027;width:18px;height:18px;display:inline-block"></i> &lt;10 km/h<br>' +
+                '<i style="background:#fc8d59;width:18px;height:18px;display:inline-block"></i> 10-20 km/h<br>' +
+                '<i style="background:#fee08b;width:18px;height:18px;display:inline-block"></i> 20-30 km/h<br>' +
+                '<i style="background:#d9ef8b;width:18px;height:18px;display:inline-block"></i> 30-40 km/h<br>' +
+                '<i style="background:#1a9850;width:18px;height:18px;display:inline-block"></i> &gt;40 km/h';
+            return div;
+        };
+        legend.addTo(map);
+    </script>
+</body>
+</html>
+"""
 }

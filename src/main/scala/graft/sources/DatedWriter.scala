@@ -54,4 +54,67 @@ object DatedWriter {
   def readDated(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)
       .withColumn("date_key", col("date_key").cast("string"))
+
+  /** Compacts a dated landing zone down to `filesPerDate` files per
+    * date partition — the small-files maintenance job every appended
+    * landing zone needs: a micro-batched sink lands one file per
+    * (batch, date), so a zone's file count grows with BATCHES while
+    * its data grows with rows, and scan planning/listing cost follows
+    * the file count. One shuffle clustered on (date_key, salt) — the
+    * same bounded-output discipline as [[writeDated]] — rewrites the
+    * zone into a staging dir, then two directory renames swap it in
+    * (readers see the old or the new zone, never a mix; the data is
+    * row-identical, which the oracle gate pins end to end).
+    *
+    * Refuses any target that is not shaped like a dated zone (only
+    * date_key= dirs and _/. bookkeeping entries), and carries
+    * bookkeeping entries (markers, _commits) across the swap
+    * untouched. Scale: cost is one read+shuffle+write of the zone's
+    * DATA; at 100 TB this runs per date partition or per recent-date
+    * window instead of whole-zone (pass a zone subdir). */
+  def compactDated(s: SparkSession, outDir: String,
+                   filesPerDate: Int = 1): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    require(filesPerDate >= 1, s"filesPerDate=$filesPerDate must be >= 1")
+    val root = Paths.get(outDir)
+    require(Files.isDirectory(root), s"compactDated: no zone at $outDir")
+    val entries = Files.list(root).iterator().asScala.toList
+    val (book, dataDirs) = entries.partition { p =>
+      val n = p.getFileName.toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+    require(dataDirs.forall(p => p.getFileName.toString.startsWith("date_key=") &&
+      Files.isDirectory(p)),
+      s"compactDated: refusing '$outDir' — entries other than date_key= " +
+        "partitions and _/. bookkeeping")
+    if (dataDirs.isEmpty) return
+    val staging = Paths.get(outDir + "__compacting")
+    if (Files.exists(staging))
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    // read WITHOUT the date_key string normalization: partitionBy must
+    // write back the identical directory values
+    val df = s.read.parquet(outDir)
+    val dataCols = df.columns.filterNot(_ == "date_key").map(col)
+    val salt = pmod(xxhash64(dataCols: _*), lit(filesPerDate))
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col("date_key"), salt)
+      .write.partitionBy("date_key").mode("overwrite").parquet(staging.toString)
+    // swap: old zone aside, staging in, bookkeeping carried over
+    val old = Paths.get(outDir + "__precompact")
+    if (Files.exists(old))
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    Files.move(root, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
+    book.foreach { p =>
+      val moved = old.resolve(p.getFileName.toString)
+      if (Files.exists(moved))
+        Files.move(moved, root.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+  }
 }

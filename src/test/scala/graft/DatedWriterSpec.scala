@@ -122,6 +122,43 @@ class DatedWriterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(java.nio.file.Files.exists(dir.resolve("precious.parquet")))
   }
 
+  test("compactDated: files per date drop to the target, rows identical, bookkeeping kept") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir()
+    // 60 rows over 3 dates at filesPerDate=4 -> a fragmented zone
+    val rows = (1 to 60).map(i => day(i % 3 + 1, i.toLong))
+    DatedWriter.writeDated(rows.toDF("id", "ts"), "ts", dir, filesPerDate = 4)
+    val marker = java.nio.file.Paths.get(dir, "_ZONE_MARKER")
+    java.nio.file.Files.createFile(marker)
+    def filesPerDate(): Map[String, Int] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("date_key="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))).toMap
+    val before = DatedWriter.readDated(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(filesPerDate().values.exists(_ > 1), "fixture not fragmented")
+    DatedWriter.compactDated(spark, dir, filesPerDate = 1)
+    assert(filesPerDate().values.forall(_ === 1), s"not compacted: ${filesPerDate()}")
+    val after = DatedWriter.readDated(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    assert(java.nio.file.Files.exists(marker), "bookkeeping lost in the swap")
+    // no residue from the swap
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "__compacting")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "__precompact")))
+  }
+
+  test("compactDated refuses a directory that is not a dated zone") {
+    val dir = java.nio.file.Files.createTempDirectory("notzone")
+    java.nio.file.Files.createFile(dir.resolve("data.parquet"))
+    intercept[IllegalArgumentException] {
+      DatedWriter.compactDated(spark, dir.toString)
+    }
+    assert(java.nio.file.Files.exists(dir.resolve("data.parquet")))
+  }
+
   test("a date filter reaches the scan as a partition filter") {
     val dir = freshDir()
     val df = (1 to 10).map(d => day(d, d.toLong)).toDF("id", "ts")

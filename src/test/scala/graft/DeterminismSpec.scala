@@ -26,7 +26,11 @@ class DeterminismSpec extends SparkSpec {
     // integer prefix sum through the bucketed two-phase computation
     "tx_pack_sequences",
     // printf-formatted rounded avgs (speed, map center) in the JSON
-    "geo_map_export")
+    "geo_map_export",
+    // the full assembled HTML document: collect_list order is fixed by
+    // the array_sort, centers by the rounded avgs — any partitioning
+    // dependence shows as a byte diff in one string
+    "geo_map_html")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
