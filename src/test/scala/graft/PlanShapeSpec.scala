@@ -35,11 +35,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"expected window+sort exchanges only:\n$plan")
   }
 
-  test("ta_asof_weather: the as-of is a single shuffle over the union") {
+  test("ta_asof_weather: shuffles belong to the series agg and final sort only") {
+    // since the broadcast as-of switch, the position stream itself is
+    // never exchanged; the remaining shuffles are the (tiny) series
+    // aggregation chain and the per-event result sort — the dedicated
+    // broadcast-probe test below pins the probe side explicitly
     val plan = executed(SparkEntry.queries("ta_asof_weather")(spark, sf))
     val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
-    // union shuffle + series groupBy + final sort; crucially NOT a
-    // per-key join explosion
     assert(shuffles.size <= 3, s"as-of shuffle count grew:\n$plan")
   }
 
@@ -114,5 +116,51 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(spans.nonEmpty,
         s"$q: the parse projection left whole-stage codegen:\n$plan")
     }
+  }
+
+  test("JSONL envelope parses run inside whole-stage codegen (from_json broke the span)") {
+    for ((q, fn) <- Seq("ing_jsonl_positions" -> "position_record_parse",
+        "ing_routes_jsonl" -> "routes_record_parse")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      val spans = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains(fn) => w
+      }
+      assert(spans.nonEmpty,
+        s"$q: $fn left whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("dd_ngram_jaccard: fused chain in codegen, ONE reused exchange feeds both join sides") {
+    val df = SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+    val plan = executed(df)
+    val spans = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("sorted_shingle_hashes") => w
+    }
+    assert(spans.nonEmpty, s"fused shingle chain left codegen:\n$plan")
+    assert(plan.toString.contains("ReusedExchange"),
+      s"self-join sides must share one exchange:\n$plan")
+  }
+
+  test("ta_asof_weather: broadcast as-of probes with no shuffle of the big side") {
+    val plan = executed(SparkEntry.queries("ta_asof_weather")(spark, sf))
+    val bhj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"expected a broadcast as-of probe:\n$plan")
+    // the probe side of the as-of join carries no exchange: the only
+    // shuffles in the whole plan belong to the series aggregation and
+    // the final per-event sort, never the position stream feed
+    val j = bhj.head
+    val probe = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+      case _ => j.left
+    }
+    val probeShuffles = collectWithSubqueries(probe) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(probeShuffles.isEmpty,
+      s"broadcast as-of must not shuffle the probe side:\n$plan")
   }
 }
