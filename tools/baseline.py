@@ -17,7 +17,7 @@ import duckdb, sys, json, time, datetime
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-REPEATS = 3
+REPEATS = 5
 SLOW_CUTOFF_S = 20.0  # one extra repeat is enough above this
 
 
