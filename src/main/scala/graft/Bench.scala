@@ -155,42 +155,30 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     // stdout gets ONE COMPACT line that must fit the driver's bounded
-    // tail capture (2000 chars — rounds 10 and 11 both head-truncated a
-    // longer line and json-parsed to null). Full query names alone total
-    // ~1.6 KB, so a flat name->sec map can never fit: names are grouped
-    // as family -> csv-of-suffixes ("qn") with a flat aligned
-    // millisecond array ("qms"); key reconstruction = family + "_" +
-    // suffix, iterating qn's families in listed order and each csv left
-    // to right. Everything else (spread, requeue diagnostics, the flat
-    // 3-decimal map) lives in the disk artifact named by "full".
-    val famOrder = scala.collection.mutable.LinkedHashMap[String, List[String]]()
-    results.foreach { case (name, _, _, _) =>
-      val (fam, suf) = name.indexOf('_') match {
-        case -1 => (name, "")
-        case i => (name.substring(0, i), name.substring(i + 1))
-      }
-      famOrder(fam) = famOrder.getOrElse(fam, Nil) :+ suf
-    }
-    val timesByName = results.map { case (k, v, _, _) => k -> v }.toMap
-    val qn = famOrder.map { case (fam, sufs) =>
-      "\"" + fam + "\":\"" + sufs.mkString(",") + "\"" }.mkString("{", ",", "}")
-    val qms = famOrder.flatMap { case (fam, sufs) => sufs.map { suf =>
-      val key = if (suf.isEmpty) fam else s"${fam}_$suf"
-      val v = timesByName(key)
+    // tail capture (2000 chars) NET of sbt's own trailer: sbt prints
+    // "[success] Total time: …" (~75 chars) AFTER this line, and that
+    // trailer rides inside the same last-2000-char window (round 12's
+    // 1980-char qn+qms line head-truncated exactly this way and parsed
+    // to null). So query NAMES never ride along at all: "qms" is the
+    // per-query milliseconds aligned with the SORTED query-name order
+    // (= the iteration order of SparkEntry.queries sorted by key, the
+    // same order the disk artifact's "queries" map lists), and the
+    // budget is 1800 chars. Everything else (names, spread, requeue
+    // diagnostics, the 3-decimal map) lives in the artifact at "full".
+    val qms = results.map { case (_, v, _, _) =>
       if (v < 0) "-1" else math.round(v * 1000).toString
-    } }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
     // error DETAILS are bounded (first 2) so a broken run cannot push
     // the line back over the capture window; the count is always exact
     val errHead = errors.take(2).map(e => "\"" + e + "\"").mkString("[", ",", "]")
     def line(withQueries: Boolean): String = {
-      val q = if (withQueries) s""","enc":"fam_suffix; qms=ms","qn":$qn,"qms":$qms""" else ""
+      val q = if (withQueries) s""","enc":"qms=ms, sorted-name order","qms":$qms""" else ""
       s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","nerr":${errors.size},"errors":$errHead,"full":"$outFile","value":${f3(total)}$q}"""
     }
     // belt and braces: if a pathological error string still overflows
-    // the window, drop to the summary-only form rather than emit a line
-    // the driver will truncate mid-JSON (capture = last 2000 chars; the
-    // trailing newline rides inside it)
-    val json = if (line(true).length <= 1980) line(true) else line(false)
+    // the budget, drop to the summary-only form rather than emit a line
+    // the driver will truncate mid-JSON
+    val json = if (line(true).length <= 1800) line(true) else line(false)
     println(json)
     System.out.flush()
     spark.stop()

@@ -33,7 +33,7 @@ object Verify {
     // operator carries is aggregated here from the just-written dumps —
     // a broken LSH shows recall_min 0.0 in audit.json instead of
     // passing as "some rows".
-    val auditCols = Seq("recall", "rel_err", "n_err")
+    val auditCols = Seq("recall", "rel_err", "n_err", "median_rel_err")
     val audits = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val path = s"$outDir/$name"
       if (!Files.exists(Paths.get(path))) None

@@ -199,6 +199,13 @@ object AsOfJoin {
     val leftCols = left.columns
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    // the two sides' time columns are normalized to longs INDEPENDENTLY
+    // below; mixed temporal types (DateType days vs TimestampType
+    // micros) would compare different epochs silently, where backward's
+    // unionByName fails fast — so fail fast here too
+    require(left.schema(timeCol).dataType == right.schema(timeCol).dataType,
+      s"asof time column '$timeCol' type mismatch: left ${left.schema(timeCol).dataType} " +
+        s"vs right ${right.schema(timeCol).dataType}; cast one side first")
     import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
     // monotone LONG image of the time column on both sides — binary
     // search needs one orderable fixed-width type; temporal types go

@@ -1,6 +1,7 @@
 package graft.plans
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+import com.fasterxml.jackson.core.json.JsonReadFeature
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -29,7 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Numeric widening matches from_json: ints read as long, int fields
   * narrow from long, doubles accept integer tokens. */
 private[plans] object PositionJsonCommon {
-  val Factory = new JsonFactory()
+  // Spark's JSON reader defaults allowNonNumericNumbers=true: unquoted
+  // NaN/Infinity number tokens parse as doubles instead of failing the
+  // record. Mirror it so these parsers stay from_json-identical beyond
+  // the documented null-struct divergence (round-12 ADVICE).
+  val Factory: JsonFactory = new com.fasterxml.jackson.core.JsonFactoryBuilder()
+    .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS)
+    .build()
 
   /** Skips the value the parser is positioned ON (after nextToken). */
   def skipValue(p: JsonParser): Unit = {
@@ -53,6 +60,14 @@ private[plans] object PositionJsonCommon {
   def readDouble(p: JsonParser): Any = p.currentToken() match {
     case JsonToken.VALUE_NUMBER_FLOAT | JsonToken.VALUE_NUMBER_INT => p.getDoubleValue
     case JsonToken.VALUE_NULL => null
+    // Spark's JacksonParser additionally admits the quoted special
+    // doubles when allowNonNumericNumbers is on — mirror the exact set
+    case JsonToken.VALUE_STRING => p.getText match {
+      case "NaN" => Double.NaN
+      case "+INF" | "+Infinity" | "Infinity" => Double.PositiveInfinity
+      case "-INF" | "-Infinity" => Double.NegativeInfinity
+      case _ => throw MalformedField
+    }
     case _ => throw MalformedField
   }
 

@@ -62,9 +62,16 @@ object DatedWriter {
     * its data grows with rows, and scan planning/listing cost follows
     * the file count. One shuffle clustered on (date_key, salt) — the
     * same bounded-output discipline as [[writeDated]] — rewrites the
-    * zone into a staging dir, then two directory renames swap it in
-    * (readers see the old or the new zone, never a mix; the data is
-    * row-identical, which the oracle gate pins end to end).
+    * zone into a staging dir, then two directory renames swap it in.
+    * A reader never sees a MIXED zone (each rename is atomic), but the
+    * zone path is briefly ABSENT between the two renames — run this as
+    * a maintenance job in a reader-quiet window (its natural slot), or
+    * front it with a catalog/symlink pointer flip where readers cannot
+    * be paused. A crash inside that window strands the original zone
+    * at `<zone>__precompact`; the next compactDated call (or a manual
+    * rename back) restores it — recovery is self-healing and the data
+    * is row-identical either way, which the oracle gate pins end to
+    * end.
     *
     * Refuses any target that is not shaped like a dated zone (only
     * date_key= dirs and _/. bookkeeping entries), and carries
@@ -78,6 +85,13 @@ object DatedWriter {
     import scala.jdk.CollectionConverters._
     require(filesPerDate >= 1, s"filesPerDate=$filesPerDate must be >= 1")
     val root = Paths.get(outDir)
+    // crash recovery: a previous run that died between its two swap
+    // renames left the zone absent and the original at __precompact —
+    // restore it before anything else (the stranded copy is the intact
+    // pre-compaction zone, so restoring loses nothing)
+    val stranded = Paths.get(outDir + "__precompact")
+    if (!Files.isDirectory(root) && Files.isDirectory(stranded))
+      Files.move(stranded, root, StandardCopyOption.ATOMIC_MOVE)
     require(Files.isDirectory(root), s"compactDated: no zone at $outDir")
     val entries = Files.list(root).iterator().asScala.toList
     val (book, dataDirs) = entries.partition { p =>

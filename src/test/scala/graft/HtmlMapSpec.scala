@@ -33,17 +33,25 @@ class HtmlMapSpec extends SparkSpec {
   }
 
   test("empty corpus falls back to the Kyiv center (visualize.py:193)") {
-    import spark.implicits._
-    val empty = Seq.empty[(Long, Long, Double, Double, Long, Double, String)]
-      .toDF("vehicle_id", "route_id", "lat", "lon", "ts_us", "avg_speed", "route_label")
-    // exercise the same aggregate shape the query uses on an empty frame
-    val row = empty.agg(
-      coalesce(round(avg("lat"), 6), lit(50.45)).as("center_lat"),
-      coalesce(round(avg("lon"), 6), lit(30.52)).as("center_lon"),
-      array_join(transform(array_sort(collect_list(struct(col("vehicle_id"),
-        col("route_label").as("o")))), x => x.getField("o")), ",").as("pj"))
-      .collect().head
-    assert(row.getDouble(0) === 50.45 && row.getDouble(1) === 30.52)
-    assert(row.getString(2) === "")
+    // drive the ACTUAL query against an empty events fixture (an
+    // inline re-implementation of the aggregate would not catch a
+    // regression in geoMapHtml's own coalesce — round-12 ADVICE)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-events")
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val row = SparkEntry.queries("geo_map_html")(spark, tmp.toString)
+        .collect().head
+      assert(row.getDouble(row.fieldIndex("center_lat")) === 50.45)
+      assert(row.getDouble(row.fieldIndex("center_lon")) === 30.52)
+      val html = row.getString(row.fieldIndex("html"))
+      assert(html.contains("setView([50.450000, 30.520000], 12)"))
+      assert(html.contains("var positions = []"))
+      assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>\n"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
   }
 }

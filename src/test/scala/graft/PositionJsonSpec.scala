@@ -24,7 +24,13 @@ class PositionJsonSpec extends SparkSpec {
     """{"collected_by":"x","timestamp":"y","count":0,"positions":[]}""",
     """{"collected_by":"x","positions":[{"lat":50,"lon":30}]}""",
     // null positions array
-    """{"collected_by":"x","positions":null}"""
+    """{"collected_by":"x","positions":null}""",
+    // non-numeric doubles, unquoted and quoted: Spark's JSON reader
+    // runs with allowNonNumericNumbers=true, so NaN/Infinity number
+    // tokens and the quoted special set must parse, not null the record
+    """{"collected_by":"nn","positions":[{"vehicle_id":1,"lat":NaN,"lon":Infinity}]}""",
+    """{"collected_by":"nn2","positions":[{"lat":-Infinity,"lon":"NaN"}]}""",
+    """{"collected_by":"nn3","positions":[{"lat":"+INF","lon":"-Infinity"}]}"""
   )
 
   private val malformed = Seq(

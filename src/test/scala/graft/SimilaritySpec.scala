@@ -28,21 +28,21 @@ class SimilaritySpec extends SparkSpec {
     val brute = ranks(Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10))
     val lsh = ranks(Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       dim = 64, k = 10))
-    // ANN: every returned neighbor must be a real vector pair. Overall
-    // recall@10 floor = measured 0.37 minus margin (ranks 2-10 sit at
-    // the random-cosine noise floor where hyperplane buckets are
-    // deliberately lossy); the hard guarantee is the planted-neighbor
-    // check below
+    // ANN: every returned neighbor must be a real vector pair. The
+    // r=3 × 10-band default measures recall@10 0.87-0.95 across plane
+    // seeds on the isotropic testdata (sf0.001/0.01/0.1 alike); floor
+    // at 0.8 = min-seed measurement minus margin. The hard guarantee
+    // is the planted-neighbor check below.
     val recall = lsh.keySet.count(brute.keySet.contains).toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall@10 regressed: $recall (measured 0.37)")
+    assert(recall >= 0.8, s"LSH recall@10 regressed: $recall (measured 0.87-0.95)")
   }
 
   test("lshTopK never misses a planted high-cosine nearest neighbor") {
     // the testdata queries all have noise-floor rank-1s (max cos 0.43
     // at sf0.001), so the hard guarantee needs a corpus in the regime
     // LSH exists for: 64-dim vectors each with a cos ~0.999 twin. At
-    // (nBits=16, bands=4) a twin's band-collision probability is
-    // 1-(1-(1-acos(.999)/pi)^4)^4 ~ 0.99999, and the hyperplanes are
+    // (nBits=30, bands=10, r=3) a twin's band-collision probability is
+    // 1-(1-(1-acos(.999)/pi)^3)^10 ~ 1-3e-14, and the hyperplanes are
     // seeded — a missed twin means the signature/banding regressed.
     val rnd = new scala.util.Random(42)
     val base = (0 until 20).map { i =>
@@ -90,5 +90,27 @@ class SimilaritySpec extends SparkSpec {
         nprobe = np))
       assert(handed === inPlan, s"nprobe=$np diverged")
     }
+  }
+
+  test("kmeans IVF index: deterministic rebuild, recall@10 >= 0.75 at nprobe 6") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 10, iters = 8)
+    // deterministic: an independent rebuild lands on identical centroids
+    // (6-dp-rounded means pin summation-order ulps)
+    val snap = cents.orderBy("cluster").collect().map(_.toString).toSeq
+    val snap2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      c = 10, iters = 8).orderBy("cluster").collect().map(_.toString).toSeq
+    assert(snap === snap2)
+    assert(snap.size === 10)
+    // the k-means quantizer at nprobe 6/10 must keep recall a user
+    // would accept (measured ~0.85 on this corpus; the label quantizer
+    // it replaced measured 0.57 at nprobe 4 — neighbor-blind cells)
+    val indexed = Similarity.ivfAssign(emb, "embedding", cents)
+    val ivf = ranks(Similarity.ivfTopKWithCentroids(indexed, queries,
+      "vec_id", "embedding", "cluster", cents, "cluster", "cemb",
+      k = 10, nprobe = 6))
+    val brute = ranks(Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10))
+    val recall = ivf.keySet.count(brute.keySet.contains).toDouble / brute.size
+    assert(recall >= 0.75, s"IVF recall@10 regressed: $recall (measured ~0.85)")
   }
 }
