@@ -143,6 +143,55 @@ object MiscQueries {
     |SELECT DISTINCT user_id, event_type
     |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  // ---- st_ttl_dedup --------------------------------------------------------
+
+  /** TTL day-scaled for the hours-apart synthetic stream: the
+    * reference's 60 s guards a seconds-apart live feed (same scaling
+    * convention as the registered session-gap constants). 24 h admits
+    * ~69% of events — both drops AND post-TTL re-admits are exercised,
+    * which is the semantic daylight st_stream_dedup's forever-dedup
+    * cannot cover. */
+  val TtlDedupUs: Long = 24L * 3600 * 1000000L
+
+  /** The reference PositionCache's TTL dedup (DeduplicationFilter,
+    * websocket_client.py:98-122) under the streaming engine: admit,
+    * drop repeats while the entry lives, RE-ADMIT at/after expiry —
+    * greedy per-key admission chains in event time, state = one
+    * timestamp per key ([[graft.streaming.TtlDedup]]). The DuckDB
+    * oracle replays the same greedy chain with a recursive
+    * lateral-join CTE, so the re-admit semantics are hash-pinned, not
+    * just row-counted. */
+  def stTtlDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = StreamOps.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
+      .as[graft.streaming.TtlEvent]
+    StreamOps.runToMemory(s,
+      graft.streaming.TtlDedup.admit(src, TtlDedupUs).toDF(),
+      "st_ttl_dedup_sink", "append")
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type", "ts_us", "event_id")
+  }
+
+  val stTtlDedupSql: String = s"""
+    |WITH RECURSIVE ev AS (
+    |  SELECT event_id, user_id, event_type,
+    |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    |f AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+    |        ORDER BY ts_us, event_id) AS rn FROM ev),
+    |adm AS (
+    |  SELECT event_id, user_id, event_type, ts_us FROM f WHERE rn = 1
+    |  UNION ALL
+    |  SELECT n.event_id, n.user_id, n.event_type, n.ts_us
+    |  FROM adm a, LATERAL (
+    |    SELECT event_id, user_id, event_type, ts_us FROM ev e
+    |    WHERE e.user_id = a.user_id AND e.event_type = a.event_type
+    |      AND e.ts_us >= a.ts_us + ${TtlDedupUs}::BIGINT
+    |    ORDER BY e.ts_us, e.event_id LIMIT 1) n)
+    |SELECT user_id, event_type, event_id, ts_us FROM adm
+    |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin
+
   // ---- st_positions_parse -------------------------------------------------
 
   /** The reference's actual wire path under the STREAMING engine: each
@@ -496,6 +545,7 @@ object MiscQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "st_windowed_counts" -> (stWindowedCounts _),
     "st_stream_dedup" -> (stStreamDedup _),
+    "st_ttl_dedup" -> (stTtlDedup _),
     "st_sliding_counts" -> (stSlidingCounts _),
     "st_sessionize" -> (stSessionize _),
     "st_positions_parse" -> (stPositionsParse _),
@@ -516,6 +566,7 @@ object MiscQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
     "st_stream_dedup" -> stStreamDedupSql,
+    "st_ttl_dedup" -> stTtlDedupSql,
     "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,
     "st_dated_sink" -> stDatedSinkSql,
