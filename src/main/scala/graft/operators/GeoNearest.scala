@@ -67,6 +67,12 @@ object GeoNearest {
               maxAbsLatDeg: Double, widenRing: Int = 8): DataFrame = {
     require(widenRing >= 1, s"widenRing=$widenRing must be >= 1")
     require(cellDeg > 0, s"cellDeg=$cellDeg must be positive")
+    // the squared-degree prefilter's sin x >= x(1-x²/6) slack needs the
+    // in-join separation (≤ (widenRing+1)·cellDeg per side) to stay
+    // small-angle; 20° keeps the polynomial factor above 0.9949 — far
+    // inside the 0.99 margin the filter budget carries
+    require(cellDeg * (widenRing + 1) <= 20,
+      s"cellDeg=$cellDeg too coarse for widenRing=$widenRing (prefilter bound)")
 
     // lower bound on the distance to anything outside a ring-r
     // neighborhood; the 0.999 slack absorbs the 6-dp distance rounding
@@ -113,6 +119,28 @@ object GeoNearest {
     def isResolved(r: Int): Column =
       col("m").isNotNull && distKmOf(col("m")) <= safeKm(r)
 
+    // cheap cos-scaled squared-degree prefilter, riding IN the join
+    // condition so pruned candidates never reach the haversine (the
+    // pass's dominant math — 2 sin + asin + sqrt per candidate vs 5
+    // multiplications here): from dist = 2R·asin(√h) >= 2R·√h and
+    // sin x >= x(1-x²/6) >= 0.9949·x at the require()-bounded in-join
+    // separations, dist >= 0.9949·R·√(dlat² + cc·dlon²) (radians).
+    // A candidate whose cheap bound exceeds the pass's acceptance
+    // radius safeKm(r) can never be an ACCEPTED min — if the true min
+    // is accepted it lies inside the radius and the lower bound keeps
+    // it (0.99 margin > the 0.9949 polynomial factor + fp ulps), and a
+    // position whose min is beyond the radius goes unresolved either
+    // way, re-deriving candidates from scratch in the next pass. At
+    // ~50°N the kept ellipse is ~π·cos²(lat)·cellDeg² vs the 9-cell
+    // join's 9·cellDeg² — ~78% of pass-1 haversines never run.
+    def cheapNear(r: Int): Column = {
+      val dlat = radians(col("lat") - col("s_lat"))
+      val dlon = radians(col("lon") - col("s_lon"))
+      val d2 = dlat * dlat + col("coslat") * col("s_coslat") * dlon * dlon
+      val b = safeKm(r) / 0.99 / GeoFunctions.EarthRadiusKm
+      d2 <= lit(b * b)
+    }
+
     // ring offsets as two chained explodes of sequence(-r, r): the
     // generated code is O(1) in r — an array-of-structs literal would
     // put (2r+1)² struct constructors into one codegen unit, and at
@@ -125,12 +153,17 @@ object GeoNearest {
         .select(keep.map(col) :+ col("gx") :+
           (col("gy") + col("__dy")).as("gy"): _*)
 
-    // pass 1: ring-1, signal side exploded x9
+    // pass 1: ring-1, signal side exploded x9; the prefilter rides the
+    // join condition (LEFT semantics keep no-candidate positions alive
+    // as m=null → unresolved, where a post-join filter would LOSE them)
     val sig9 = withRing(
       sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
         col("sgx").as("gx"), col("sgy").as("gy")),
       1, Seq("sig_idx", "s_lat", "s_lon", "s_coslat"))
-    val m1 = argmin(p.join(sig9, Seq("gx", "gy"), "left_outer"))
+      .withColumnRenamed("gx", "jgx").withColumnRenamed("gy", "jgy")
+    val m1 = argmin(p.join(sig9,
+      col("gx") === col("jgx") && col("gy") === col("jgy") && cheapNear(1),
+      "left_outer").drop("jgx", "jgy"))
     val resolved1 = m1.filter(isResolved(1))
     val un1 = m1.filter(!isResolved(1))
 
@@ -139,7 +172,10 @@ object GeoNearest {
       Seq("event_id", "lat", "lon", "coslat"))
     val m2 = argmin(pWide.join(
       sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
-        col("sgx").as("gx"), col("sgy").as("gy")), Seq("gx", "gy"), "left_outer"))
+        col("sgx").as("jgx"), col("sgy").as("jgy")),
+      col("gx") === col("jgx") && col("gy") === col("jgy") &&
+        cheapNear(widenRing),
+      "left_outer").drop("jgx", "jgy"))
     val resolved2 = m2.filter(isResolved(widenRing))
     val un2 = m2.filter(!isResolved(widenRing))
 
