@@ -214,7 +214,9 @@ object MiscQueries {
         IngestQueries.positionEnvelopeLine.as("line"))
     val parsed = IngestQueries.positionEnvelopeProjection(
       graft.sources.PositionLog.parseLines(lines, col("line")))
-    StreamOps.runToMemory(s, parsed, "st_positions_parse_sink", "append")
+    // stateless → distributed file sink: the memory sink's per-batch
+    // driver collect of ~2 rows/event dominated the replay at 10x data
+    StreamOps.runToParquet(s, parsed, "st_positions_parse")
       .orderBy("event_id", "pos_idx")
   }
 

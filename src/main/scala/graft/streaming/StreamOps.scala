@@ -463,6 +463,38 @@ object StreamOps {
     * outer joins, flatMapGroupsWithState event-time timeouts — must
     * keep the default. The DuckDB-hash gate pins that every noFlush
     * adopter is row-identical to the batch oracle. */
+  /** Stateless replay to a DISTRIBUTED file sink: the stream lands as
+    * parquet (exactly-once via the file sink's commit log) and the
+    * result is read back — rows never funnel through the driver. The
+    * memory sink collects every output row into the driver per batch,
+    * which for a high-volume row-local transform costs more than the
+    * transform itself (st_positions_parse emits 2M rows at sf1 — the
+    * driver collect dominated its replay); landing distributed is also
+    * the PRODUCTION shape of a parse stream (land, then read). For
+    * stateless queries only: no state stores run, so the
+    * ReplayStateParts clamp is skipped and the session parallelism
+    * rides through the sink write. Output lives under the (tmpfs)
+    * checkpoint root keyed by `name` and is cleared at the START of
+    * each run, so bench repeats never accumulate. */
+  def runToParquet(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val out = CheckpointRoot.resolve(s"sink-$name")
+    deleteRecursive(out)
+    val ckpt = freshCheckpoint()
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      deleteRecursive(ckpt)
+    }
+    s.read.parquet(out.toString)
+  }
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: String, noFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
