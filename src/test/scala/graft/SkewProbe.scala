@@ -1,0 +1,42 @@
+package graft
+
+/** Skew rehearsal: the per-key window / session / streaming-state
+  * families interleaved uniform-vs-zipf IN ONE SESSION (cross-window
+  * comparisons on this host are untrustworthy — BASELINE.md's
+  * window-sensitivity note), alternating dirs per round so host drift
+  * lands on both sides. Reports per-query minima; the uniform/zipf
+  * ratio isolates hot-key straggling.
+  *
+  *   sbt 'Test/runMain graft.SkewProbe [uniformDir] [zipfDir] [rounds]'
+  */
+object SkewProbe {
+  val Families: Seq[String] = Seq(
+    "ta_speed_lag", "ta_sessionize", "ta_session_stats",
+    "ta_latest_per_vehicle", "ing_poll_lifecycle",
+    "st_session_window", "st_ttl_dedup", "st_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val uni = args.headOption.getOrElse("/tmp/graft-sf1")
+    val zipf = args.lift(1).getOrElse("/tmp/graft-sf1-zipf")
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val best = scala.collection.mutable.Map[(String, String), Double]()
+    for (r <- 1 to rounds; (tag, dir) <- Seq("uniform" -> uni, "zipf" -> zipf);
+         name <- Families) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"round $r $tag%-8s $name%-24s $dt%6.2f s")
+      val k = (name, tag)
+      best(k) = math.min(best.getOrElse(k, Double.MaxValue), dt)
+    }
+    println("\nPROBE name uniform_min zipf_min ratio")
+    Families.foreach { n =>
+      val u = best((n, "uniform")); val z = best((n, "zipf"))
+      println(f"PROBE $n%-24s $u%6.2f $z%6.2f ${z / u}%5.2f")
+    }
+    spark.stop()
+  }
+}
