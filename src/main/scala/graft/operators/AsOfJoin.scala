@@ -199,14 +199,23 @@ object AsOfJoin {
     val leftCols = left.columns
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
-    // the two sides' time columns are normalized to longs INDEPENDENTLY
-    // below; mixed temporal types (DateType days vs TimestampType
-    // micros) would compare different epochs silently, where backward's
-    // unionByName fails fast — so fail fast here too
-    require(left.schema(timeCol).dataType == right.schema(timeCol).dataType,
-      s"asof time column '$timeCol' type mismatch: left ${left.schema(timeCol).dataType} " +
-        s"vs right ${right.schema(timeCol).dataType}; cast one side first")
     import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    // the two sides' time columns are normalized to longs INDEPENDENTLY
+    // below; types on DIFFERENT epoch scales (DateType days vs
+    // TimestampType micros, or a raw long against either) would compare
+    // silently wrong, where backward's unionByName fails fast — so fail
+    // fast here too. Timestamp vs TimestampNTZ is fine: both map to the
+    // same unix_micros image under the session's pinned-UTC clock.
+    def epochScale(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "micros"
+      case DateType => "days"
+      case other => s"raw:$other"
+    }
+    require(epochScale(left.schema(timeCol).dataType) ==
+        epochScale(right.schema(timeCol).dataType),
+      s"asof time column '$timeCol' epoch-scale mismatch: left " +
+        s"${left.schema(timeCol).dataType} vs right ${right.schema(timeCol).dataType}; " +
+        "cast one side first")
     // monotone LONG image of the time column on both sides — binary
     // search needs one orderable fixed-width type; temporal types go
     // through their epoch integers (same normalization as the bucketed

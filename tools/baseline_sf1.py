@@ -19,13 +19,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 REPEATS = 5
 
-# the sf0.1 >2x set from the round-12 verdict's per-query audit
+# the sf0.1 >2x set from the round-12 verdict's per-query audit, plus
+# the round-13 st_ttl_dedup (streaming state machinery over a 0.4 s
+# oracle — the same floor shape)
 QUERIES = [
     "dd_exact", "tx_contamination", "dd_ngram_jaccard", "dd_incremental",
     "ss_brute_topk", "ing_csv_positions", "ing_corrupt_quarantine",
     "ing_base64_gps", "ing_binary_gps", "ing_jsonl_positions",
     "geo_geojson_roundtrip", "geo_osm_relation_parse", "geo_osm_xml_parse",
-    "st_positions_parse",
+    "st_positions_parse", "st_ttl_dedup",
 ]
 
 
