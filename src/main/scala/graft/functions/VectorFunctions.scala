@@ -62,10 +62,20 @@ object VectorFunctions {
 
   /** Pre-cast variant: input must already be array<double> (skips the
     * per-row transform-cast copy — see dotPre). */
-  def hyperplaneSigPre(v: Column, nBits: Int, dim: Int): Column = {
+  def hyperplaneSigPre(v: Column, nBits: Int, dim: Int): Column =
+    hyperplaneSigPreAt(v, 0, nBits, dim)
+
+  /** [[hyperplaneSigPre]] over the GLOBAL plane window
+    * [first, first+nBits): signatures wider than one long's 63 bits
+    * split across several longs by calling this with increasing
+    * `first` — plane indices are global, so splitting changes the
+    * packing, never the planes (a 100-plane banded signature is 20
+    * five-bit calls, one per band). */
+  def hyperplaneSigPreAt(v: Column, first: Int, nBits: Int, dim: Int): Column = {
+    require(first >= 0, s"first=$first must be >= 0")
     require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
     val bits = (0 until nBits).map { i =>
-      val proj = graft.plans.ArrayDot(v, hyperplane(i, dim))
+      val proj = graft.plans.ArrayDot(v, hyperplane(first + i, dim))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)

@@ -479,35 +479,45 @@ object Dedup {
     * p(c) = 1 - (1 - (1 - acos(c)/pi)^r)^b, r = nBits/bands — ~1 for
     * genuine near-dups (c >= ~0.9 at the defaults) and deliberately
     * lossy near the noise floor (see [[embeddingPairs]] for why that is
-    * unavoidable). The 48-bit × 12-band default keeps r = 4 (random
-    * pairs still collide at only 1/16 per band) while the extra bands
-    * lift measured recall at the 0.45 noise-floor threshold from
-    * 0.71-0.87 (old 32 × 8) to 0.86-1.0 across plane seeds on the
-    * synthetic corpus. Callers that need the recall actually achieved
+    * unavoidable). The 100-plane default (r = 5 × 20 bands) measures
+    * recall 0.92-1.0 across plane seeds at the 0.45 noise-floor
+    * threshold, and its 2^5 = 32 values/band keep average bucket
+    * occupancy under maxBucket through ~30k vectors — the r12 packed
+    * 48-bit form (r = 4, 16 values/band) blew every bucket past the
+    * cap at 20k vectors and recall collapsed to 0.23. Sizing rule at
+    * real scale: 2^r ≳ N/maxBucket (r grows with log N), bands then
+    * sized for recall at the target threshold. Callers that need the
+    * recall actually achieved
     * should compare against the exact baseline on a sample —
     * DedupQueries.ddEmbeddingLsh emits exactly that audit column. */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        nBits: Int = 48, bands: Int = 12,
+                        nBits: Int = 100, bands: Int = 20,
                         maxBucket: Long = 1000): DataFrame = {
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
-    val mask = (1L << r) - 1
+    require(r <= 63, s"rows-per-band $r exceeds one long")
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+    // per-band values computed DIRECTLY over the band's global plane
+    // window (no ≤63-bit packed-signature ceiling — the r12 48-bit
+    // form capped the whole scheme at 16 values/band, and at 20k+
+    // vectors every bucket blew past maxBucket and recall collapsed
+    // to 0.23; 2^r must scale with corpus/maxBucket, which forces
+    // total plane counts past one long)
+    val vals = array((0 until bands).map { b =>
+      VectorFunctions.hyperplaneSigPreAt(col("emb"), b * r, r, dim)
+    }: _*)
     val banded = Par.spread(e.select(col("__id"), col("emb")))
-      .withColumn("sig", VectorFunctions.hyperplaneSigPre(col("emb"), nBits, dim))
-      .select(col("__id"), col("sig"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("v"))
-      }: _*)).as("bh"))
-      .select(col("__id"), col("sig"), col("bh.band").as("band"), col("bh.v").as("v"))
+      .withColumn("vals", vals)
+      .select(col("__id"), col("vals"),
+        posexplode(col("vals")).as(Seq("band", "v")))
     // per-row bucket survival + per-DOC survived-band bitmask: bit b of
     // okMask says "this doc's band-b bucket was not degenerate-capped".
     // The mask rides the bucket join so the first-collision predicate
     // below can skip capped bands — one extra narrow window shuffle on
-    // __id (id, sig, band, v — no embedding payloads).
+    // __id (id, vals, band, v — no embedding payloads).
     val counted = banded
       .withColumn("__ok", count(lit(1)).over(Window.partitionBy("band", "v")) <= maxBucket)
     val bounded = counted
@@ -519,29 +529,27 @@ object Dedup {
     // FIRST-COLLISION dedup instead of a global distinct: a pair
     // colliding in k bands would surface k times from the bucket join;
     // emitting it only from the EARLIEST band that (a) has agreeing
-    // slices and (b) SURVIVED the bucket cap (a pure codegen bit-ops
-    // predicate over the two signatures + the survived mask riding the
+    // values and (b) SURVIVED the bucket cap (a pure codegen predicate
+    // over the two band-value arrays + the survived mask riding the
     // join) makes every candidate unique by construction — the
     // candidate-set shuffle that a distinct would cost simply never
     // exists. The survived bit matters: without it, a pair whose
     // earliest agreeing band was degenerate-capped would be dropped
     // outright instead of re-emitted by a later surviving band — a
-    // recall hole the cap was never meant to open. Agreeing slices put
+    // recall hole the cap was never meant to open. Agreeing values put
     // both docs in the SAME bucket, so one side's mask bit decides.
-    def slice(c: Column, b: Int): Column =
-      shiftrightunsigned(c, b * r).bitwiseAND(lit(mask))
     // bands = 1 has no earlier band to collide in — guard the reduce
     val earlierEq =
       if (bands == 1) lit(false)
       else (0 until bands - 1).map { bp =>
         col("band") > bp &&
-          (slice(col("a_sig"), bp) === slice(col("b_sig"), bp)) &&
+          (element_at(col("a_vals"), bp + 1) === element_at(col("b_vals"), bp + 1)) &&
           (shiftrightunsigned(col("a_mask"), bp).bitwiseAND(lit(1L)) === 1L)
       }.reduce(_ || _)
     val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"),
-        col("sig").as("a_sig"), col("okMask").as("a_mask"))
+        col("vals").as("a_vals"), col("okMask").as("a_mask"))
       .join(bounded.select(col("band"), col("v"), col("__id").as("b_id"),
-        col("sig").as("b_sig")), Seq("band", "v"))
+        col("vals").as("b_vals")), Seq("band", "v"))
       .filter(col("a_id") < col("b_id") && !earlierEq)
       .select("a_id", "b_id")
     cand

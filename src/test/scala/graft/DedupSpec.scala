@@ -135,8 +135,8 @@ class DedupSpec extends SparkSpec {
 
   test("embeddingPairsLsh: subset of exact pairs, full recall on high-cos near-dups") {
     // 8-dim near-identical pairs (cos ~ 0.999) plus unrelated axes:
-    // at the default (nBits=48, bands=12) the survival probability of a
-    // 0.99+ pair is 1 - (1 - (1 - acos(.99)/pi)^4)^12 ~ 1 - 2e-10
+    // at the default (r=5 x 20 bands) the survival probability of a
+    // 0.99+ pair is 1 - (1 - (1 - acos(.99)/pi)^5)^20 ~ 1 - 5e-15
     val vecs = Seq(
       (1L, Array(1.0f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f)),
       (2L, Array(1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)),
@@ -189,11 +189,10 @@ class DedupSpec extends SparkSpec {
       .select("recall").as[Double].collect()
     assert(out.nonEmpty)
     assert(out.distinct.length === 1) // constant audit column
-    // measured floor: with deterministic hyperplanes the 48-bit ×
-    // 12-band config recalls 7/7 = 1.0 here (and 0.857 / 0.896 at
-    // sf0.01 / sf0.1 — pairs AT the 0.45 noise floor stay deliberately
-    // lossy, see embeddingPairs scaladoc); a drop below 0.85 means the
-    // signature/banding regressed
+    // measured floor: with deterministic hyperplanes the r=5 × 20-band
+    // config recalls 7/7 = 1.0 here (pairs AT the 0.45 noise floor
+    // stay deliberately lossy, see embeddingPairs scaladoc); a drop
+    // below 0.85 means the signature/banding regressed
     assert(out.head >= 0.85, s"dd_embedding_lsh recall regressed: ${out.head}")
   }
 
