@@ -14,8 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // One-time-inferred schema per table path — the loader's stand-in for
+  // a catalog/metastore entry. `spark.read.parquet` without a schema
+  // re-infers from footers on EVERY call (~100-130 ms per reference on
+  // this host); a deployed engine resolves table schemas from its
+  // catalog exactly once, and the DuckDB oracle's CREATE VIEW pays its
+  // bind cost once outside the per-query timings, so per-reference
+  // re-inference is a harness artifact, not engine work. The cached
+  // value IS the inferred schema (same session configs apply), so
+  // downstream type dispatch (e.g. normalizeTs) is unchanged. Keyed by
+  // path: distinct vintages/scale factors live in distinct dirs.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** The cached-catalog schema of a parquet path (inferred on first
+    * use). Only for paths whose schema is fixed for the process
+    * lifetime — the sf tables and their staged copies. */
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
+  }
 
   /** Canonical engine representation of `events.ts`: epoch NANOSECOND
     * Long. The driver's parquet has shipped it two ways across rounds —

@@ -56,12 +56,19 @@ object RankOps {
               floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
               lit(0)), lit(buckets - 1)))))
       .drop("__lo", "__hi", "__w")
-      // lazy checkpoint: the bucketed frame feeds BOTH the counts/offsets
-      // aggregate and the per-bucket rank window — without lineage
-      // truncation the source scan + bucket projection runs once per
-      // branch (and the two branches' exchanges cannot be reused, since
-      // the counts side partial-aggregates before its shuffle)
-      .localCheckpoint(eager = false)
+    // The bucketed frame feeds two branches. They deliberately do NOT
+    // share a checkpoint or exchange: the counts branch map-side
+    // partial-aggregates to ≤`buckets` rows per input split before its
+    // shuffle and column-prunes to the sort column alone, so its
+    // re-evaluation is a narrow columnar scan + a ~64-row exchange —
+    // cheaper at any scale than pinning the full-width frame in
+    // executor memory (the previous lazy localCheckpoint, which also
+    // paid a full physical-planning pass at DataFrame BUILD time —
+    // ~0.3 s of fixed floor — because Dataset.localCheckpoint
+    // materializes an RDD of the subtree even when lazy). Evaluating
+    // the bucket expression twice is safe by construction: exact
+    // min/max bounds are merge-order-insensitive, so both branches
+    // compute identical bucket ids (the comment on the declaration).
     val inBucketW = Window.partitionBy("__bucket")
       .orderBy(col(sortCol).asc, col(tieCol).asc)
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))

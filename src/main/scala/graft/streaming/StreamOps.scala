@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -51,8 +52,9 @@ object StreamOps {
     Files.deleteIfExists(link)
     Files.createSymbolicLink(link, src)
     // one-time footer peek for the ts vintage (Long nanos vs TIMESTAMP);
-    // a batch schema read costs a footer, not a scan
-    val tsType = s.read.parquet(src.toString).schema
+    // cached per path like any catalog schema — re-inferring per replay
+    // run paid a footer + file-index build on every bench repeat
+    val tsType = Tables.schemaOf(s, src.toString)
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val raw = s.readStream.schema(eventsSchema(tsType)).parquet(stage.toString)
     tsType match {
@@ -85,7 +87,7 @@ object StreamOps {
       s.read.parquet(src.toString).repartitionByRange(slices, col("ts"))
         .write.mode("overwrite").parquet(stage.toString)
     }
-    val tsType = s.read.parquet(src.toString).schema
+    val tsType = Tables.schemaOf(s, src.toString)
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val raw = s.readStream.schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", "1")
@@ -501,7 +503,9 @@ object StreamOps {
       deleteRecursive(ckpt)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
-    s.read.parquet(out.toString)
+    // the sink wrote exactly df's columns — reading back with that
+    // schema skips a fresh-dir footer inference per run
+    s.read.schema(df.schema).parquet(out.toString)
   }
 
   def runToMemory(s: SparkSession, df: DataFrame, name: String,

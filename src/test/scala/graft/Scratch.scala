@@ -120,6 +120,52 @@ object Scratch {
       spark.stop(); return
     }
 
+    // construction cost: where do 400-600 ms of DataFrame building go?
+    if (sys.env.contains("SCRATCH_CONS")) {
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH cons[$tag%-28s] ${(System.nanoTime() - t0) / 1e6}%7.1f ms"); r
+      }
+      for (r <- 1 to 4) {
+        val o = t(s"read orders r$r")(Tables.orders(spark, dir))
+        val sch = o.schema
+        t(s"read orders+schema r$r")(
+          spark.read.schema(sch).parquet(s"$dir/orders.parquet"))
+        t(s"q5 build r$r")(queries.TpchQueries.queries("q5_local_supplier")(spark, dir))
+        t(s"decile build r$r")(queries.TpchQueries.queries("q_decile_stats")(spark, dir))
+        t(s"decile exec-plan r$r")(queries.TpchQueries.queries("q_decile_stats")(spark, dir)
+          .queryExecution.executedPlan)
+        time(s"decile noop r$r")(queries.TpchQueries.queries("q_decile_stats")(spark, dir))
+        time(s"q5 noop r$r")(queries.TpchQueries.queries("q5_local_supplier")(spark, dir))
+      }
+      val d = queries.TpchQueries.queries("q_decile_stats")(spark, dir)
+      d.write.format("noop").mode("overwrite").save()
+      val ps = d.queryExecution.executedPlan.toString
+      println("SCRATCH decile reused=" + ps.contains("ReusedExchange") +
+        " exchanges=" + "Exchange".r.findAllIn(ps).length)
+      spark.stop(); return
+    }
+
+    // floor breakdown: planning vs execution on floor-bound queries
+    if (sys.env.contains("SCRATCH_FLOOR")) {
+      val names = Seq("ing_bounds_filter", "geo_grid_density", "q1_pricing_summary",
+        "q_decile_stats", "q5_local_supplier", "ta_weather_corr", "ta_fastest_routes",
+        "q_order_fill_rate", "ta_interpolate", "tx_pack_sequences")
+      val all = SparkEntry.queries
+      for (r <- 1 to 5; n <- names) {
+        val t0 = System.nanoTime()
+        val df = all(n)(spark, dir)
+        val plan = df.queryExecution.executedPlan // force analysis+optimization+planning
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        val phases = df.queryExecution.tracker.phases.map { case (p, s) =>
+          s"$p=${s.endTimeMs - s.startTimeMs}" }.mkString(" ")
+        println(f"SCRATCH floor[$n%-22s] r$r plan=${(t1 - t0) / 1e6}%6.1f ms exec=${(t2 - t1) / 1e6}%7.1f ms  $phases")
+      }
+      spark.stop(); return
+    }
+
     // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
     import graft.operators.Dedup
     val t = queries.DedupQueries.JaccardThreshold
