@@ -97,6 +97,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.plans.AsOfIndex].getName, "asof_index"),
       arity("asof_index", 2)(exprs =>
         graft.plans.AsOfIndex(exprs.head, exprs(1)))),
+    (FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[graft.plans.HyperplaneSig].getName, "hyperplane_sig"),
+      arity("hyperplane_sig", 4)(exprs =>
+        graft.plans.HyperplaneSig(exprs.head,
+          litInt(exprs(1), "hyperplane_sig first"),
+          litInt(exprs(2), "hyperplane_sig nBits"),
+          litInt(exprs(3), "hyperplane_sig dim")))),
+    (FunctionIdentifier("first_collision_band"),
+      new ExpressionInfo(classOf[graft.plans.FirstCollisionBand].getName,
+        "first_collision_band"),
+      arity("first_collision_band", 3)(exprs =>
+        graft.plans.FirstCollisionBand(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(exprs =>

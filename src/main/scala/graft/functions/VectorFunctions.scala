@@ -43,13 +43,8 @@ object VectorFunctions {
     * plan-build time — the plan carries literal arrays, so a signature
     * costs one fused zip_with/aggregate dot product per bit at runtime
     * (no per-element hashing on the executors). */
-  private def planeComponent(bit: Int, j: Int): Double = {
-    var z = bit.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-  }
+  private def planeComponent(bit: Int, j: Int): Double =
+    graft.plans.HyperplaneSig.planeComponent(bit, j)
 
   /** Hyperplane i as a literal array<double> column of length dim. */
   def hyperplane(bit: Int, dim: Int): Column =
@@ -70,14 +65,13 @@ object VectorFunctions {
     * split across several longs by calling this with increasing
     * `first` — plane indices are global, so splitting changes the
     * packing, never the planes (a 100-plane banded signature is 20
-    * five-bit calls, one per band). */
-  def hyperplaneSigPreAt(v: Column, first: Int, nBits: Int, dim: Int): Column = {
-    require(first >= 0, s"first=$first must be >= 0")
-    require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
-    val bits = (0 until nBits).map { i =>
-      val proj = graft.plans.ArrayDot(v, hyperplane(first + i, dim))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+    * five-bit calls, one per band).
+    *
+    * One codegen expression (plans/HyperplaneSig), bit-identical to
+    * the ArrayDot-vs-literal-plane composition it replaces — which put
+    * nBits × dim literal doubles in the plan (a 20-band signature was
+    * ~6,400 literals / a 270 KB plan string re-optimized per run, and
+    * overflowed whole-stage codegen into interpreted eval). */
+  def hyperplaneSigPreAt(v: Column, first: Int, nBits: Int, dim: Int): Column =
+    graft.plans.HyperplaneSig(v, first, nBits, dim)
 }

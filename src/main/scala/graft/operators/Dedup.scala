@@ -529,28 +529,26 @@ object Dedup {
     // FIRST-COLLISION dedup instead of a global distinct: a pair
     // colliding in k bands would surface k times from the bucket join;
     // emitting it only from the EARLIEST band that (a) has agreeing
-    // values and (b) SURVIVED the bucket cap (a pure codegen predicate
-    // over the two band-value arrays + the survived mask riding the
-    // join) makes every candidate unique by construction — the
-    // candidate-set shuffle that a distinct would cost simply never
-    // exists. The survived bit matters: without it, a pair whose
-    // earliest agreeing band was degenerate-capped would be dropped
-    // outright instead of re-emitted by a later surviving band — a
-    // recall hole the cap was never meant to open. Agreeing values put
-    // both docs in the SAME bucket, so one side's mask bit decides.
-    // bands = 1 has no earlier band to collide in — guard the reduce
-    val earlierEq =
-      if (bands == 1) lit(false)
-      else (0 until bands - 1).map { bp =>
-        col("band") > bp &&
-          (element_at(col("a_vals"), bp + 1) === element_at(col("b_vals"), bp + 1)) &&
-          (shiftrightunsigned(col("a_mask"), bp).bitwiseAND(lit(1L)) === 1L)
-      }.reduce(_ || _)
+    // values and (b) SURVIVED the bucket cap makes every candidate
+    // unique by construction — the candidate-set shuffle that a
+    // distinct would cost simply never exists. The survived bit
+    // matters: without it, a pair whose earliest agreeing band was
+    // degenerate-capped would be dropped outright instead of
+    // re-emitted by a later surviving band — a recall hole the cap was
+    // never meant to open. Agreeing values put both docs in the SAME
+    // bucket, so one side's mask bit decides. The whole check is ONE
+    // codegen call (plans/FirstCollisionBand — earliest agreeing
+    // surviving band) compared to the joined band: the equivalent
+    // bands-1-disjunct Boolean tree, each term probing both value
+    // arrays, cost ~7 s interpreted over the ~10^6 matched bucket rows
+    // this join produces at a noise-floor threshold.
     val cand = bounded.select(col("band"), col("v"), col("__id").as("a_id"),
         col("vals").as("a_vals"), col("okMask").as("a_mask"))
       .join(bounded.select(col("band"), col("v"), col("__id").as("b_id"),
         col("vals").as("b_vals")), Seq("band", "v"))
-      .filter(col("a_id") < col("b_id") && !earlierEq)
+      .filter(col("a_id") < col("b_id") &&
+        col("band") === graft.plans.FirstCollisionBand(
+          col("a_vals"), col("b_vals"), col("a_mask")))
       .select("a_id", "b_id")
     cand
       .join(e.select(col("__id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")), "a_id")

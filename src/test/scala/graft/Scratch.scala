@@ -120,6 +120,91 @@ object Scratch {
       spark.stop(); return
     }
 
+    // dd_embedding_lsh stage dissection
+    if (sys.env.contains("SCRATCH_EMB")) {
+      import graft.operators.{Dedup, Par}
+      import graft.functions.VectorFunctions
+      val thr = queries.DedupQueries.CosineThreshold
+      def embBase = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("__id"),
+          VectorFunctions.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+      def sigs = {
+        val vals = array((0 until 20).map { b =>
+          VectorFunctions.hyperplaneSigPreAt(col("emb"), b * 5, 5, 64)
+        }: _*)
+        Par.spread(embBase.select(col("__id"), col("emb")))
+          .withColumn("vals", vals)
+          .select(col("__id"), posexplode(col("vals")).as(Seq("band", "v")))
+          .groupBy("band", "v").agg(count(lit(1)).as("n"))
+      }
+      def lshFull = Dedup.embeddingPairsLsh(embBase, "__id", "emb",
+        dim = 64, threshold = thr)
+      // stepwise replica of embeddingPairsLsh internals
+      import org.apache.spark.sql.expressions.Window
+      val (bands, rr, dimN, maxBucket) = (20, 5, 64, 1000L)
+      def e = embBase
+      def bandedF = {
+        val vals = array((0 until bands).map { b =>
+          VectorFunctions.hyperplaneSigPreAt(col("emb"), b * rr, rr, dimN)
+        }: _*)
+        Par.spread(e.select(col("__id"), col("emb")))
+          .withColumn("vals", vals)
+          .select(col("__id"), col("vals"),
+            posexplode(col("vals")).as(Seq("band", "v")))
+      }
+      def boundedF = bandedF
+        .withColumn("__ok", count(lit(1)).over(Window.partitionBy("band", "v")) <= maxBucket)
+        .withColumn("okMask",
+          sum(when(col("__ok"), expr("shiftleft(1L, cast(band as int))"))
+            .otherwise(lit(0L))).over(Window.partitionBy("__id")))
+        .filter(col("__ok")).drop("__ok")
+      def candF = {
+        val earlierEq = (0 until bands - 1).map { bp =>
+          col("band") > bp &&
+            (element_at(col("a_vals"), bp + 1) === element_at(col("b_vals"), bp + 1)) &&
+            (shiftrightunsigned(col("a_mask"), bp).bitwiseAND(lit(1L)) === 1L)
+        }.reduce(_ || _)
+        boundedF.select(col("band"), col("v"), col("__id").as("a_id"),
+            col("vals").as("a_vals"), col("okMask").as("a_mask"))
+          .join(boundedF.select(col("band"), col("v"), col("__id").as("b_id"),
+            col("vals").as("b_vals")), Seq("band", "v"))
+          .filter(col("a_id") < col("b_id") && !earlierEq)
+          .select("a_id", "b_id")
+      }
+      for (i <- 1 to 3) {
+        time(s"emb banded  r$i")(bandedF)
+        time(s"emb bounded r$i")(boundedF)
+        time(s"emb cand    r$i")(candF)
+        time(s"emb full    r$i")(lshFull)
+      }
+      println("SCRATCH emb cand rows=" + candF.count())
+      val full = lshFull
+      full.write.format("noop").mode("overwrite").save()
+      val psAnn = full.queryExecution.executedPlan.toString
+      println("SCRATCH emb codegen-spans=" + "WholeStageCodegen".r.findAllIn(psAnn).length +
+        " fallbacks=" + psAnn.split('\n').count(l => l.contains("Project") && !l.contains("codegen")))
+      println(psAnn.split('\n').take(60).mkString("\n"))
+      spark.stop(); return
+    }
+
+    // ANN plan cost: literal-plane expression tree vs execution
+    if (sys.env.contains("SCRATCH_ANN")) {
+      for (r <- 1 to 3; n <- Seq("dd_embedding_lsh", "ss_lsh_topk", "ss_ivf_topk")) {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        val ph = df.queryExecution.tracker.phases.map { case (p, s) =>
+          s"$p=${s.endTimeMs - s.startTimeMs}" }.mkString(" ")
+        println(f"SCRATCH ann[$n%-18s] r$r build=${(t1 - t0) / 1e6}%6.1f plan=${(t2 - t1) / 1e6}%6.1f exec=${(t3 - t2) / 1e6}%7.1f ms  $ph")
+      }
+      spark.stop(); return
+    }
+
     // construction cost: where do 400-600 ms of DataFrame building go?
     if (sys.env.contains("SCRATCH_CONS")) {
       def t[A](tag: String)(f: => A): A = {
