@@ -42,6 +42,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // The generated-class cache defaults to 100 entries; an engine
+      // serving a ~100-query registry (each plan several codegen units)
+      // evicts the whole working set every cycle and re-pays janino
+      // compilation (~20-100 ms/unit) on every execution of every
+      // query. Sized for the registry plus headroom — compiled classes
+      // are small; this is standard tuning for a diverse query mix.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // FileOutputCommitter v2 renames task output straight into the
       // destination at task commit instead of staging it for a second,
       // DRIVER-SEQUENTIAL rename pass at job commit. On the local-FS
