@@ -107,6 +107,85 @@ object Poller {
     |  ((pos - 1) % 3 + 1 = 3) OR (outcome = 'http_403') AS session_refresh,
     |  least(5.0 * power(2, pos - 1), 300.0) AS reconnect_delay_s
     |FROM f ORDER BY client_id, event_id""".stripMargin
+
+  /** The client's observability counters (reference
+    * websocket_client.py:183-190 `stats` + PositionCache
+    * `tracked_count`:124-125) as a per-client aggregate over the same
+    * poll-outcome log [[lifecycle]] reads:
+    *
+    *  - message_count / position_count / error_count: every handled
+    *    message, the subset parsed into positions (outcome ok), and the
+    *    handled errors.
+    *  - connection_count: the initial connect plus one reconnect per
+    *    session refresh ([[lifecycle]]'s threshold-or-403 rule).
+    *  - tracked_count: the dedup cache's size at end-of-log — distinct
+    *    position timestamps admitted within the trailing `ttl` window
+    *    (PositionCache keys on (vehicle, timestamp); a client's stream
+    *    carries its own vehicle, so the key within a client is the
+    *    timestamp).
+    *
+    * Plan shape: ONE hash exchange on client_id. The two ordered
+    * windows reuse [[lifecycle]]'s (partition, order) spec, the
+    * partition-only max rides the same sort (client_id prefix), and the
+    * final groupBy keys on the exchange's own partitioning — at 100 TB
+    * this is the lifecycle exchange plus a map-side-combined agg, no
+    * second shuffle. */
+  def stats(events: DataFrame, ttlUs: Long = 60L * 1000 * 1000): DataFrame = {
+    val wOrd = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("client_id")
+    val isFail = col("outcome") =!= "ok"
+    events
+      .withColumn("fails_so_far", sum(when(isFail, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("fails_at_ok", max(when(!isFail, col("fails_so_far"))).over(wOrd))
+      .withColumn("max_ts_us", max(col("ts_us")).over(wAll))
+      .withColumn("pos",
+        when(isFail, col("fails_so_far") - coalesce(col("fails_at_ok"), lit(0L))))
+      .withColumn("refresh",
+        isFail && (((col("pos") - 1) % 3 + 1 === 3) || col("outcome") === "http_403"))
+      .groupBy("client_id").agg(
+        count(lit(1)).as("message_count"),
+        count(when(!isFail, 1)).as("position_count"),
+        count(when(isFail, 1)).as("error_count"),
+        (count(when(col("refresh"), 1)) + 1).as("connection_count"),
+        countDistinct(when(!isFail && col("ts_us") > col("max_ts_us") - ttlUs,
+          col("ts_us"))).as("tracked_count"))
+  }
+
+  /** DuckDB mirror of [[stats]] + [[outcomeCol]] over the events table. */
+  val statsSql: String = """
+    |WITH p AS (
+    |  SELECT user_id AS client_id, event_id, epoch_us(ts) AS tus,
+    |    CASE WHEN event_type = 'error'
+    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403' ELSE 'fail' END
+    |         ELSE 'ok' END AS outcome
+    |  FROM events),
+    |r AS (
+    |  SELECT *, sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END)
+    |      OVER (PARTITION BY client_id ORDER BY tus, event_id
+    |            ROWS UNBOUNDED PRECEDING) AS ok_run,
+    |    max(tus) OVER (PARTITION BY client_id) AS max_tus
+    |  FROM p),
+    |f AS (
+    |  SELECT client_id, outcome, row_number()
+    |      OVER (PARTITION BY client_id, ok_run ORDER BY tus, event_id) AS pos
+    |  FROM r WHERE outcome <> 'ok'),
+    |s AS (
+    |  SELECT client_id,
+    |    count(*) AS message_count,
+    |    count(*) FILTER (WHERE outcome = 'ok') AS position_count,
+    |    count(*) FILTER (WHERE outcome <> 'ok') AS error_count,
+    |    count(DISTINCT CASE WHEN outcome = 'ok' AND tus > max_tus - 60000000
+    |                        THEN tus END) AS tracked_count
+    |  FROM r GROUP BY client_id),
+    |c AS (
+    |  SELECT client_id, count(*) FILTER
+    |      (WHERE ((pos - 1) % 3 + 1 = 3) OR outcome = 'http_403') AS refreshes
+    |  FROM f GROUP BY client_id)
+    |SELECT s.client_id, message_count, position_count, error_count,
+    |  1 + coalesce(refreshes, 0) AS connection_count, tracked_count
+    |FROM s LEFT JOIN c USING (client_id)
+    |ORDER BY client_id""".stripMargin
 }
 
 /** The same lifecycle as LITERAL streaming state — one PollState per

@@ -608,6 +608,23 @@ object IngestQueries {
 
   val ingPollLifecycleSql: String = graft.operators.Poller.lifecycleSql
 
+  // ---- ing_poll_stats ------------------------------------------------------
+
+  /** The ws client's observability counters (stats() + the dedup
+    * cache's tracked_count — kpt/poller/websocket_client.py:183-190,
+    * 124-125) per client, from the same poll-outcome log as
+    * [[ingPollLifecycle]]; see [[graft.operators.Poller.stats]] for the
+    * counter semantics and the one-exchange plan shape. */
+  def ingPollStats(s: SparkSession, dir: String): DataFrame = {
+    val polls = events(s, dir)
+      .select(col("user_id").as("client_id"), col("event_id"),
+        expr(PositionView.TsUsSql).as("ts_us"),
+        graft.operators.Poller.outcomeCol.as("outcome"))
+    graft.operators.Poller.stats(polls).orderBy("client_id")
+  }
+
+  val ingPollStatsSql: String = graft.operators.Poller.statsSql
+
   // ---- ing_compact_zone ----------------------------------------------------
 
   /** Landing-zone COMPACTION round-trip: positions land date-rotated at
@@ -653,6 +670,7 @@ object IngestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_poll_lifecycle" -> (ingPollLifecycle _),
+    "ing_poll_stats" -> (ingPollStats _),
     "ing_json_props" -> (ingJsonProps _),
     "ing_csv_positions" -> (ingCsvPositions _),
     "ing_socketio_parse" -> (ingSocketioParse _),
@@ -670,6 +688,7 @@ object IngestQueries {
 
   val oracles: Map[String, String] = Map(
     "ing_poll_lifecycle" -> ingPollLifecycleSql,
+    "ing_poll_stats" -> ingPollStatsSql,
     "ing_json_props" -> ingJsonPropsSql,
     "ing_csv_positions" -> ingCsvPositionsSql,
     "ing_socketio_parse" -> ingSocketioParseSql,

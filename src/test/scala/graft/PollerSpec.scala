@@ -49,6 +49,38 @@ class PollerSpec extends SparkSpec
       s"expected ONE client_id exchange feeding both window passes:\n$plan")
   }
 
+  test("stats: counters over the fixture log (websocket_client.py:183-190)") {
+    // 10 messages; 1 ok; 9 errors; refreshes at events 3, 4 (403), 6 →
+    // 1 initial connect + 3 reconnects; the single ok (ts 8000) is
+    // inside the 60 s TTL window ending at max ts 10000 → tracked 1
+    val got = Poller.stats(eventsDf).as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((1L, 10L, 1L, 9L, 4L, 1L)))
+  }
+
+  test("stats: tracked_count expires keys outside the TTL and dedups timestamps") {
+    // ok at ts 1000 is older than maxTs - 60 s → evicted; the two oks
+    // at ts 70e6 collapse to one tracked key (PositionCache keys on the
+    // timestamp within a client); the fail contributes no key
+    val df = Seq(
+      (1L, 9L, 1000L, "ok"), (2L, 9L, 70000000L, "ok"),
+      (3L, 9L, 70000000L, "ok"), (4L, 9L, 70000100L, "fail"))
+      .toDF("event_id", "client_id", "ts_us", "outcome")
+    val got = Poller.stats(df).as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((9L, 4L, 3L, 1L, 1L, 1L)))
+  }
+
+  test("stats is a single data shuffle: windows and aggs key on one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Poller.stats(eventsDf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size == 1,
+      s"expected ONE client_id exchange feeding windows + distinct agg:\n$plan")
+  }
+
   test("independent clients never share counter state") {
     val two = eventsDf.union(
       Seq((101L, 2L, 500L, "fail")).toDF("event_id", "client_id", "ts_us", "outcome"))
