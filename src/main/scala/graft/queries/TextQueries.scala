@@ -25,17 +25,26 @@ object TextQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     graft.operators.Par.spread(docs(s, dir).select("doc_id", "text"))
 
+  /** docsSpread for the per-doc scoring queries ordered by doc_id:
+    * range-exchange the narrow (doc_id, text) source up front and finish
+    * with sortWithinPartitions — an orderBy finish would re-execute the
+    * whole per-row tokenize/score stage in its range-boundary sampling
+    * job (see Par.spreadOrdered / IngestQueries.spreadEvOrdered). */
+  private def docsSpreadOrdered(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Par.spreadOrdered(
+      docs(s, dir).select("doc_id", "text"), col("doc_id"))
+
   /** Shared DuckDB token list expression (mirror of TextFunctions.tokens). */
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
 
   // ---- tx_token_count ----------------------------------------------------
 
   def txTokenCount(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir).select(
+    docsSpreadOrdered(s, dir).select(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   val txTokenCountSql: String = s"""
     |SELECT doc_id,
@@ -59,11 +68,11 @@ object TextQueries {
     * Hash-verified, so the tokenizer semantics — not just row counts —
     * are pinned. */
   def txBpeTokens(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir).select(
+    docsSpreadOrdered(s, dir).select(
       col("doc_id"),
       bpeTokenCount(col("text")).cast("long").as("n_pieces"),
       bpeSubwordCount(col("text")).as("n_bpe"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   val txBpeTokensSql: String = {
     val vocabVals = BpeVocab.map(v => s"('$v')").mkString(", ")
@@ -135,13 +144,13 @@ object TextQueries {
   // ---- tx_quality_score --------------------------------------------------
 
   def txQualityScore(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir).select(
+    docsSpreadOrdered(s, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       stopwordRatio(col("text")).as("stopword_ratio"),
       punctRatio(col("text")).as("punct_ratio"),
       meanTokenLen(col("text")).as("mean_token_len"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   val txQualityScoreSql: String = {
     val stops = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -161,10 +170,10 @@ object TextQueries {
   // ---- tx_lang_id --------------------------------------------------------
 
   def txLangId(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir).select(
+    docsSpreadOrdered(s, dir).select(
       col("doc_id"),
       langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** CASE-chain replica of the langId fold: the fold keeps the EARLIER
     * language on ties, so lang k wins only with a strict > over the max
@@ -189,10 +198,10 @@ object TextQueries {
   // ---- tx_fingerprint ----------------------------------------------------
 
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir).select(
+    docsSpreadOrdered(s, dir).select(
       col("doc_id"),
       fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   val txFingerprintSql: String = """
     |SELECT doc_id,
@@ -239,14 +248,14 @@ object TextQueries {
       (col("doc_id") * 577 % 10000).cast("string"),
       lit(" ip 10."), (col("doc_id") % 256).cast("string"),
       lit("."), (col("doc_id") * 7 % 256).cast("string"), lit(".1"))
-    docsSpread(s, dir)
+    docsSpreadOrdered(s, dir)
       .select(col("doc_id"), withPii.as("t"))
       .select(col("doc_id"),
         TextFunctions.piiCount(col("t"), TextFunctions.EmailRegex).as("n_emails"),
         TextFunctions.piiCount(col("t"), TextFunctions.PhoneRegex).as("n_phones"),
         TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Regex).as("n_ips"),
         TextFunctions.scrubPii(col("t")).as("scrubbed"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   val txPiiScrubSql: String = """
@@ -377,7 +386,7 @@ object TextQueries {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    docsSpread(s, dir)
+    docsSpreadOrdered(s, dir)
       .select(col("doc_id"),
         size(toksC).cast("long").as("n"),
         size(array_distinct(toksC)).cast("long").as("nd"),
@@ -390,7 +399,7 @@ object TextQueries {
         when(col("totb") === 0, lit(null).cast("double"))
           .otherwise(col("topc").cast("double") / col("totb"))
           .as("top_bigram_frac"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   val txRepetitionSql: String = s"""
@@ -424,10 +433,10 @@ object TextQueries {
       .when(langId(col("text")) =!= "en", "lang")
       .when(dupFrac > 0.3, "repetitive")
       .otherwise("keep")
-    docsSpread(s, dir)
+    docsSpreadOrdered(s, dir)
       .select(col("doc_id"), reason.as("reason"))
       .withColumn("keep", col("reason") === "keep")
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   val txQualityFilterSql: String = {

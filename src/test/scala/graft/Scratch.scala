@@ -251,6 +251,25 @@ object Scratch {
       spark.stop(); return
     }
 
+    // ta_speed_lag / ta_asof_weather: orderBy (range-sampling re-executes
+    // the window/probe result stage) vs sortWithinPartitions finish
+    if (sys.env.contains("SCRATCH_TA")) {
+      val d = sys.env.getOrElse("SCRATCH_TA_DIR", dir)
+      def lagOrd = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
+      def lagSwp = queries.TrafficQueries.taSpeedLagBody(spark, d)
+        .sortWithinPartitions("event_id")
+      def asofOrd = queries.TrafficQueries.queries("ta_asof_weather")(spark, d)
+      def asofSwp = queries.TrafficQueries.taAsofWeatherBody(spark, d)
+        .sortWithinPartitions("event_id")
+      for (i <- 1 to 4) {
+        time(s"lag ordBy r$i")(lagOrd)
+        time(s"lag swp   r$i")(lagSwp)
+        time(s"asof ordBy r$i")(asofOrd)
+        time(s"asof swp   r$i")(asofSwp)
+      }
+      spark.stop(); return
+    }
+
     // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
     import graft.operators.Dedup
     val t = queries.DedupQueries.JaccardThreshold

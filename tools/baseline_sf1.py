@@ -23,13 +23,17 @@ REPEATS = 5
 
 # the sf0.1 >2x set from the round-12 verdict's per-query audit, plus
 # the round-13 st_ttl_dedup (streaming state machinery over a 0.4 s
-# oracle — the same floor shape)
+# oracle — the same floor shape), plus the members of the round-13
+# closing window's >2x set (window noise moves which queries cross the
+# 0.1 s DuckDB cutoff, so the union of both windows' sets is defended)
 QUERIES = [
     "dd_exact", "tx_contamination", "dd_ngram_jaccard", "dd_incremental",
     "ss_brute_topk", "ing_csv_positions", "ing_corrupt_quarantine",
     "ing_base64_gps", "ing_binary_gps", "ing_jsonl_positions",
     "geo_geojson_roundtrip", "geo_osm_relation_parse", "geo_osm_xml_parse",
     "st_positions_parse", "st_ttl_dedup",
+    "ta_speed_lag", "ta_asof_weather", "st_session_window",
+    "geo_poly_concave", "geo_osm_way_parse",
 ]
 
 
