@@ -497,6 +497,11 @@ object Dedup {
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
     require(r <= 63, s"rows-per-band $r exceeds one long")
+    // the survived-band okMask (shiftleft(1L, band)) and
+    // FirstCollisionBand's (mask >>> j) index single-long bit
+    // positions — band indexes past 63 would silently wrap modulo 64
+    // and drop/duplicate candidate pairs
+    require(bands <= 64, s"bands=$bands exceeds the 64-bit band mask")
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))

@@ -46,11 +46,17 @@ case class PollAction(client_id: Long, event_id: Long, outcome: String,
 object Poller {
 
   /** Deterministic poll-outcome derivation from the events table:
-    * 'error' events are failed polls, a fifth of them expired-cookie
-    * 403s; everything else is a successful poll. */
+    * 'error' events are failed polls — a fifth of them expired-cookie
+    * 403s, a fifth soft SERVER errors (the reference treats HTTP
+    * 502/503/504 as a silent `return None`, session.py:60-66: the poll
+    * counts as a failure but NEVER refreshes the session by itself;
+    * only the consecutive-failure threshold can) — and everything else
+    * is a successful poll. */
   def outcomeCol: Column =
     when(col("event_type") === "error",
-      when(col("event_id") % 5 === 0, lit("http_403")).otherwise(lit("fail")))
+      when(col("event_id") % 5 === 0, lit("http_403"))
+        .when(col("event_id") % 5 === 1, lit("http_502"))
+        .otherwise(lit("fail")))
       .otherwise(lit("ok"))
 
   /** Batch lifecycle: per failed poll, the consecutive-failure count,
@@ -90,7 +96,9 @@ object Poller {
     |WITH p AS (
     |  SELECT user_id AS client_id, event_id, epoch_us(ts) AS tus,
     |    CASE WHEN event_type = 'error'
-    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403' ELSE 'fail' END
+    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403'
+    |                   WHEN event_id % 5 = 1 THEN 'http_502'
+    |                   ELSE 'fail' END
     |         ELSE 'ok' END AS outcome
     |  FROM events),
     |r AS (
@@ -130,7 +138,15 @@ object Poller {
     * final groupBy keys on the exchange's own partitioning — at 100 TB
     * this is the lifecycle exchange plus a map-side-combined agg, no
     * second shuffle. */
-  def stats(events: DataFrame, ttlUs: Long = 60L * 1000 * 1000): DataFrame = {
+  /** The reference cache's 60 s wall-clock TTL
+    * (websocket_client.py:98-122), day-scaled (x1440 = 24 h) for the
+    * synthetic stream whose per-client events arrive hours apart — the
+    * same convention as MiscQueries.TtlDedupUs and the session-gap
+    * constants. Without the scaling the trailing window holds ~0/1
+    * keys per client and the counter exercises no window logic. */
+  val StatsTtlUs: Long = 24L * 3600 * 1000000L
+
+  def stats(events: DataFrame, ttlUs: Long = StatsTtlUs): DataFrame = {
     val wOrd = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("client_id")
@@ -152,12 +168,15 @@ object Poller {
           col("ts_us"))).as("tracked_count"))
   }
 
-  /** DuckDB mirror of [[stats]] + [[outcomeCol]] over the events table. */
+  /** DuckDB mirror of [[stats]] + [[outcomeCol]] over the events table.
+    * The literal 86400000000 is [[StatsTtlUs]] — keep in sync. */
   val statsSql: String = """
     |WITH p AS (
     |  SELECT user_id AS client_id, event_id, epoch_us(ts) AS tus,
     |    CASE WHEN event_type = 'error'
-    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403' ELSE 'fail' END
+    |         THEN CASE WHEN event_id % 5 = 0 THEN 'http_403'
+    |                   WHEN event_id % 5 = 1 THEN 'http_502'
+    |                   ELSE 'fail' END
     |         ELSE 'ok' END AS outcome
     |  FROM events),
     |r AS (
@@ -175,7 +194,7 @@ object Poller {
     |    count(*) AS message_count,
     |    count(*) FILTER (WHERE outcome = 'ok') AS position_count,
     |    count(*) FILTER (WHERE outcome <> 'ok') AS error_count,
-    |    count(DISTINCT CASE WHEN outcome = 'ok' AND tus > max_tus - 60000000
+    |    count(DISTINCT CASE WHEN outcome = 'ok' AND tus > max_tus - 86400000000
     |                        THEN tus END) AS tracked_count
     |  FROM r GROUP BY client_id),
     |c AS (

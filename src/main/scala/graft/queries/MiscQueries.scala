@@ -171,7 +171,7 @@ object MiscQueries {
     // distributed, keep state partitions small
     StreamOps.runToParquet(s,
       graft.streaming.TtlDedup.admit(src, TtlDedupUs).toDF(),
-      "st_ttl_dedup", stateParts = Some(StreamOps.ReplayStateParts))
+      "st_ttl_dedup", stateParts = Some(StreamOps.replayStateParts(s)))
       .select("user_id", "event_type", "event_id", "ts_us")
       .orderBy("user_id", "event_type", "ts_us", "event_id")
   }
@@ -242,7 +242,7 @@ object MiscQueries {
     // instead of the driver-collecting memory sink; the state op keeps
     // the small state-partition count
     StreamOps.runToParquet(s, assigned, "st_sessionize",
-      stateParts = Some(StreamOps.ReplayStateParts))
+      stateParts = Some(StreamOps.replayStateParts(s)))
       .select("event_id", "user_id", "session_seq")
       .orderBy("event_id")
   }

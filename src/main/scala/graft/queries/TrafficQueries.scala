@@ -104,6 +104,32 @@ object TrafficQueries {
     |HAVING count(*) >= 10
     |ORDER BY route_id""".stripMargin
 
+  // ---- ta_speed_summary --------------------------------------------------
+
+  /** Corpus-wide one-row speed summary (visualize.py:140-144: the
+    * "Speed stats: N vehicles, M samples, avg/min/max" log line emitted
+    * before the per-route rankings). `n_vehicles` counts vehicles with
+    * at least one VALID consecutive pair — the reference's
+    * `len(speeds)` over a defaultdict appended only on valid pairs.
+    * Plan: the single speeds window exchange finishing in one global
+    * agg with map-side partials; the one-row result is the bounded
+    * deliverable. */
+  def taSpeedSummary(s: SparkSession, dir: String): DataFrame =
+    speeds(s, dir).agg(
+      countDistinct("vehicle_id").as("n_vehicles"),
+      count(lit(1)).as("n_samples"),
+      round(avg("speed_kmh"), 4).as("avg_speed_kmh"),
+      round(min("speed_kmh"), 6).as("min_speed_kmh"),
+      round(max("speed_kmh"), 6).as("max_speed_kmh"))
+
+  val taSpeedSummarySql: String = speedsCte + """
+    |SELECT count(DISTINCT vehicle_id) AS n_vehicles,
+    |  count(*) AS n_samples,
+    |  round(avg(speed_kmh), 4) AS avg_speed_kmh,
+    |  round(min(speed_kmh), 6) AS min_speed_kmh,
+    |  round(max(speed_kmh), 6) AS max_speed_kmh
+    |FROM speeds""".stripMargin
+
   // ---- ta_top_routes -----------------------------------------------------
 
   def taTopRoutes(s: SparkSession, dir: String): DataFrame =
@@ -616,6 +642,7 @@ object TrafficQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_speed_lag" -> (taSpeedLag _),
+    "ta_speed_summary" -> (taSpeedSummary _),
     "ta_route_stats" -> (taRouteStats _),
     "ta_top_routes" -> (taTopRoutes _),
     "ta_slowest_routes" -> (taSlowestRoutes _),
@@ -635,6 +662,7 @@ object TrafficQueries {
 
   val oracles: Map[String, String] = Map(
     "ta_speed_lag" -> taSpeedLagSql,
+    "ta_speed_summary" -> taSpeedSummarySql,
     "ta_route_stats" -> taRouteStatsSql,
     "ta_top_routes" -> taTopRoutesSql,
     "ta_slowest_routes" -> taSlowestRoutesSql,

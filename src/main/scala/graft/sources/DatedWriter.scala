@@ -115,19 +115,25 @@ object DatedWriter {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(parts, col("date_key"), salt)
       .write.partitionBy("date_key").mode("overwrite").parquet(staging.toString)
-    // swap: old zone aside, staging in, bookkeeping carried over
+    // bookkeeping rides INSIDE staging before the swap: copying it
+    // after the staging→root rename left a crash window where the
+    // originals sat only in the doomed __precompact tree (whose
+    // recovery path restores nothing once root exists) — a _SUCCESS
+    // or _commits entry could be permanently lost while data survived
+    book.foreach { p =>
+      Files.walk(p).iterator().asScala.foreach { q =>
+        val t = staging.resolve(root.relativize(q))
+        if (Files.isDirectory(q)) Files.createDirectories(t)
+        else Files.copy(q, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // swap: old zone aside, staging (data + bookkeeping) in
     val old = Paths.get(outDir + "__precompact")
     if (Files.exists(old))
       Files.walk(old).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
     Files.move(root, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
-    book.foreach { p =>
-      val moved = old.resolve(p.getFileName.toString)
-      if (Files.exists(moved))
-        Files.move(moved, root.resolve(p.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING)
-    }
     Files.walk(old).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.delete)
   }

@@ -193,9 +193,18 @@ object StreamOps {
     * 2 starts starving the stateful stages' parallelism). A production
     * unbounded feed sizes this to the executor fleet instead; it is a
     * deployment knob, not operator semantics (results are
-    * partitioning-independent, which the DuckDB-hash checks pin). */
-  val ReplayStateParts: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
+    * partitioning-independent, which the DuckDB-hash checks pin).
+    *
+    * Derived from the session's shuffle parallelism (parallelism/8,
+    * clamped to [2, 8]): at the default 32 that resolves to the probed
+    * optimum 4, a wider cluster session scales the state tasks with
+    * it, and the clamp keeps the finite-replay commit floor bounded
+    * (the probe showed both 2 and un-clamped counts losing). */
+  def replayStateParts(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(2, math.min(8, par / 8))
+    }
 
   /** Marker file naming a directory as a [[runToDated]] landing zone —
     * the only kind of directory its pre-replay clear may delete. */
@@ -484,24 +493,32 @@ object StreamOps {
     deleteRecursive(out)
     val ckpt = freshCheckpoint()
     val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    // a STATEFUL caller still wants the small state-partition count
-    // (per-partition store commits are the floor) — only the sink
-    // write itself is distributed either way
-    stateParts.foreach(p => s.conf.set(key, p.toString))
-    try {
-      val q = df.writeStream
-        .format("parquet")
-        .option("path", out.toString)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set(key, prev)
-      deleteRecursive(ckpt)
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    // set/run/restore under the session monitor: concurrent replay
+    // runs (Bench's warmup pool) interleaving their restores could
+    // capture another run's clamped value and leave the session at the
+    // state-partition count for everything after (ADVICE r13) — and a
+    // stateParts=None run must not read-restore at all, or it races
+    // the same way
+    s.synchronized {
+      val prev = s.conf.get(key)
+      // a STATEFUL caller still wants the small state-partition count
+      // (per-partition store commits are the floor) — only the sink
+      // write itself is distributed either way
+      stateParts.foreach(p => s.conf.set(key, p.toString))
+      try {
+        val q = df.writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        if (stateParts.nonEmpty) s.conf.set(key, prev)
+        deleteRecursive(ckpt)
+        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      }
     }
     // the sink wrote exactly df's columns — reading back with that
     // schema skips a fresh-dir footer inference per run
@@ -512,25 +529,30 @@ object StreamOps {
                   mode: String, noFlush: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = s.conf.get(key)
-    val prevFlush = s.conf.get(flushKey)
-    s.conf.set(key, ReplayStateParts.toString)
-    if (noFlush) s.conf.set(flushKey, "false")
-    val ckpt = freshCheckpoint()
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set(key, prev)
-      s.conf.set(flushKey, prevFlush)
-      deleteRecursive(ckpt)
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    // whole set/run/restore under the session monitor — see
+    // runToParquet's comment (interleaved restores capture another
+    // run's clamped value)
+    s.synchronized {
+      val prev = s.conf.get(key)
+      val prevFlush = s.conf.get(flushKey)
+      s.conf.set(key, replayStateParts(s).toString)
+      if (noFlush) s.conf.set(flushKey, "false")
+      val ckpt = freshCheckpoint()
+      try {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set(key, prev)
+        s.conf.set(flushKey, prevFlush)
+        deleteRecursive(ckpt)
+        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      }
     }
     s.table(name)
   }

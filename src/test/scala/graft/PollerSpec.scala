@@ -52,7 +52,7 @@ class PollerSpec extends SparkSpec
   test("stats: counters over the fixture log (websocket_client.py:183-190)") {
     // 10 messages; 1 ok; 9 errors; refreshes at events 3, 4 (403), 6 →
     // 1 initial connect + 3 reconnects; the single ok (ts 8000) is
-    // inside the 60 s TTL window ending at max ts 10000 → tracked 1
+    // inside the day-scaled TTL window ending at max ts 10000 → tracked 1
     val got = Poller.stats(eventsDf).as[(Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
     assert(got === Seq((1L, 10L, 1L, 9L, 4L, 1L)))
@@ -61,12 +61,16 @@ class PollerSpec extends SparkSpec
   test("stats: tracked_count expires keys outside the TTL and dedups timestamps") {
     // ok at ts 1000 is older than maxTs - 60 s → evicted; the two oks
     // at ts 70e6 collapse to one tracked key (PositionCache keys on the
-    // timestamp within a client); the fail contributes no key
+    // timestamp within a client); the fail contributes no key. The
+    // reference's literal 60 s TTL is passed explicitly — the engine
+    // DEFAULT is day-scaled (Poller.StatsTtlUs) for the synthetic
+    // stream; eviction semantics are identical at any ttl.
     val df = Seq(
       (1L, 9L, 1000L, "ok"), (2L, 9L, 70000000L, "ok"),
       (3L, 9L, 70000000L, "ok"), (4L, 9L, 70000100L, "fail"))
       .toDF("event_id", "client_id", "ts_us", "outcome")
-    val got = Poller.stats(df).as[(Long, Long, Long, Long, Long, Long)]
+    val got = Poller.stats(df, ttlUs = 60L * 1000 * 1000)
+      .as[(Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
     assert(got === Seq((9L, 4L, 3L, 1L, 1L, 1L)))
   }
@@ -79,6 +83,28 @@ class PollerSpec extends SparkSpec
     val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
     assert(shuffles.size == 1,
       s"expected ONE client_id exchange feeding windows + distinct agg:\n$plan")
+  }
+
+  test("5xx soft server errors count toward the threshold but never refresh alone") {
+    // session.py:60-66: 502/503/504 → return None (a failure with NO
+    // session refresh and no CookiesExpiredError); only the
+    // consecutive-failure threshold — which a pure 502-run CAN cross —
+    // or a 403 refreshes. Backoff keeps doubling across the
+    // threshold reset (delay resets only on success).
+    val df = Seq(
+      (1L, 3L, 1000L, "http_502"), (2L, 3L, 2000L, "http_502"),
+      (3L, 3L, 3000L, "http_502"), (4L, 3L, 4000L, "http_502"))
+      .toDF("event_id", "client_id", "ts_us", "outcome")
+    val want = Seq(
+      (1L, 1L, false, 5.0), (2L, 2L, false, 10.0),
+      (3L, 3L, true, 20.0), (4L, 1L, false, 40.0))
+    val got = Poller.lifecycle(df).orderBy("event_id")
+      .select("event_id", "consec_failures", "session_refresh", "reconnect_delay_s")
+      .as[(Long, Long, Boolean, Double)].collect().toSeq
+    assert(got === want)
+    val st = PollLifecycle.assign(df.as[PollEvent]).collect().toSeq.sortBy(_.event_id)
+      .map(a => (a.event_id, a.consec_failures, a.session_refresh, a.reconnect_delay_s))
+    assert(st === want)
   }
 
   test("independent clients never share counter state") {

@@ -26,7 +26,7 @@ object Scratch {
           col("right_id").as("purchase_id"))
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
-      spark.conf.set(key, StreamOps.ReplayStateParts.toString)
+      spark.conf.set(key, StreamOps.replayStateParts(spark).toString)
       val t0 = System.nanoTime()
       val ckpt = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "scratch-ckpt-")
@@ -253,6 +253,116 @@ object Scratch {
 
     // ta_speed_lag / ta_asof_weather: orderBy (range-sampling re-executes
     // the window/probe result stage) vs sortWithinPartitions finish
+    // round-14: st_session_window + ta_speed_lag sf1 dissection
+    if (sys.env.contains("SCRATCH_SW")) {
+      val d = sys.env.getOrElse("SCRATCH_SW_DIR", "/tmp/graft-sf1")
+      // ta_speed_lag component breakdown
+      def posScan = sources.PositionView.fromEvents(Tables.events(spark, d))
+      def lagOnly = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vehicle_id").orderBy("ts_us", "event_id")
+        posScan.withColumn("prev_ts_s", lag("ts_s", 1).over(w))
+          .filter(col("prev_ts_s").isNotNull)
+      }
+      def lagFull = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
+      // st_session_window variants
+      def swRun(parts: Int, localMerge: Boolean): DataFrame = {
+        val mk = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+        val pk = "spark.sql.shuffle.partitions"
+        val prevM = spark.conf.get(mk)
+        val prevP = spark.conf.get(pk)
+        spark.conf.set(mk, localMerge.toString)
+        try {
+          val agg = StreamOps.sessionCounts(StreamOps.eventsStream(spark, d), "30 minutes")
+          spark.conf.set(pk, parts.toString)
+          val name = s"scr_sw_${parts}_$localMerge"
+          val ckpt = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "scr-sw-")
+          val fk = "spark.sql.streaming.noDataMicroBatches.enabled"
+          spark.conf.set(fk, "false")
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          if (sys.env.contains("SCRATCH_SW_PROG")) q.recentProgress.foreach { p =>
+            println(s"  batch=${p.batchId} rows=${p.numInputRows} durationMs=" +
+              new java.util.TreeMap[String, java.lang.Long](p.durationMs) +
+              " stateOps=" + p.stateOperators.toSeq.map(so =>
+                s"rowsTotal=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+                s"commitMs=${so.commitTimeMs} customMetrics=${so.customMetrics}"))
+          }
+          spark.conf.set(fk, "true")
+          org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+          spark.table(name)
+            .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+              col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+              col("n_events"))
+            .orderBy("user_id", "sess_start")
+        } finally { spark.conf.set(mk, prevM); spark.conf.set(pk, prevP) }
+      }
+      // batch-mode session_window over the same rows: the state-free cost
+      def swBatch = {
+        val ev = Tables.events(spark, d)
+          .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
+        ev.groupBy(col("user_id"), session_window(col("ts_w"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+            col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+            col("n_events"))
+          .orderBy("user_id", "sess_start")
+      }
+      // slim pre-shuffle projection for the lag window: shuffle only
+      // (event_id, user_id, ts); derive lat/lon/ts post-exchange
+      def lagSlim = {
+        val slim = Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(col("user_id"))
+        val pos = sources.PositionView.fromEvents(slim
+          .withColumn("event_type", lit(null).cast("string"))
+          .withColumn("value", lit(null).cast("double")))
+        import graft.operators.SpeedOps
+        SpeedOps.speeds(pos, queries.TrafficQueries.SynthMaxGapS,
+          SpeedOps.MaxRealisticSpeedKmh)
+          .select(col("event_id"), col("vehicle_id"), col("route_id"), col("dt_s"),
+            round(col("dist_km"), 6).as("dist_km"),
+            round(col("speed_kmh"), 6).as("speed_kmh"))
+          .sortWithinPartitions("event_id")
+      }
+      def lagSlimNoSort = {
+        val slim = Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(col("user_id"))
+        val pos = sources.PositionView.fromEvents(slim
+          .withColumn("event_type", lit(null).cast("string"))
+          .withColumn("value", lit(null).cast("double")))
+        import graft.operators.SpeedOps
+        SpeedOps.speeds(pos, queries.TrafficQueries.SynthMaxGapS,
+          SpeedOps.MaxRealisticSpeedKmh)
+          .select(col("event_id"), col("vehicle_id"), col("route_id"), col("dt_s"),
+            round(col("dist_km"), 6).as("dist_km"),
+            round(col("speed_kmh"), 6).as("speed_kmh"))
+      }
+      val swOnly = sys.env.contains("SCRATCH_SW_PROG")
+      for (i <- 1 to 3) {
+        if (!swOnly) {
+          time(s"posScan r$i")(posScan)
+          time(s"lagOnly r$i")(lagOnly)
+          time(s"lagFull r$i")(lagFull)
+          time(s"lagSlim r$i")(lagSlim)
+          time(s"lagSlimNS r$i")(lagSlimNoSort)
+          time(s"swBatch r$i")(swBatch)
+        }
+        time(s"sw p4  lm=T r$i")(swRun(4, localMerge = true))
+        if (swOnly) time(s"sw p16 lm=T r$i")(swRun(16, localMerge = true))
+      }
+      // confirm lagSlim plan has exactly one exchange
+      val lp = lagSlim.queryExecution.executedPlan.toString
+      println("SCRATCH lagSlim exchanges=" + "Exchange".r.findAllIn(lp).length)
+      spark.stop(); return
+    }
+
     if (sys.env.contains("SCRATCH_TA")) {
       val d = sys.env.getOrElse("SCRATCH_TA_DIR", dir)
       def lagOrd = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
