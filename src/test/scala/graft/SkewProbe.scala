@@ -15,6 +15,23 @@ object SkewProbe {
     "ta_latest_per_vehicle", "ing_poll_lifecycle",
     "st_session_window", "st_ttl_dedup", "st_sessionize")
 
+  /** Connected components over a star edge set derived from the
+    * events table: src = user_id (the skewed key), dst = a distinct
+    * per-event vertex. A zipf-hot user becomes one giant star hub —
+    * diameter 2 (so round count stays fixed) while the hub's edges
+    * all hash to ONE partition of the pre-partitioned edge set: the
+    * pure hot-partition shape for the min-label join loop. */
+  private def ccStar(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir).select(
+      col("user_id").as("a"), (col("event_id") + 1000000000L).as("b"))
+    val verts = ev.select(col("a").as("vid")).distinct()
+      .union(ev.select(col("b").as("vid")))
+    graft.operators.Dedup.connectedComponents(verts, "vid", ev, "a", "b")
+      .groupBy("cluster_id").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val uni = args.headOption.getOrElse("/tmp/graft-sf1")
     val zipf = args.lift(1).getOrElse("/tmp/graft-sf1-zipf")
@@ -22,18 +39,20 @@ object SkewProbe {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
     val best = scala.collection.mutable.Map[(String, String), Double]()
+    val all = Families :+ "cc_star"
     for (r <- 1 to rounds; (tag, dir) <- Seq("uniform" -> uni, "zipf" -> zipf);
-         name <- Families) {
+         name <- all) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      val df = if (name == "cc_star") ccStar(spark, dir)
+        else SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"round $r $tag%-8s $name%-24s $dt%6.2f s")
       val k = (name, tag)
       best(k) = math.min(best.getOrElse(k, Double.MaxValue), dt)
     }
     println("\nPROBE name uniform_min zipf_min ratio")
-    Families.foreach { n =>
+    all.foreach { n =>
       val u = best((n, "uniform")); val z = best((n, "zipf"))
       println(f"PROBE $n%-24s $u%6.2f $z%6.2f ${z / u}%5.2f")
     }
