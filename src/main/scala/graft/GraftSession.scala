@@ -35,6 +35,28 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      // Scan-split size for the LOCAL harness: the fixtures are single
+      // files (tens of MB), so the 128 MB cluster default plans every
+      // scan as ONE split and serializes it on one of 32 cores — the
+      // sf1 lineitem (113 MB, 2 MB row groups via GenScale) scans
+      // 32-wide with this, single-threaded without it. A cluster
+      // deployment, whose files arrive in many 100 MB+ splits, raises
+      // this back to the standard default via the env override — like
+      // shufflePartitions, it is a deployment knob, not operator
+      // semantics.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (2L * 1024 * 1024).toString))
+      // AQE's coalesce floor (default 1 MB) serializes CPU-bound
+      // post-shuffle stages at this harness's data sizes: the slim
+      // per-vehicle lag window shuffles ~10 MB compressed at sf1 and
+      // was coalesced to a handful of tasks on a 32-core box (window
+      // sort + haversine are compute-bound, not IO-bound — measured
+      // 0.52 → 0.39 s on ta_speed_lag at sf1). On a cluster feed the
+      // shuffle dwarfs any floor and the knob is inert; like
+      // maxPartitionBytes above it scales with the harness, not the
+      // operators.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", (256L * 1024).toString))
       // managed (bucketed) tables land in scratch, not the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet

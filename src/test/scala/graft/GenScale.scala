@@ -55,7 +55,16 @@ object GenScale {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val out = (0 until copies).map(i => tr(base, i)).reduce(_ union _)
       val stage = s"$dst/_stage_$table"
-      out.coalesce(1).write.mode("overwrite").parquet(stage)
+      // ~2 MB row groups: a 100 TB table arrives as thousands of
+      // independently scannable splits; a coalesce(1) shard with one
+      // 113 MB row group (the old default) forced every sf1 scan —
+      // Spark's AND DuckDB's (it also parallelizes over row groups) —
+      // onto a single thread, understating both engines. Sized against
+      // GraftSession's matching files.maxPartitionBytes so the split
+      // estimate equals real row-group parallelism.
+      out.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (2L * 1024 * 1024).toString)
+        .parquet(stage)
       val part = Files.list(Paths.get(stage)).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file written for $table"))

@@ -266,14 +266,16 @@ object Scratch {
       }
       def lagFull = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
       // st_session_window variants
-      def swRun(parts: Int, localMerge: Boolean): DataFrame = {
+      def swRun(parts: Int, localMerge: Boolean, spread: Boolean = false): DataFrame = {
         val mk = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
         val pk = "spark.sql.shuffle.partitions"
         val prevM = spark.conf.get(mk)
         val prevP = spark.conf.get(pk)
         spark.conf.set(mk, localMerge.toString)
         try {
-          val agg = StreamOps.sessionCounts(StreamOps.eventsStream(spark, d), "30 minutes")
+          val src0 = StreamOps.eventsStream(spark, d)
+          val agg = StreamOps.sessionCounts(
+            if (spread) StreamOps.spreadStream(src0) else src0, "30 minutes")
           spark.conf.set(pk, parts.toString)
           val name = s"scr_sw_${parts}_$localMerge"
           val ckpt = java.nio.file.Files.createTempDirectory(
@@ -344,14 +346,28 @@ object Scratch {
             round(col("dist_km"), 6).as("dist_km"),
             round(col("speed_kmh"), 6).as("speed_kmh"))
       }
+      // old full-row window path, for A/B against the slim registry impl
+      def lagOld = {
+        import graft.operators.SpeedOps
+        SpeedOps.speeds(posScan, queries.TrafficQueries.SynthMaxGapS,
+          SpeedOps.MaxRealisticSpeedKmh)
+          .select(col("event_id"), col("vehicle_id"), col("route_id"), col("dt_s"),
+            round(col("dist_km"), 6).as("dist_km"),
+            round(col("speed_kmh"), 6).as("speed_kmh"))
+          .sortWithinPartitions("event_id")
+      }
+      def withConf(k: String, v: String)(f: => Unit): Unit = {
+        val prev = spark.conf.get(k)
+        spark.conf.set(k, v); try f finally spark.conf.set(k, prev)
+      }
+      val mps = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
       val swOnly = sys.env.contains("SCRATCH_SW_PROG")
-      for (i <- 1 to 3) {
+      for (i <- 1 to 4) {
         if (!swOnly) {
-          time(s"posScan r$i")(posScan)
-          time(s"lagOnly r$i")(lagOnly)
-          time(s"lagFull r$i")(lagFull)
-          time(s"lagSlim r$i")(lagSlim)
-          time(s"lagSlimNS r$i")(lagSlimNoSort)
+          time(s"lagOld r$i")(lagOld)
+          time(s"lagNew r$i")(lagFull)
+          withConf(mps, "262144") { time(s"lagNew mps256k r$i")(lagFull) }
+          withConf(mps, "262144") { time(s"lagOld mps256k r$i")(lagOld) }
           time(s"swBatch r$i")(swBatch)
         }
         time(s"sw p4  lm=T r$i")(swRun(4, localMerge = true))

@@ -113,4 +113,22 @@ class SpeedOpsSpec extends SparkSpec {
       assert(out.filter(col("filled") && col("sum_value_locf").isNotNull).count() > 0)
     } finally out.unpersist()
   }
+
+  test("speedsSlim: byte-identical to SpeedOps.speeds over PositionView (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val cols = Seq("event_id", "vehicle_id", "route_id", "dt_s", "dist_km", "speed_kmh")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+      df.select(cols.map(col): _*).collect().toSeq
+        .sortBy(r => (r.getLong(0), r.getLong(1)))
+    val slim = rows(graft.queries.TrafficQueries.speedsSlim(spark, dir))
+    val full = rows(SpeedOps.speeds(
+      graft.sources.PositionView.fromEvents(Tables.events(spark, dir)),
+      graft.queries.TrafficQueries.SynthMaxGapS, SpeedOps.MaxRealisticSpeedKmh))
+    assert(slim.nonEmpty, "sf0.01 must produce speed pairs")
+    // exact Double equality on every value: the slim path re-derives
+    // lat/lon/ts_s with the identical arithmetic, so any ulp drift here
+    // is a real divergence that would break the DuckDB hash gate
+    assert(slim === full)
+  }
 }
