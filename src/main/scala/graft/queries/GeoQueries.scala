@@ -17,7 +17,7 @@ object GeoQueries {
   /** Grid cell edge in degrees (~5.5 km at Kyiv latitudes). */
   val CellDeg = 0.05
 
-  private def pos(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pos(s: SparkSession, dir: String): DataFrame =
     PositionView.fromEvents(Tables.events(s, dir))
 
   // ---- geo_grid_density --------------------------------------------------
@@ -426,7 +426,7 @@ object GeoQueries {
       (30.45, 50.40), (30.35, 50.40), (30.35, 50.55), (30.25, 50.55)),
     2 -> Seq((30.60, 50.35), (30.78, 50.38), (30.75, 50.55), (30.62, 50.52)))
 
-  private def concavePolys(s: SparkSession): DataFrame = {
+  private[graft] def concavePolys(s: SparkSession): DataFrame = {
     import s.implicits._
     KyivConcave.toDF("poly_id", "ring")
       .select(col("poly_id"),

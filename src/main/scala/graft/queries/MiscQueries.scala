@@ -89,7 +89,8 @@ object MiscQueries {
   // ---- st_windowed_counts ------------------------------------------------
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.windowedCounts(StreamOps.eventsStream(s, dir))
+    val agg = StreamOps.windowedCounts(
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)))
     StreamOps.runToMemory(s, agg, "st_windowed_counts_sink", "complete",
       noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
@@ -109,7 +110,8 @@ object MiscQueries {
     * oracle expands the overlap explicitly — one row per event per
     * covering window start. */
   def stSlidingCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.slidingCounts(StreamOps.eventsStream(s, dir))
+    val agg = StreamOps.slidingCounts(
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)))
     StreamOps.runToMemory(s, agg, "st_sliding_counts_sink", "complete",
       noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("win_start"),
@@ -131,7 +133,8 @@ object MiscQueries {
   // ---- st_stream_dedup ---------------------------------------------------
 
   def stStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val dd = StreamOps.streamDedup(StreamOps.eventsStream(s, dir),
+    val dd = StreamOps.streamDedup(
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
       Seq("user_id", "event_type"))
       .select("user_id", "event_type")
     StreamOps.runToMemory(s, dd, "st_stream_dedup_sink", "append",
@@ -163,7 +166,7 @@ object MiscQueries {
     * just row-counted. */
   def stTtlDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = StreamOps.eventsStream(s, dir)
+    val src = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
       .as[graft.streaming.TtlEvent]
@@ -206,12 +209,12 @@ object MiscQueries {
     * transforms, so no watermark or state store is involved and the
     * identical code runs against a socket/Kafka source. */
   def stPositionsParse(s: SparkSession, dir: String): DataFrame = {
-    // spread the narrow source rows across the session parallelism
-    // INSIDE the stream: the micro-batch inherits the single-file
-    // backlog's one split, which would pin the whole parse on one core
-    val lines = StreamOps.spreadStream(
-      StreamOps.eventsStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts")))
+    // wide staged backlog: the micro-batch plans one scan task per
+    // file, so the parse runs at session parallelism WITHOUT the
+    // in-batch repartition the single-file source needed (spreadStream
+    // paid a full-row shuffle for the same effect)
+    val lines = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
+      .select(col("event_id"), col("user_id"), col("ts"))
       .select(col("event_id"),
         IngestQueries.positionEnvelopeLine.as("line"))
     val parsed = IngestQueries.positionEnvelopeProjection(
@@ -232,7 +235,7 @@ object MiscQueries {
     * (StatefulSession), verified against the batch window-SQL oracle. */
   def stSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = StreamOps.eventsStream(s, dir)
+    val ev = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
       .select(col("event_id"), col("user_id"),
         expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
       .as[graft.streaming.SessEvent]
@@ -413,9 +416,40 @@ object MiscQueries {
     * sessionization: lag + break-flag + running sum) matches row for
     * row, session bounds included. */
   def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.sessionCounts(StreamOps.eventsStream(s, dir), "30 minutes")
+    // wide staged source: the 1M-row scan+project feeding the session
+    // shuffle gets one task per file instead of the single backlog
+    // file's one split (probed at sf1: 2.36 -> 1.92 s)
+    val agg = StreamOps.sessionCounts(
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
+      "30 minutes")
     StreamOps.runToMemory(s, agg, "st_session_window_sink", "complete",
       noFlush = true)
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+        col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
+  /** The UNBOUNDED-feed shape of [[stSessionWindow]]: append-mode
+    * replay (each session emitted exactly once when the watermark
+    * closes it, landed in a distributed parquet sink) plus ONE final
+    * state-store read for the sessions still open when the backlog
+    * ran dry — StreamOps.runToParquetWithState. Complete-mode
+    * re-emission grows with batches × result size and a memory sink
+    * funnels every session through the driver; this path pays one
+    * output pass per session and never collects, which is the contract
+    * that survives a 100 TB/day feed. Same rows, same oracle hash as
+    * st_session_window (flushed ∪ open ≡ complete). */
+  def stSessionFinal(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.sessionCounts(
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
+      "30 minutes")
+    StreamOps.runToParquetWithState(s, agg, "st_session_final_sink",
+      open => open.select(
+        col("value.user_id").as("user_id"),
+        col("value.session_window").as("session_window"),
+        col("value.count").as("n_events")))
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("sess_start"),
         col("session_window.end").cast("timestamp_ntz").as("sess_end"),
@@ -481,7 +515,7 @@ object MiscQueries {
     * the join state (see StreamOps.intervalJoin). */
   def stStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val joined = StreamOps.intervalJoin(
-      StreamOps.eventsStream(s, dir), "click", "purchase", "1 hour")
+      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)), "click", "purchase", "1 hour")
       .select(col("user_id"), col("left_id").as("click_id"),
         col("right_id").as("purchase_id"))
     StreamOps.runToMemory(s, joined, "st_stream_join_sink", "append",
@@ -576,6 +610,7 @@ object MiscQueries {
     "ag_approx_distinct" -> (agApproxDistinct _),
     "ag_approx_topk" -> (agApproxTopk _),
     "st_session_window" -> (stSessionWindow _),
+    "st_session_final" -> (stSessionFinal _),
     "st_dated_sink" -> (stDatedSink _),
     "st_recover_buffered" -> (stRecoverBuffered _),
     "q_skew_join" -> (qSkewJoin _),
@@ -596,6 +631,7 @@ object MiscQueries {
     "q_skew_join" -> qSkewJoinSql,
     "st_stream_join" -> stStreamJoinSql,
     "st_session_window" -> stSessionWindowSql,
+    "st_session_final" -> stSessionWindowSql,
     "mm_resize_plan" -> mmResizePlanSql,
     "mm_decode_features" -> mmDecodeFeaturesSql)
 }

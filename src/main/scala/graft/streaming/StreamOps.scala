@@ -72,7 +72,22 @@ object StreamOps {
     * batch boundaries then stay fixed across the failed run and its
     * recovery restart, exactly like the reference's buffer files
     * surviving a dropped session. */
-  def eventsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
+  def eventsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame =
+    eventsStreamStaged(s, dir, slices, filesPerTrigger = Some(1))
+
+  /** [[eventsStreamSliced]]'s N-file stage drained in ONE AvailableNow
+    * batch (no maxFilesPerTrigger): the batch's scan plans one task per
+    * file, so the decode+project feeding a stateful shuffle runs at
+    * N-way parallelism instead of inheriting the single backlog file's
+    * one split. The repartition alternative ([[spreadStream]]) pays an
+    * extra full-row shuffle INSIDE the batch; pre-splitting the backlog
+    * is free after the one-time stage — and is the shape a production
+    * landing zone already has (many files per date). */
+  def eventsStreamWide(s: SparkSession, dir: String, files: Int): DataFrame =
+    eventsStreamStaged(s, dir, files, filesPerTrigger = None)
+
+  private def eventsStreamStaged(s: SparkSession, dir: String, slices: Int,
+                                 filesPerTrigger: Option[Int]): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
     val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
@@ -89,9 +104,9 @@ object StreamOps {
     }
     val tsType = Tables.schemaOf(s, src.toString)
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
-    val raw = s.readStream.schema(eventsSchema(tsType))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
+    val rdr = s.readStream.schema(eventsSchema(tsType))
+    filesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n.toString))
+    val raw = rdr.parquet(stage.toString)
     tsType match {
       case TimestampNTZType | TimestampType =>
         raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
@@ -523,6 +538,69 @@ object StreamOps {
     // the sink wrote exactly df's columns — reading back with that
     // schema skips a fresh-dir footer inference per run
     s.read.schema(df.schema).parquet(out.toString)
+  }
+
+  /** File-count for [[eventsStreamWide]]'s stage, derived from the
+    * session's shuffle parallelism (half of it, clamped to [4, 32]):
+    * the stage exists to give the stateless scan+project side of a
+    * stateful replay real parallelism, so it scales with the session
+    * like any scan split count — while the STATE partitions stay at
+    * the small [[replayStateParts]] (near-empty store commits are the
+    * stateful stage's floor, a different trade). At the default 32
+    * that resolves to 16, the probed optimum at sf1 (2.36 → 1.92 s on
+    * st_session_window; one-file baseline runs the 1M-row decode on a
+    * single core). */
+  def wideReplayFiles(s: SparkSession): Int =
+    math.max(4, math.min(32,
+      s.conf.get("spark.sql.shuffle.partitions").toInt / 2))
+
+  /** APPEND-mode replay of a watermarked stateful aggregation to a
+    * distributed parquet sink, then ONE read of the query's final
+    * state store for the rows still held open when the backlog ran
+    * dry. This is the UNBOUNDED-scale contract for session windows:
+    * complete mode re-emits the whole aggregate every micro-batch
+    * (output grows with batches × result size — fine for a finite
+    * one-batch backlog drain, fatal for a 100 TB/day feed), while
+    * append emits each closed session exactly once as the watermark
+    * passes it, and end-of-feed accounting reads the surviving open
+    * sessions straight from the state store (the `statestore` batch
+    * data source over the retained checkpoint). flushed ∪ open is the
+    * COMPLETE result — pinned by the same DuckDB oracle hash as the
+    * complete-mode replay.
+    *
+    * `openProj` maps the state read's (key, value, partition_id) rows
+    * onto the aggregation's output schema. The checkpoint must outlive
+    * the returned (lazy) DataFrame, so it lives under a per-`name`
+    * root cleared at the START of the next run, like runToParquet's
+    * sink. */
+  def runToParquetWithState(s: SparkSession, df: DataFrame, name: String,
+                            openProj: DataFrame => DataFrame): DataFrame = {
+    val root = CheckpointRoot.resolve(s"sinkst-$name")
+    deleteRecursive(root)
+    val out = root.resolve("sink")
+    val ckpt = root.resolve("ckpt")
+    val key = "spark.sql.shuffle.partitions"
+    s.synchronized {
+      val prev = s.conf.get(key)
+      s.conf.set(key, replayStateParts(s).toString)
+      try {
+        val q = df.writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set(key, prev)
+        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      }
+    }
+    val flushed = s.read.schema(df.schema).parquet(out.toString)
+    val open = openProj(
+      s.read.format("statestore").option("path", ckpt.toString).load())
+    flushed.unionByName(open)
   }
 
   def runToMemory(s: SparkSession, df: DataFrame, name: String,

@@ -266,18 +266,20 @@ object Scratch {
       }
       def lagFull = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
       // st_session_window variants
-      def swRun(parts: Int, localMerge: Boolean, spread: Boolean = false): DataFrame = {
+      def swRun(parts: Int, localMerge: Boolean, spread: Boolean = false,
+                wide: Int = 0): DataFrame = {
         val mk = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
         val pk = "spark.sql.shuffle.partitions"
         val prevM = spark.conf.get(mk)
         val prevP = spark.conf.get(pk)
         spark.conf.set(mk, localMerge.toString)
         try {
-          val src0 = StreamOps.eventsStream(spark, d)
+          val src0 = if (wide > 0) StreamOps.eventsStreamWide(spark, d, wide)
+            else StreamOps.eventsStream(spark, d)
           val agg = StreamOps.sessionCounts(
             if (spread) StreamOps.spreadStream(src0) else src0, "30 minutes")
           spark.conf.set(pk, parts.toString)
-          val name = s"scr_sw_${parts}_$localMerge"
+          val name = s"scr_sw_${parts}_${localMerge}_w$wide"
           val ckpt = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get("/dev/shm"), "scr-sw-")
           val fk = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -371,11 +373,132 @@ object Scratch {
           time(s"swBatch r$i")(swBatch)
         }
         time(s"sw p4  lm=T r$i")(swRun(4, localMerge = true))
-        if (swOnly) time(s"sw p16 lm=T r$i")(swRun(16, localMerge = true))
+        if (swOnly) {
+          time(s"sw p4  wide16 r$i")(swRun(4, localMerge = true, wide = 16))
+          time(s"sw p8  wide16 r$i")(swRun(8, localMerge = true, wide = 16))
+          time(s"sw p4  spread r$i")(swRun(4, localMerge = true, spread = true))
+        }
       }
       // confirm lagSlim plan has exactly one exchange
       val lp = lagSlim.queryExecution.executedPlan.toString
       println("SCRATCH lagSlim exchanges=" + "Exchange".r.findAllIn(lp).length)
+      spark.stop(); return
+    }
+
+    // streaming-replay machinery floor: the cheapest possible stateless
+    // and stateful replays over the same backlog — the number the
+    // st_* family's sf1 rows are defended against
+    if (sys.env.contains("SCRATCH_STFLOOR")) {
+      val d = sys.env.getOrElse("SCRATCH_STFLOOR_DIR", "/tmp/graft-sf1")
+      def statelessMin = StreamOps.runToMemory(spark,
+        StreamOps.eventsStreamWide(spark, d, StreamOps.wideReplayFiles(spark))
+          .select(col("event_id")).filter(col("event_id") < 0),
+        "scr_floor_sl", "append", noFlush = true)
+      def statefulMin = StreamOps.runToMemory(spark,
+        StreamOps.eventsStreamWide(spark, d, StreamOps.wideReplayFiles(spark))
+          .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_w", "1 hour")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+        "scr_floor_sf", "complete", noFlush = true)
+      for (i <- 1 to 4) {
+        time(s"stateless-min r$i")(statelessMin)
+        time(s"stateful-min  r$i")(statefulMin)
+      }
+      spark.stop(); return
+    }
+
+    // session-window APPEND + final state-store read: flushed sessions
+    // land distributed; still-open sessions come from one state read
+    if (sys.env.contains("SCRATCH_SWAP")) {
+      val d = sys.env.getOrElse("SCRATCH_SWAP_DIR", "/tmp/graft-sf1")
+      def once(tag: String): Unit = {
+        val pk = "spark.sql.shuffle.partitions"
+        val prevP = spark.conf.get(pk)
+        val t0 = System.nanoTime()
+        val agg = StreamOps.sessionCounts(
+          StreamOps.eventsStreamWide(spark, d, 16), "30 minutes")
+        spark.conf.set(pk, "4")
+        val ckpt = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "scr-swap-")
+        val out = ckpt.resolve("sink")
+        try {
+          val q = agg.writeStream.format("parquet")
+            .option("path", out.toString)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt.resolve("ck").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          spark.conf.set(pk, prevP)
+          val t1 = System.nanoTime()
+          val flushed = spark.read.schema(agg.schema).parquet(out.toString)
+          val open = spark.read.format("statestore")
+            .option("path", ckpt.resolve("ck").toString).load()
+          if (tag == "r1") { open.printSchema(); open.show(3, truncate = false) }
+          val nf = flushed.count(); val no = open.count()
+          val t2 = System.nanoTime()
+          println(f"SCRATCH swap[$tag] stream=${(t1 - t0) / 1e9}%5.2f s " +
+            f"reads=${(t2 - t1) / 1e9}%5.2f s flushed=$nf open=$no")
+        } finally {
+          spark.conf.set(pk, prevP)
+          org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      for (i <- 1 to 4) once(s"r$i")
+      spark.stop(); return
+    }
+
+    // ta_speed_lag cost decomposition: where do the sf1 0.38 s go?
+    // (a) the PositionView scan+project alone, (b) + the vehicle_id
+    // shuffle with a partition sort but no window/haversine, (c) full
+    if (sys.env.contains("SCRATCH_TAFLOOR")) {
+      val d = sys.env.getOrElse("SCRATCH_TAFLOOR_DIR", "/tmp/graft-sf1")
+      def posOnly = queries.GeoQueries.pos(spark, d)
+        .select("event_id", "vehicle_id", "route_id", "lat", "lon",
+          "ts_us", "ts_s")
+      def shuffled = posOnly
+        .repartition(col("vehicle_id"))
+        .sortWithinPartitions("vehicle_id", "ts_us", "event_id")
+      def full = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)
+      for (i <- 1 to 4) {
+        time(s"ta scan+proj r$i")(posOnly)
+        time(s"ta +shuffle  r$i")(shuffled)
+        time(s"ta full lag  r$i")(full)
+      }
+      spark.stop(); return
+    }
+
+    // geo_poly_concave agg-shape A/B: direct multi-countDistinct
+    // (Expand x3 over every hit row) vs pre-collapsed distinct triple
+    if (sys.env.contains("SCRATCH_GPC")) {
+      val d = sys.env.getOrElse("SCRATCH_GPC_DIR", "/tmp/graft-sf1")
+      def hits = graft.operators.PolyJoin.containsJoin(
+        queries.GeoQueries.pos(spark, d), "lat", "lon",
+        queries.GeoQueries.concavePolys(spark), "poly_id", "verts",
+        cellDeg = queries.GeoQueries.CellDeg, convex = false)
+      def direct = hits
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("vehicle_id").as("n_vehicles"),
+          countDistinct("route_id").as("n_routes"))
+        .orderBy("poly_id")
+      def collapsed = hits
+        .groupBy("poly_id", "vehicle_id", "route_id")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("poly_id")
+        .agg(sum("cnt").as("n"),
+          countDistinct("vehicle_id").as("n_vehicles"),
+          countDistinct("route_id").as("n_routes"))
+        .orderBy("poly_id")
+      def joinOnly = hits.select(col("poly_id"), col("vehicle_id"))
+        .groupBy("poly_id").agg(count(lit(1)).as("n"))
+      for (i <- 1 to 4) {
+        time(s"gpc direct    r$i")(direct)
+        time(s"gpc collapsed r$i")(collapsed)
+        time(s"gpc joinOnly  r$i")(joinOnly)
+      }
       spark.stop(); return
     }
 

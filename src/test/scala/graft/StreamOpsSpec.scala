@@ -92,6 +92,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("append+state-read session final equals the complete-mode replay") {
+    // the unbounded-feed shape (each session flushed once by the
+    // watermark, open tail read from the state store) must be
+    // row-identical to the complete-mode emission — including the
+    // OPEN sessions, which only the state read can supply
+    val sf = "/root/testdata/sf0.001"
+    val complete = graft.queries.MiscQueries.stSessionWindow(spark, sf)
+      .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
+      .collect().toSeq
+    val fin = graft.queries.MiscQueries.stSessionFinal(spark, sf)
+      .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
+      .collect().toSeq
+    assert(complete.nonEmpty)
+    assert(fin === complete)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val tsUs = graft.sources.PositionView.TsUsSql
