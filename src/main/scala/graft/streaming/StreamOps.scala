@@ -102,6 +102,28 @@ object StreamOps {
       s.read.parquet(src.toString).repartitionByRange(slices, col("ts"))
         .write.mode("overwrite").parquet(stage.toString)
     }
+    // Deterministic TIME-ORDER drain: FileStreamSource picks unread
+    // files oldest-mtime-first, and the parallel range-partition write
+    // lands the slices with arbitrary (often tied) mtimes — a replay
+    // that processes a late range first advances the watermark past
+    // the earlier ranges and silently DROPS them as late data
+    // (measured: 235+245 of 500 rows dropped on a 4-slice sf0.001
+    // replay). Stamp mtimes ascending in range order (part index
+    // follows repartitionByRange's partition order) so the backlog
+    // drains the way a real landing zone fills: files appear as time
+    // passes. Re-asserted on every call — the stage dir is cached
+    // across sessions and pre-fix stages carry the racy mtimes.
+    {
+      import scala.jdk.CollectionConverters._
+      val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
+      val parts = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + (i + 1) * 2000L))
+      }
+    }
     val tsType = Tables.schemaOf(s, src.toString)
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val rdr = s.readStream.schema(eventsSchema(tsType))

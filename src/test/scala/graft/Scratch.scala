@@ -450,6 +450,42 @@ object Scratch {
       spark.stop(); return
     }
 
+    // multi-batch session-final divergence: which batch got which rows,
+    // and what the 4-batch replay drops vs the 1-batch one
+    if (sys.env.contains("SCRATCH_MB")) {
+      val d = sys.env.getOrElse("SCRATCH_MB_DIR", "/root/testdata/sf0.001")
+      val agg = StreamOps.sessionCounts(
+        StreamOps.eventsStreamSliced(spark, d, 4), "30 minutes")
+      val pk = "spark.sql.shuffle.partitions"
+      val prevP = spark.conf.get(pk)
+      spark.conf.set(pk, "4")
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "scr-mb-")
+      val q = agg.writeStream.format("parquet")
+        .option("path", ckpt.resolve("sink").toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.resolve("ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.conf.set(pk, prevP)
+      q.recentProgress.foreach { p =>
+        println(s"SCRATCH mb batch=${p.batchId} rows=${p.numInputRows} " +
+          s"watermark=${p.eventTime.get("watermark")} " +
+          s"maxEventTime=${p.eventTime.get("max")} dropped=" +
+          p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(","))
+      }
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      // file mtimes of the staged slices
+      val stageRoot = java.nio.file.Paths.get("/tmp/graft-stream")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stageRoot).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .filter(_.toString.contains("-x4"))
+        .foreach(p => println(s"SCRATCH mb file ${p.getFileName} mtime=" +
+          java.nio.file.Files.getLastModifiedTime(p)))
+      spark.stop(); return
+    }
+
     // ta_speed_lag cost decomposition: where do the sf1 0.38 s go?
     // (a) the PositionView scan+project alone, (b) + the vehicle_id
     // shuffle with a partition sort but no window/haversine, (c) full

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.{SessEvent, StatefulSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
@@ -106,6 +107,39 @@ class StreamOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(complete.nonEmpty)
     assert(fin === complete)
+  }
+
+  test("append+state-read session final is batch-boundary independent") {
+    // the SAME backlog drained in 4 time-ranged micro-batches must
+    // produce the identical flushed ∪ open set: sessions spanning a
+    // batch boundary merge in state, sessions closed by the advancing
+    // watermark flush mid-replay instead of at the end — the shape an
+    // unbounded feed actually runs
+    import graft.streaming.StreamOps
+    val sf = "/root/testdata/sf0.001"
+    def proj(open: DataFrame): DataFrame = open.select(
+      col("value.user_id").as("user_id"),
+      col("value.session_window").as("session_window"),
+      col("value.count").as("n_events"))
+    def shape(df: DataFrame) = df
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+        col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+      .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
+      .collect().toSeq
+    val oneBatch = shape(StreamOps.runToParquetWithState(spark,
+      StreamOps.sessionCounts(
+        StreamOps.eventsStreamWide(spark, sf, StreamOps.wideReplayFiles(spark)),
+        "30 minutes"),
+      "spec_sess_final_1b", proj))
+    val fourBatches = shape(StreamOps.runToParquetWithState(spark,
+      StreamOps.sessionCounts(
+        StreamOps.eventsStreamSliced(spark, sf, 4), "30 minutes"),
+      "spec_sess_final_4b", proj))
+    assert(oneBatch.nonEmpty)
+    assert(fourBatches === oneBatch)
   }
 
   test("stream-stream interval join equals the batch interval join") {
