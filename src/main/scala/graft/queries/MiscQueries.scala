@@ -146,6 +146,28 @@ object MiscQueries {
     |SELECT DISTINCT user_id, event_type
     |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  // ---- st_incremental_dedup ------------------------------------------------
+
+  /** CONTINUOUS exact dedup of an arriving corpus — the streaming shape
+    * of [[graft.operators.Dedup.exactGroups]]: documents replayed as a
+    * doc-id-ranged backlog (a crawl landing zone filling in acquisition
+    * order), a native streaming aggregation holding (content
+    * fingerprint → running doc count, minimum keeper id) in the state
+    * store, UPDATE-mode emission into a per-batch delta sink merged on
+    * read (StreamOps.runUpdateDeltas — each batch writes only the
+    * fingerprints it changed). State is O(distinct fingerprints), the
+    * cardinality ANY exact dedup must hold somewhere; count/min merges
+    * are commutative, so the final keep-list is batch-boundary
+    * independent and equals the batch dd_exact output — the identical
+    * DuckDB oracle pins both. */
+  def stIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamOps.documentsStreamSliced(s, dir, 4)
+      .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+    StreamOps.runUpdateDeltas(s, agg, "st_incr_dedup", Seq("fp"))
+      .orderBy("fp")
+  }
+
   // ---- st_ttl_dedup --------------------------------------------------------
 
   /** TTL day-scaled for the hours-apart synthetic stream: the
@@ -600,6 +622,7 @@ object MiscQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "st_windowed_counts" -> (stWindowedCounts _),
     "st_stream_dedup" -> (stStreamDedup _),
+    "st_incremental_dedup" -> (stIncrementalDedup _),
     "st_ttl_dedup" -> (stTtlDedup _),
     "st_sliding_counts" -> (stSlidingCounts _),
     "st_sessionize" -> (stSessionize _),
@@ -622,6 +645,7 @@ object MiscQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "st_windowed_counts" -> stWindowedCountsSql,
     "st_stream_dedup" -> stStreamDedupSql,
+    "st_incremental_dedup" -> graft.queries.DedupQueries.ddExactSql,
     "st_ttl_dedup" -> stTtlDedupSql,
     "st_sliding_counts" -> stSlidingCountsSql,
     "st_sessionize" -> stSessionizeSql,

@@ -106,11 +106,33 @@ object SimilarityQueries {
       Seq("q_id", "vec_id"))
       .orderBy("q_id", "rank")
 
+  /** STREAMING similarity serving: query vectors arrive as a
+    * vec-id-ranged backlog and each micro-batch is answered against the
+    * STATIC corpus with the exact bounded-heap top-k — the online shape
+    * of vector search, where the index is a pre-built artifact and a
+    * batch's cost is O(|batch| × corpus / partitions). foreachBatch
+    * runs the identical BATCH plan ssBruteTopK uses (broadcast query
+    * side, packed vectors, top_k_pairs partial aggregate), and each
+    * batch lands exactly-once in its own sink directory. A query's
+    * top-k depends only on the static corpus, so the drained union is
+    * slicing-independent and equals batch ss_brute_topk — the same
+    * DuckDB oracle pins it. */
+  def stAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val corpus = data(s, dir)
+    val qStream = graft.streaming.StreamOps.embeddingsStreamSliced(s, dir, 4)
+      .filter(col("vec_id") % 50 === 0)
+    graft.streaming.StreamOps.runBatchTransforms(s, qStream, "st_ann_serve") {
+      qb => Similarity.bruteTopK(corpus, qb, "vec_id", "embedding", K)
+    }.orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk" -> (ssBruteTopK _),
     "ss_lsh_topk" -> (ssLshTopK _),
-    "ss_ivf_topk" -> (ssIvfTopK _))
+    "ss_ivf_topk" -> (ssIvfTopK _),
+    "st_ann_serve" -> (stAnnServe _))
 
   val oracles: Map[String, String] = Map(
-    "ss_brute_topk" -> ssBruteTopKSql)
+    "ss_brute_topk" -> ssBruteTopKSql,
+    "st_ann_serve" -> ssBruteTopKSql)
 }

@@ -86,45 +86,56 @@ object StreamOps {
   def eventsStreamWide(s: SparkSession, dir: String, files: Int): DataFrame =
     eventsStreamStaged(s, dir, files, filesPerTrigger = None)
 
-  private def eventsStreamStaged(s: SparkSession, dir: String, slices: Int,
-                                 filesPerTrigger: Option[Int]): DataFrame = {
+  /** Stages `<dir>/<table>.parquet` as `slices` RANGE partitions on
+    * `sortCol` (staged once per (dir, table, slices) and reused, so
+    * batch boundaries stay fixed across a failed run and its recovery
+    * restart) and returns the stage path.
+    *
+    * RANGED slices, not round-robin: a real backlog drains in rough
+    * key order, so each micro-batch should touch one range's worth of
+    * values, not every value in the zone (a round-robin slice made
+    * every batch write all ~30 date partitions in the dated-sink
+    * replay; ranged slices cut the per-batch file count ~4x).
+    *
+    * Deterministic RANGE-ORDER drain: FileStreamSource picks unread
+    * files oldest-mtime-first, and the parallel range-partition write
+    * lands the slices with arbitrary (often tied) mtimes — a replay
+    * that processes a late time range first advances the watermark
+    * past the earlier ranges and silently DROPS them as late data
+    * (measured: 235+245 of 500 rows dropped on a 4-slice sf0.001
+    * session replay). Stamp mtimes ascending in range order (part
+    * index follows repartitionByRange's partition order) so the
+    * backlog drains the way a real landing zone fills: files appear
+    * as the sort key advances. Re-asserted on every call — the stage
+    * dir is cached across sessions and pre-fix stages carry the racy
+    * mtimes. */
+  private def stageSlices(s: SparkSession, dir: String, table: String,
+                          sortCol: String, slices: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val src = Paths.get(s"$dir/$table.parquet").toAbsolutePath
     val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
       Integer.toHexString(src.toString.hashCode)
-    val stage = Paths.get("/tmp/graft-stream", key, s"events-x$slices")
+    val stage = Paths.get("/tmp/graft-stream", key, s"$table-x$slices")
     if (!Files.exists(stage.resolve("_SUCCESS"))) {
-      // TIME-RANGED slices, not round-robin: a real backlog drains in
-      // rough time order, so each micro-batch should touch a time
-      // window's worth of dates, not every date in the zone (a
-      // round-robin slice made every batch write all ~30 date
-      // partitions; ranged slices cut the per-batch file count ~4x)
-      s.read.parquet(src.toString).repartitionByRange(slices, col("ts"))
+      s.read.parquet(src.toString).repartitionByRange(slices, col(sortCol))
         .write.mode("overwrite").parquet(stage.toString)
     }
-    // Deterministic TIME-ORDER drain: FileStreamSource picks unread
-    // files oldest-mtime-first, and the parallel range-partition write
-    // lands the slices with arbitrary (often tied) mtimes — a replay
-    // that processes a late range first advances the watermark past
-    // the earlier ranges and silently DROPS them as late data
-    // (measured: 235+245 of 500 rows dropped on a 4-slice sf0.001
-    // replay). Stamp mtimes ascending in range order (part index
-    // follows repartitionByRange's partition order) so the backlog
-    // drains the way a real landing zone fills: files appear as time
-    // passes. Re-asserted on every call — the stage dir is cached
-    // across sessions and pre-fix stages carry the racy mtimes.
-    {
-      import scala.jdk.CollectionConverters._
-      val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
-      val parts = Files.list(stage).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.sortBy(_.getFileName.toString)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + (i + 1) * 2000L))
-      }
+    import scala.jdk.CollectionConverters._
+    val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
+    val parts = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + (i + 1) * 2000L))
     }
-    val tsType = Tables.schemaOf(s, src.toString)
+    stage
+  }
+
+  private def eventsStreamStaged(s: SparkSession, dir: String, slices: Int,
+                                 filesPerTrigger: Option[Int]): DataFrame = {
+    val stage = stageSlices(s, dir, "events", "ts", slices)
+    val tsType = Tables.schemaOf(s, s"$dir/events.parquet")
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val rdr = s.readStream.schema(eventsSchema(tsType))
     filesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n.toString))
@@ -623,6 +634,117 @@ object StreamOps {
     val open = openProj(
       s.read.format("statestore").option("path", ckpt.toString).load())
     flushed.unionByName(open)
+  }
+
+  /** The documents table replayed as a doc-id-RANGED backlog, one file
+    * per micro-batch: the arriving-corpus harness for the streaming
+    * dedup operators — each batch is a contiguous id range, like a
+    * crawl landing zone filling in acquisition order. Same staged-slice
+    * machinery (and deterministic drain order) as the events replays. */
+  def documentsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
+    val stage = stageSlices(s, dir, "documents", "doc_id", slices)
+    val schema = StructType(Tables.schemaOf(s, s"$dir/documents.parquet"))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+  }
+
+  /** UPDATE-mode replay of an (un-windowed) stateful aggregation into
+    * a CDC-style DELTA sink, merged on read.
+    *
+    * Each micro-batch appends ONLY the aggregate rows it changed,
+    * stamped with the batch id, under a deterministic per-batch path —
+    * foreachBatch is at-least-once, so a recovered batch overwrites
+    * its own directory instead of duplicating (the st_recover_buffered
+    * commit discipline). The merged view — latest batch's row per key —
+    * IS the running aggregate, materialized by merge-on-read instead
+    * of rewriting the artifact per batch: a batch's write cost is
+    * O(keys changed in the batch), never O(all keys), which is what
+    * lets a continuous corpus maintain its keep-list incrementally at
+    * 100 TB (a production delta sink compacts periodically; the
+    * merge-on-read window here is that compaction, paid once at read
+    * time). Complete mode would re-emit every key every batch; append
+    * mode never re-emits an updated aggregate at all — update is the
+    * only output mode whose emission volume tracks the CHANGE stream.
+    *
+    * The final merged result is batch-boundary independent whenever
+    * the aggregate's merge is commutative (counts, min/max, sums) —
+    * the state store applies the same merge regardless of how the
+    * backlog was sliced; the spec pins 1-slice ≡ 4-slice. */
+  def runUpdateDeltas(s: SparkSession, df: DataFrame, name: String,
+                      keyCols: Seq[String]): DataFrame = {
+    val root = CheckpointRoot.resolve(s"delta-$name")
+    deleteRecursive(root)
+    val ckpt = root.resolve("ckpt")
+    val key = "spark.sql.shuffle.partitions"
+    s.synchronized {
+      val prev = s.conf.get(key)
+      s.conf.set(key, replayStateParts(s).toString)
+      try {
+        val q = df.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            b.withColumn("__batch", lit(id))
+              .write.mode("overwrite")
+              .parquet(root.resolve(f"delta-b$id%05d").toString)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set(key, prev)
+        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      }
+    }
+    val deltas = s.read.schema(df.schema.add("__batch", LongType))
+      .parquet(root.resolve("delta-b*").toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
+    deltas.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__batch")
+  }
+
+  /** The embeddings table replayed as a vec-id-RANGED backlog, one
+    * file per micro-batch — the arriving-queries harness for streaming
+    * similarity serving. */
+  def embeddingsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
+    val stage = stageSlices(s, dir, "embeddings", "vec_id", slices)
+    val schema = StructType(Tables.schemaOf(s, s"$dir/embeddings.parquet"))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+  }
+
+  /** Replays a STATELESS stream and lands `f(batch)` as per-batch
+    * parquet deltas (deterministic per-batch dirs — foreachBatch is
+    * at-least-once, so a recovered batch overwrites its own directory
+    * instead of duplicating), returning the drained union read back.
+    *
+    * The per-batch transform runs as a full BATCH plan — broadcast
+    * joins against static artifacts, bounded-heap partial aggregates,
+    * anything the batch engine can express — which is the foreachBatch
+    * SERVING pattern: operators whose semantics are per-arriving-batch
+    * against static state (an ANN index, a dimension snapshot) rather
+    * than cross-batch streaming state. No state store runs, so the
+    * shuffle-partition clamp is skipped and `f`'s plan keeps the
+    * session parallelism. */
+  def runBatchTransforms(s: SparkSession, df: DataFrame, name: String)
+                        (f: DataFrame => DataFrame): DataFrame = {
+    val root = CheckpointRoot.resolve(s"fb-$name")
+    deleteRecursive(root)
+    val ckpt = root.resolve("ckpt")
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        f(b).write.mode("overwrite")
+          .parquet(root.resolve(f"out-b$id%05d").toString)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(root.resolve("out-b*").toString)
   }
 
   def runToMemory(s: SparkSession, df: DataFrame, name: String,

@@ -142,6 +142,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(fourBatches === oneBatch)
   }
 
+  test("streaming incremental dedup equals batch exact dedup, any slicing") {
+    import graft.streaming.StreamOps
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.DedupQueries.ddExact(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // registered shape: 4 doc-id-ranged batches through the update
+    // delta sink (several fingerprints get updated across batches)
+    val streamed = graft.queries.MiscQueries.stIncrementalDedup(spark, sf)
+      .select("fp", "n_docs", "keep_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // degenerate slicing: the whole corpus in ONE batch must merge to
+    // the identical keep-list (batch-boundary independence)
+    val oneSlice = StreamOps.runUpdateDeltas(spark,
+      StreamOps.documentsStreamSliced(spark, sf, 1)
+        .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id")),
+      "spec_incr_1b", Seq("fp"))
+      .orderBy("fp")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+    assert(oneSlice === batch)
+  }
+
+  test("streaming ANN serving equals the batch brute-force top-k") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.SimilarityQueries.ssBruteTopK(spark, sf)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val served = graft.queries.SimilarityQueries.stAnnServe(spark, sf)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(served === batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val tsUs = graft.sources.PositionView.TsUsSql
