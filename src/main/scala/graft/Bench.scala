@@ -7,6 +7,9 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // BEFORE the first action: the global codegen class cache sizes
+    // itself on first class-load (see GraftSession.pinCodegenCache)
+    GraftSession.pinCodegenCache(spark)
     // warm codegen/scheduler/parquet-reader paths so the first measured
     // query is not charged for session startup (~5 s otherwise)
     try {

@@ -97,8 +97,35 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    pinCodegenCache(spark)
     spark
   }
+
+  /** JVM-once: forces `codegen.CodeGenerator`'s static initializer to
+    * run while THIS session's conf is what `SQLConf.get` resolves, so
+    * the GLOBAL generated-class cache is built at the session's
+    * `spark.sql.codegen.cache.maxEntries` (5000, sized for the
+    * registry) instead of the 100-entry default.
+    *
+    * The cache size is read exactly ONCE, in the object's static init
+    * (verified in the Spark 4.1 bytecode: `SQLConf.get
+    * .codegenCacheMaxEntries` inside `CodeGenerator$.<clinit>`). If the
+    * class happens to first load on a thread where no session conf is
+    * visible — a race decided by warmup concurrency, observed flipping
+    * BISTABLY across identical full-suite benches — the cache is 100
+    * entries for the JVM's lifetime and the ~100-query registry evicts
+    * its compiled classes every pass: every query re-pays janino,
+    * ~+0.4 s each, +14 s on the suite (the round-13 thrash, back as a
+    * heisenbug). Pinning the init deterministically closes it. */
+  private val codegenCachePinned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def pinCodegenCache(spark: SparkSession): Unit =
+    if (codegenCachePinned.compareAndSet(false, true)) {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      // any class-load of the object runs its static initializer
+      Class.forName(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$")
+      ()
+    }
 
   /** Idempotently equips an EXISTING session (one not built via
     * [[builder]], so without `spark.sql.extensions=graft.GraftExtensions`)
@@ -109,6 +136,7 @@ object GraftSession {
     * SparkEntry on every query dispatch; a GraftSession-built session
     * short-circuits on the functionExists probe. */
   def ensureFunctions(spark: SparkSession): SparkSession = {
+    pinCodegenCache(spark)
     if (!spark.catalog.functionExists("array_dot")) {
       GraftExtensions.functions.foreach { case (id, info, b) =>
         org.apache.spark.sql.GraftRegistryBridge.register(spark, id, info, b)

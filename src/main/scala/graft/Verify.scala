@@ -13,6 +13,7 @@ object Verify {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.pinCodegenCache(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (unset = all,
     // which is what the driver runs)

@@ -33,6 +33,7 @@ QUERIES = [
     "geo_geojson_roundtrip", "geo_osm_relation_parse", "geo_osm_xml_parse",
     "st_positions_parse", "st_ttl_dedup",
     "ta_speed_lag", "ta_asof_weather", "st_session_window",
+    "st_session_final",
     "geo_poly_concave", "geo_osm_way_parse",
 ]
 
