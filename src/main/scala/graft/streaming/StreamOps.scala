@@ -109,33 +109,67 @@ object StreamOps {
     * as the sort key advances. Re-asserted on every call — the stage
     * dir is cached across sessions and pre-fix stages carry the racy
     * mtimes. */
+  /** One lock object per stage path: [[stageSlices]] is hit by Bench's
+    * concurrent warmup pool, and two threads both missing _SUCCESS
+    * would run overlapping write.mode(overwrite) jobs into the same
+    * directory — one job's overwrite can delete the other's in-flight
+    * files and leave a mixed-but-stamped stage that later measured runs
+    * replay. The write additionally lands in a temp sibling and renames
+    * into place atomically, so even a cross-process race (or a crashed
+    * writer) can never publish a partial stage under _SUCCESS. */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def stageSlices(s: SparkSession, dir: String, table: String,
                           sortCol: String, slices: Int): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/$table.parquet").toAbsolutePath
     val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
       Integer.toHexString(src.toString.hashCode)
     val stage = Paths.get("/tmp/graft-stream", key, s"$table-x$slices")
-    if (!Files.exists(stage.resolve("_SUCCESS"))) {
-      s.read.parquet(src.toString).repartitionByRange(slices, col(sortCol))
-        .write.mode("overwrite").parquet(stage.toString)
-    }
-    import scala.jdk.CollectionConverters._
-    val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
-    val parts = Files.list(stage).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
-    val mtimes = parts.map(Files.getLastModifiedTime(_).toMillis)
-    // skip the stamping syscalls when a prior call already ordered the
-    // stage (idempotent values) — the check costs the reads just done
-    val ordered = mtimes.zipWithIndex.forall { case (m, i) =>
-      m == t0 + (i + 1) * 2000L
-    }
-    if (!ordered) parts.zipWithIndex.foreach { case (p, i) =>
-      Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + (i + 1) * 2000L))
+    val lock = stageLocks.computeIfAbsent(stage.toString, _ => new Object)
+    lock.synchronized {
+      if (!Files.exists(stage.resolve("_SUCCESS"))) {
+        val tmp = stage.resolveSibling(
+          stage.getFileName.toString + ".tmp-" +
+            java.lang.Long.toHexString(System.nanoTime()))
+        s.read.parquet(src.toString).repartitionByRange(slices, col(sortCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // re-check after the write: a concurrent PROCESS may have
+        // published the stage while this one wrote its temp copy — the
+        // loser discards its attempt rather than clobbering the winner
+        if (!Files.exists(stage.resolve("_SUCCESS"))) {
+          deleteRecursive(stage) // stale partial dir from a crashed writer
+          try Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        if (Files.exists(tmp)) deleteRecursive(tmp)
+      }
+      val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
+      val parts = listDir(stage)
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+      val mtimes = parts.map(Files.getLastModifiedTime(_).toMillis)
+      // skip the stamping syscalls when a prior call already ordered the
+      // stage (idempotent values) — the check costs the reads just done
+      val ordered = mtimes.zipWithIndex.forall { case (m, i) =>
+        m == t0 + (i + 1) * 2000L
+      }
+      if (!ordered) parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + (i + 1) * 2000L))
+      }
     }
     stage
+  }
+
+  /** Directory listing that CLOSES the underlying stream — a bare
+    * Files.list leaks its open directory handle until GC, and the
+    * replay harness lists stages dozens of times per bench round. */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
   }
 
   private def eventsStreamStaged(s: SparkSession, dir: String, slices: Int,
@@ -260,21 +294,6 @@ object StreamOps {
       math.max(2, math.min(8, par / 8))
     }
 
-  /** Serializes the replay harness's set/run/restore of session confs
-    * (state partitions, no-data flush) across concurrent replay runs —
-    * the ADVICE-r13 race where interleaved restores could leave another
-    * run's clamped partition count on the session.
-    *
-    * A DEDICATED lock object, deliberately NOT the SparkSession
-    * instance: Spark's own code synchronizes on the session, and
-    * holding the session monitor across a replay's awaitTermination
-    * measured as a ~+0.4 s tax on EVERY query of the full-suite bench
-    * — including pure-batch queries that never touch streaming — for a
-    * 42.8 → 56.6 s suite total (bisected to exactly this wrapper; a
-    * monitor contended once by the warmup pool stays inflated, and
-    * every Spark-internal synchronized(session) afterwards pays the
-    * fat-lock path). The dedicated lock keeps the replay-vs-replay
-    * mutual exclusion, which is all the race needs. */
   /** Guards the replay harness's set/run/restore of the two session
     * confs every replay touches (state shuffle partitions, no-data
     * flush) against CONCURRENT replay runs — the ADVICE-r13 race where
@@ -354,9 +373,12 @@ object StreamOps {
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally st.close()
+    }
   }
 
   /** Runs a finite streaming query to a memory sink and returns the
@@ -398,8 +420,7 @@ object StreamOps {
     val root = Paths.get(outDir)
     val marker = root.resolve(DatedZoneMarker)
     if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val entries = Files.list(root).iterator().asScala.toList
+      val entries = listDir(root)
       // marker-less acceptance for zones predating the marker: every
       // entry is a date_key= partition dir or a _/. bookkeeping file —
       // a testdata dir (bare *.parquet files) or any shared dir fails
@@ -411,8 +432,7 @@ object StreamOps {
       require(entries.isEmpty || Files.exists(marker) || looksDated,
         s"runToDated: refusing to clear '$outDir' — non-empty, missing the " +
           s"$DatedZoneMarker marker and not shaped like a dated landing zone")
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      deleteRecursive(root)
     }
     Files.createDirectories(root)
     Files.createFile(marker)
@@ -487,18 +507,13 @@ object StreamOps {
     val marker = root.resolve(DatedZoneMarker)
     if (fresh) {
       if (Files.exists(root)) {
-        val entries = Files.list(root).iterator().asScala.toList
+        val entries = listDir(root)
         require(entries.isEmpty || Files.exists(marker),
           s"runToDatedRecoverable: refusing to clear '$outDir' — non-empty " +
             s"and missing the $DatedZoneMarker marker")
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
+        deleteRecursive(root)
       }
-      val ckpt = Paths.get(checkpointDir)
-      if (Files.exists(ckpt)) {
-        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      deleteRecursive(Paths.get(checkpointDir))
     }
     Files.createDirectories(root)
     if (!Files.exists(marker)) Files.createFile(marker)
@@ -523,13 +538,13 @@ object StreamOps {
               throw new PlantedStreamFailure(batchId)
             // idempotent hand-off: one file per (batch, date), named by
             // the batch id — a replayed move can only overwrite itself
-            Files.list(staging).iterator().asScala
+            listDir(staging)
               .filter(p => p.getFileName.toString.startsWith("date_key=") &&
                 Files.isDirectory(p))
               .foreach { dateDir =>
                 val dst = root.resolve(dateDir.getFileName.toString)
                 Files.createDirectories(dst)
-                val parts = Files.list(dateDir).iterator().asScala
+                val parts = listDir(dateDir)
                   .filter(_.getFileName.toString.endsWith(".parquet")).toList
                 require(parts.size <= 1,
                   s"filesPerDate=1 write produced ${parts.size} files in $dateDir")
