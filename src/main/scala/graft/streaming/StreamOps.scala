@@ -330,6 +330,31 @@ object StreamOps {
     }
   }
 
+  /** Per-micro-batch latency of the most recent replay run, keyed by
+    * the harness `name` — the serving-contract number for the streaming
+    * operators (a serving query is judged on batch latency, not on
+    * total drain time). Recorded from StreamingQueryProgress after
+    * every finite replay; Bench dumps the map alongside the per-query
+    * wall times. Latest run wins — bench repeats replay identical
+    * machinery. */
+  object ReplayMetrics {
+    final case class BatchStats(n: Int, p50Ms: Long, p95Ms: Long, maxMs: Long)
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+    def record(name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val ds = q.recentProgress.toSeq.map(_.batchDuration).sorted
+      if (ds.nonEmpty) {
+        def pct(p: Double): Long =
+          ds(math.min(ds.size - 1, (p * ds.size).toInt))
+        m.put(name, BatchStats(ds.size, pct(0.50), pct(0.95), ds.last))
+        ()
+      }
+    }
+    def snapshot: Map[String, BatchStats] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
   /** Marker file naming a directory as a [[runToDated]] landing zone —
     * the only kind of directory its pre-replay clear may delete. */
   val DatedZoneMarker = "_GRAFT_DATED_ZONE"
@@ -454,6 +479,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ReplayMetrics.record("dated:" + root.getFileName.toString, q)
     } finally {
       deleteRecursive(ckpt)
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
@@ -558,6 +584,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ReplayMetrics.record("recover:" + root.getFileName.toString, q)
     } catch {
       // unwrap the StreamingQueryException shell so callers plant and
       // catch the SAME exception type
@@ -626,6 +653,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ReplayMetrics.record(name, q)
       } finally {
         deleteRecursive(ckpt)
         org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
@@ -686,6 +714,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ReplayMetrics.record(name, q)
       } finally {
         org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
       }
@@ -750,6 +779,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ReplayMetrics.record(name, q)
       } finally {
         org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
       }
@@ -801,6 +831,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    ReplayMetrics.record(name, q)
     s.read.parquet(root.resolve("out-b*").toString)
   }
 
@@ -822,6 +853,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ReplayMetrics.record(name, q)
       } finally {
         deleteRecursive(ckpt)
         org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
