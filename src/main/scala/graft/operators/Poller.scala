@@ -71,14 +71,61 @@ object Poller {
     * would. At 100 TB this is one hash exchange of (client, ts)
     * tuples; state per task is one running count.
     *
-    * `events` must carry client_id, event_id, ts_us, outcome. */
-  def lifecycle(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    * `events` must carry client_id (non-null), event_id, ts_us, outcome.
+    *
+    * Above the [[TimeBuckets]] size threshold the two prefix windows
+    * partition on (client, TIME BUCKET) — the zipf(1.5) rehearsal
+    * measured this lifecycle straggling 2.33x on a 39%-hot-client
+    * stream, the single-sequential-task shape that cannot survive
+    * 100 TB. Both running quantities decompose exactly over buckets:
+    * `fails_so_far` is a prefix sum (in-bucket prefix + the summed
+    * failure counts of earlier buckets), and `fails_at_ok` — the
+    * running max of fails_so_far over ok rows — is the null-skipping
+    * max of the earlier buckets' best (offset + in-bucket max) against
+    * this bucket's own prefix, both reconstructed from a per-bucket
+    * summary at |clients| x B rows aggregated off the same exchanged
+    * frame the windows sort. Row-identical to the single-window form
+    * (spec-asserted at B = 2..64). */
+  def lifecycle(events: DataFrame, buckets: Int = 0): DataFrame = {
     val isFail = col("outcome") =!= "ok"
-    events
-      .withColumn("fails_so_far", sum(when(isFail, 1L).otherwise(0L)).over(w))
-      .withColumn("fails_at_ok", max(when(!isFail, col("fails_so_far"))).over(w))
+    val b = TimeBuckets.bucketCount(events, buckets)
+    val resolved =
+      if (b == 1) {
+        val w = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events
+          .withColumn("fails_so_far",
+            sum(when(isFail, 1L).otherwise(0L)).over(w))
+          .withColumn("fails_at_ok", max(when(!isFail, col("fails_so_far"))).over(w))
+      } else {
+        val tb = TimeBuckets.withBucket(events, "ts_us", b)
+        val w = Window.partitionBy(col("client_id"), col("__tb"))
+          .orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val d1 = tb
+          .withColumn("__f_local", sum(when(isFail, 1L).otherwise(0L)).over(w))
+          .withColumn("__fa_local", max(when(!isFail, col("__f_local"))).over(w))
+        // per-bucket summary: total fails; best in-bucket fails-at-ok
+        // (null when the bucket has no ok rows — max skips it)
+        val sm = d1.groupBy(col("client_id"), col("__tb")).agg(
+          sum(when(isFail, 1L).otherwise(0L)).as("__f_b"),
+          max(when(!isFail, col("__f_local"))).as("__fa_b"))
+        val kw = Window.partitionBy("client_id").orderBy("__tb")
+        val prev = kw.rowsBetween(Window.unboundedPreceding, -1)
+        val seam = sm
+          .withColumn("__off", coalesce(sum("__f_b").over(prev), lit(0L)))
+          // best GLOBAL fails_at_ok over all earlier buckets: each
+          // bucket's in-bucket max lifted by its own offset
+          .withColumn("__fa_carry", max(col("__off") + col("__fa_b")).over(prev))
+          .select(col("client_id"), col("__tb"), col("__off"), col("__fa_carry"))
+        d1.join(seam, Seq("client_id", "__tb"))
+          .withColumn("fails_so_far", col("__off") + col("__f_local"))
+          // greatest() skips nulls (no-ok-rows-yet on either side),
+          // matching the single window's null-skipping running max
+          .withColumn("fails_at_ok",
+            greatest(col("__fa_carry"), col("__off") + col("__fa_local")))
+      }
+    resolved
       .where(isFail)
       .withColumn("pos", col("fails_so_far") - coalesce(col("fails_at_ok"), lit(0L)))
       .select(col("client_id"), col("event_id"), col("outcome"),

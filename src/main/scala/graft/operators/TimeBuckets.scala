@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared (key, TIME-BUCKET) decomposition plumbing for the per-key
+  * ordered-window operators (lag windows, sessionization, lifecycle
+  * prefix sums).
+  *
+  * A per-key window caps parallelism at |keys| and concentrates a hot
+  * key's entire history in ONE sorted task: the round-14 zipf(1.5)
+  * rehearsal (SCALE.md) put 39% of a 1M-row stream on one key and
+  * measured the window family straggling at 1.65-2.33x — at 100 TB the
+  * same shape is a single multi-TB sequential task. The escape hatch,
+  * proven exact in [[AsOfJoin.backward]], is to partition the window on
+  * (key, time bucket) and repair the cross-bucket seam with an EXACT
+  * carry: the only rows a bucket cannot see are in earlier buckets, and
+  * the per-key windows used here depend on that history only through a
+  * bounded per-bucket summary (last row, prefix totals) that a
+  * map-side-combined aggregate produces at |keys| x B rows.
+  *
+  * Like AsOfJoin, the decomposition engages by PLAN-SIZE ESTIMATE:
+  * below [[DefaultBucketBytes]] the single-window plan runs as-is (the
+  * carry machinery's fixed stages cost more than the skew they remove
+  * at small volume), while an UNKNOWN size estimates huge and buckets —
+  * the safe default for a 100 TB scan. The threshold is env-overridable
+  * (SPARK_GRAFT_WINDOW_BUCKET_BYTES) so the local skew rehearsal can
+  * exercise the bucketed plans at harness scale.
+  */
+object TimeBuckets {
+
+  /** Estimated input bytes above which a per-key window is bucketed. */
+  val DefaultBucketBytes: Long = 256L << 20
+
+  /** System property first (an in-session toggle, so the skew rehearsal
+    * can A/B default-vs-bucketed inside ONE session — cross-window
+    * comparisons on this host are untrustworthy), then env, then the
+    * 100 TB-safe default. Read at plan BUILD time. */
+  def bucketBytesTarget: Long =
+    sys.props.get("spark.graft.windowBucketBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_WINDOW_BUCKET_BYTES")).map(_.toLong)
+      .getOrElse(DefaultBucketBytes)
+
+  /** Bucket count: one per [[bucketBytesTarget]] of estimated input,
+    * capped at the session's shuffle parallelism (more buckets than
+    * tasks only multiplies seams), floored at 1 (= stay single-window).
+    * `buckets > 0` forces a count — the spec harness pins B-invariance
+    * with it. */
+  def bucketCount(df: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = BigInt(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      ((bytes / bucketBytesTarget) min parts max BigInt(1)).toInt
+    }
+
+  /** Appends `__tb` in [0, b): equal-width buckets of the NUMERIC time
+    * column, bounds riding the plan as a broadcast 1-row aggregate (no
+    * driver collect — same shape as AsOfJoin's bucketed path). Bucketing
+    * is monotone in the time column, so same time => same bucket and
+    * every bucket's rows are contiguous in the per-key order; the
+    * degenerate bounds (empty input, single timestamp) collapse to one
+    * bucket. */
+  def withBucket(df: DataFrame, tsCol: String, b: Int): DataFrame = {
+    val bounds = df.agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val w: Column = (col("__hi") - col("__lo")).cast("double") / b
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__tb",
+        when(col("__lo").isNull || (w <= 0), lit(0)).otherwise(
+          least(greatest(
+            floor((col(tsCol) - col("__lo")).cast("double") / w), lit(0L)),
+            lit((b - 1).toLong)).cast("int")))
+      .drop("__lo", "__hi")
+  }
+}

@@ -32,6 +32,18 @@ object SkewProbe {
       .groupBy("cluster_id").count()
   }
 
+  /** Queries whose plans change under the (key, time-bucket) window
+    * decomposition (TimeBuckets) — probed additionally with the
+    * decomposition FORCED on, in the same session, so the rehearsal
+    * measures the escape hatch engaged rather than arguing it. */
+  val Decomposable: Seq[String] =
+    Seq("ta_sessionize", "ta_session_stats", "ing_poll_lifecycle")
+
+  /** Threshold forcing the bucketed path at harness scale (the 256 MB
+    * default is sized for real deployments; sf1's estimate is ~tens of
+    * MB). 0.5 MB → B = min(estimate/0.5MB, parallelism) ≈ the 32 cap. */
+  val ForcedBucketBytes = "500000"
+
   def main(args: Array[String]): Unit = {
     val uni = args.headOption.getOrElse("/tmp/graft-sf1")
     val zipf = args.lift(1).getOrElse("/tmp/graft-sf1-zipf")
@@ -40,21 +52,36 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     val best = scala.collection.mutable.Map[(String, String), Double]()
     val all = Families :+ "cc_star"
-    for (r <- 1 to rounds; (tag, dir) <- Seq("uniform" -> uni, "zipf" -> zipf);
-         name <- all) {
-      val t0 = System.nanoTime()
-      val df = if (name == "cc_star") ccStar(spark, dir)
-        else SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"round $r $tag%-8s $name%-24s $dt%6.2f s")
-      val k = (name, tag)
-      best(k) = math.min(best.getOrElse(k, Double.MaxValue), dt)
+    def run(r: Int, tag: String, dir: String, name: String,
+            bucketed: Boolean): Unit = {
+      if (bucketed)
+        sys.props("spark.graft.windowBucketBytes") = ForcedBucketBytes
+      try {
+        val t0 = System.nanoTime()
+        val df = if (name == "cc_star") ccStar(spark, dir)
+          else SparkEntry.queries(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"round $r $tag%-8s $name%-24s $dt%6.2f s")
+        val k = (name, tag)
+        best(k) = math.min(best.getOrElse(k, Double.MaxValue), dt)
+      } finally if (bucketed) sys.props.remove("spark.graft.windowBucketBytes")
+    }
+    for (r <- 1 to rounds; (tag, dir) <- Seq("uniform" -> uni, "zipf" -> zipf)) {
+      all.foreach(n => run(r, tag, dir, n, bucketed = false))
+      // decomposition forced on, same round, same session: uniB pins
+      // its flat-data overhead, zipfB its hot-key payoff
+      Decomposable.foreach(n => run(r, tag + "B", dir, n, bucketed = true))
     }
     println("\nPROBE name uniform_min zipf_min ratio")
     all.foreach { n =>
       val u = best((n, "uniform")); val z = best((n, "zipf"))
       println(f"PROBE $n%-24s $u%6.2f $z%6.2f ${z / u}%5.2f")
+    }
+    println("\nPROBEB name uniB_min zipfB_min ratioB (decomposition forced)")
+    Decomposable.foreach { n =>
+      val u = best((n, "uniformB")); val z = best((n, "zipfB"))
+      println(f"PROBEB $n%-24s $u%6.2f $z%6.2f ${z / u}%5.2f")
     }
     spark.stop()
   }

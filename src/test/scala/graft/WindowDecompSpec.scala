@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Poller, SpeedOps, TimeBuckets}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The (key, time-bucket) carry-in decomposition must be ROW-IDENTICAL
+  * to the single-window plans for every bucket count — same contract as
+  * AsOfJoinSpec's B-invariance. The fixture is adversarial on seams:
+  * duplicate timestamps (tie-break on event_id), one hot key carrying
+  * most rows (the zipf shape the decomposition exists for), keys with a
+  * single row, gaps straddling bucket boundaries, and B far above the
+  * distinct-time count (empty buckets → carry-through). */
+class WindowDecompSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Buckets = Seq(2, 3, 7, 64)
+
+  /** ~400 rows, 5 keys, key 1 hot (60%), times clustered so that gap
+    * sessions form; duplicate ts pairs every 7th row. */
+  private def posFixture(): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val key = if (rng.nextDouble() < 0.6) 1L else 2L + rng.nextInt(4)
+      // bursts separated by occasional large gaps → real sessions
+      val ts = i * 40L + (if (rng.nextDouble() < 0.08) 5000L else 0L) +
+        (if (i % 7 == 0) 0L else rng.nextInt(30))
+      (i.toLong, key, ts * 1000000L, ts.toDouble,
+        50.3 + rng.nextInt(3000) / 1e4, 30.2 + rng.nextInt(6000) / 1e4)
+    } ++ Seq((900L, 9L, 1000000L, 1.0, 50.31, 30.21)) // single-row key
+    rows.toDF("event_id", "vehicle_id", "ts_us", "ts_s", "lat", "lon")
+  }
+
+  private def pollFixture(): DataFrame = {
+    val rng = new scala.util.Random(7)
+    (1 to 500).map { i =>
+      val client = if (rng.nextDouble() < 0.5) 1L else 2L + rng.nextInt(3)
+      val outcome = rng.nextInt(10) match {
+        case 0 | 1 | 2 => "fail"
+        case 3 => "http_403"
+        case 4 => "http_502"
+        case _ => "ok"
+      }
+      (i.toLong, client, i * 1000000L + (i % 5) * 3L, outcome)
+    }.toDF("event_id", "client_id", "ts_us", "outcome")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("speeds: bucketed path row-identical to single window, B=2..64") {
+    val pos = posFixture()
+    val single = sortedRows(SpeedOps.speeds(pos, maxGapSeconds = 600.0,
+      maxSpeedKmh = 1e9, buckets = 1))
+    assert(single.nonEmpty)
+    Buckets.foreach { b =>
+      val out = sortedRows(SpeedOps.speeds(pos, maxGapSeconds = 600.0,
+        maxSpeedKmh = 1e9, buckets = b))
+      assert(out === single, s"buckets=$b diverged")
+    }
+  }
+
+  test("sessionize: bucketed path row-identical to single window, B=2..64") {
+    val pos = posFixture()
+    val single = sortedRows(SpeedOps.sessionize(pos, "vehicle_id", 120.0,
+      buckets = 1))
+    assert(single.nonEmpty)
+    Buckets.foreach { b =>
+      val out = sortedRows(SpeedOps.sessionize(pos, "vehicle_id", 120.0,
+        buckets = b))
+      assert(out === single, s"buckets=$b diverged")
+    }
+  }
+
+  test("lifecycle: bucketed path row-identical to single window, B=2..64") {
+    val ev = pollFixture()
+    val single = sortedRows(Poller.lifecycle(ev, buckets = 1))
+    assert(single.nonEmpty)
+    Buckets.foreach { b =>
+      val out = sortedRows(Poller.lifecycle(ev, buckets = b))
+      assert(out === single, s"buckets=$b diverged")
+    }
+  }
+
+  test("sessionize: column order and schema unchanged by the bucketed path") {
+    val pos = posFixture()
+    assert(SpeedOps.sessionize(pos, "vehicle_id", 120.0, buckets = 4)
+      .columns.toSeq === (pos.columns.toSeq :+ "session_seq"))
+    assert(SpeedOps.speeds(pos, maxGapSeconds = 600.0, maxSpeedKmh = 1e9,
+      buckets = 4).columns.toSeq ===
+      (pos.columns.toSeq ++ Seq("prev_lat", "prev_lon", "prev_ts_s",
+        "dt_s", "dist_km", "speed_kmh")))
+  }
+
+  test("bucketCount: small inputs stay single-window; forced counts win") {
+    val pos = posFixture()
+    assert(TimeBuckets.bucketCount(pos, 0) === 1) // tiny estimate
+    assert(TimeBuckets.bucketCount(pos, 5) === 5)
+  }
+
+  test("withBucket: degenerate bounds collapse to one bucket") {
+    val one = Seq((1L, 1L, 1000000L, 1.0)).toDF("event_id", "vehicle_id", "ts_us", "ts_s")
+    val out = TimeBuckets.withBucket(one, "ts_us", 8)
+    assert(out.select("__tb").as[Int].collect().toSeq === Seq(0))
+  }
+}
