@@ -89,10 +89,9 @@ object MiscQueries {
   // ---- st_windowed_counts ------------------------------------------------
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.windowedCounts(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)))
-    StreamOps.runToMemory(s, agg, "st_windowed_counts_sink", "complete",
-      noFlush = true)
+    StreamOps.runToMemory(s, ss => StreamOps.windowedCounts(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))),
+      "st_windowed_counts_sink", "complete", noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -110,10 +109,9 @@ object MiscQueries {
     * oracle expands the overlap explicitly — one row per event per
     * covering window start. */
   def stSlidingCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.slidingCounts(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)))
-    StreamOps.runToMemory(s, agg, "st_sliding_counts_sink", "complete",
-      noFlush = true)
+    StreamOps.runToMemory(s, ss => StreamOps.slidingCounts(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))),
+      "st_sliding_counts_sink", "complete", noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("win_start"),
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
@@ -133,12 +131,11 @@ object MiscQueries {
   // ---- st_stream_dedup ---------------------------------------------------
 
   def stStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val dd = StreamOps.streamDedup(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
+    StreamOps.runToMemory(s, ss => StreamOps.streamDedup(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
       Seq("user_id", "event_type"))
-      .select("user_id", "event_type")
-    StreamOps.runToMemory(s, dd, "st_stream_dedup_sink", "append",
-      noFlush = true)
+      .select("user_id", "event_type"),
+      "st_stream_dedup_sink", "append", noFlush = true)
       .orderBy("user_id", "event_type")
   }
 
@@ -161,10 +158,10 @@ object MiscQueries {
     * independent and equals the batch dd_exact output — the identical
     * DuckDB oracle pins both. */
   def stIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.documentsStreamSliced(s, dir, 4)
+    StreamOps.runUpdateDeltas(s, ss => StreamOps.documentsStreamSliced(ss, dir, 4)
       .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
-    StreamOps.runUpdateDeltas(s, agg, "st_incr_dedup", Seq("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id")),
+      "st_incr_dedup", Seq("fp"))
       .orderBy("fp")
   }
 
@@ -188,14 +185,14 @@ object MiscQueries {
     * just row-counted. */
   def stTtlDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
-      .as[graft.streaming.TtlEvent]
     // ~70% of the stream is admitted (70k rows at sf0.1) — land
     // distributed, keep state partitions small
-    StreamOps.runToParquet(s,
-      graft.streaming.TtlDedup.admit(src, TtlDedupUs).toDF(),
+    StreamOps.runToParquet(s, ss =>
+      graft.streaming.TtlDedup.admit(
+        StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
+          .as[graft.streaming.TtlEvent], TtlDedupUs).toDF(),
       "st_ttl_dedup", stateParts = Some(StreamOps.replayStateParts(s)))
       .select("user_id", "event_type", "event_id", "ts_us")
       .orderBy("user_id", "event_type", "ts_us", "event_id")
@@ -235,15 +232,16 @@ object MiscQueries {
     // file, so the parse runs at session parallelism WITHOUT the
     // in-batch repartition the single-file source needed (spreadStream
     // paid a full-row shuffle for the same effect)
-    val lines = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .select(col("event_id"),
-        IngestQueries.positionEnvelopeLine.as("line"))
-    val parsed = IngestQueries.positionEnvelopeProjection(
-      graft.sources.PositionLog.parseLines(lines, col("line")))
     // stateless → distributed file sink: the memory sink's per-batch
     // driver collect of ~2 rows/event dominated the replay at 10x data
-    StreamOps.runToParquet(s, parsed, "st_positions_parse")
+    StreamOps.runToParquet(s, { ss =>
+      val lines = StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"),
+          IngestQueries.positionEnvelopeLine.as("line"))
+      IngestQueries.positionEnvelopeProjection(
+        graft.sources.PositionLog.parseLines(lines, col("line")))
+    }, "st_positions_parse")
       .orderBy("event_id", "pos_idx")
   }
 
@@ -257,17 +255,15 @@ object MiscQueries {
     * (StatefulSession), verified against the batch window-SQL oracle. */
   def stSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s))
-      .select(col("event_id"), col("user_id"),
-        expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
-      .as[graft.streaming.SessEvent]
-    val assigned = graft.streaming.StatefulSession
-      .assign(ev, gapUs = 43200L * 1000000L).toDF()
     // per-event output (100k rows at sf0.1): distributed file sink
     // instead of the driver-collecting memory sink; the state op keeps
     // the small state-partition count
-    StreamOps.runToParquet(s, assigned, "st_sessionize",
-      stateParts = Some(StreamOps.replayStateParts(s)))
+    StreamOps.runToParquet(s, ss => graft.streaming.StatefulSession
+      .assign(StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))
+        .select(col("event_id"), col("user_id"),
+          expr(graft.sources.PositionView.TsUsSql).as("ts_us"))
+        .as[graft.streaming.SessEvent], gapUs = 43200L * 1000000L).toDF(),
+      "st_sessionize", stateParts = Some(StreamOps.replayStateParts(s)))
       .select("event_id", "user_id", "session_seq")
       .orderBy("event_id")
   }
@@ -441,11 +437,10 @@ object MiscQueries {
     // wide staged source: the 1M-row scan+project feeding the session
     // shuffle gets one task per file instead of the single backlog
     // file's one split (probed at sf1: 2.36 -> 1.92 s)
-    val agg = StreamOps.sessionCounts(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
-      "30 minutes")
-    StreamOps.runToMemory(s, agg, "st_session_window_sink", "complete",
-      noFlush = true)
+    StreamOps.runToMemory(s, ss => StreamOps.sessionCounts(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
+      "30 minutes"),
+      "st_session_window_sink", "complete", noFlush = true)
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("sess_start"),
         col("session_window.end").cast("timestamp_ntz").as("sess_end"),
@@ -464,10 +459,9 @@ object MiscQueries {
     * that survives a 100 TB/day feed. Same rows, same oracle hash as
     * st_session_window (flushed ∪ open ≡ complete). */
   def stSessionFinal(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamOps.sessionCounts(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)),
-      "30 minutes")
-    StreamOps.runToParquetWithState(s, agg, "st_session_final_sink",
+    StreamOps.runToParquetWithState(s, ss => StreamOps.sessionCounts(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
+      "30 minutes"), "st_session_final_sink",
       open => open.select(
         col("value.user_id").as("user_id"),
         col("value.session_window").as("session_window"),
@@ -536,12 +530,12 @@ object MiscQueries {
     * against the equivalent batch join in DuckDB. The watermark bounds
     * the join state (see StreamOps.intervalJoin). */
   def stStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val joined = StreamOps.intervalJoin(
-      StreamOps.eventsStreamWide(s, dir, StreamOps.wideReplayFiles(s)), "click", "purchase", "1 hour")
+    StreamOps.runToMemory(s, ss => StreamOps.intervalJoin(
+      StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
+      "click", "purchase", "1 hour")
       .select(col("user_id"), col("left_id").as("click_id"),
-        col("right_id").as("purchase_id"))
-    StreamOps.runToMemory(s, joined, "st_stream_join_sink", "append",
-      noFlush = true)
+        col("right_id").as("purchase_id")),
+      "st_stream_join_sink", "append", noFlush = true)
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
@@ -604,13 +598,13 @@ object MiscQueries {
     * window version (ing_poll_lifecycle). */
   def stReconnectBackoff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = StreamOps.eventsStream(s, dir)
-      .select(col("event_id"), col("user_id").as("client_id"),
-        expr(graft.sources.PositionView.TsUsSql).as("ts_us"),
-        graft.operators.Poller.outcomeCol.as("outcome"))
-      .as[graft.operators.PollEvent]
-    val actions = graft.operators.PollLifecycle.assign(src).toDF()
-    StreamOps.runToMemory(s, actions, "st_reconnect_backoff_sink", "append")
+    StreamOps.runToMemory(s, ss => graft.operators.PollLifecycle.assign(
+      StreamOps.eventsStream(ss, dir)
+        .select(col("event_id"), col("user_id").as("client_id"),
+          expr(graft.sources.PositionView.TsUsSql).as("ts_us"),
+          graft.operators.Poller.outcomeCol.as("outcome"))
+        .as[graft.operators.PollEvent]).toDF(),
+      "st_reconnect_backoff_sink", "append")
       .orderBy("client_id", "event_id")
   }
 

@@ -294,40 +294,29 @@ object StreamOps {
       math.max(2, math.min(8, par / 8))
     }
 
-  /** Guards the replay harness's set/run/restore of the two session
-    * confs every replay touches (state shuffle partitions, no-data
-    * flush) against CONCURRENT replay runs — the ADVICE-r13 race where
-    * interleaved per-call prev/restore could capture another run's
-    * clamped value and leave it on the session for everything after.
+  /** Fresh CHILD session for one finite replay: shares the
+    * SparkContext (executors, cache, scheduler) but owns its SQLConf,
+    * so the replay's two conf overrides — the state-partition clamp
+    * and the no-data-flush toggle — are SCOPED to this run. No
+    * concurrent replay, warmup thread, or later batch query can
+    * observe them, which deletes the depth-counted ReplayGuard (and
+    * its documented overlap caveat) outright; it also means
+    * [[replayStateParts]] always derives from the PARENT session's
+    * un-clamped parallelism, closing the derive-under-clamp hazard.
     *
-    * Depth-counted base snapshot, not a lock held across the stream:
-    * the FIRST replay in snapshots the pre-replay values, the LAST one
-    * out restores them, and the critical sections are microseconds —
-    * no monitor is held during awaitTermination. (A monitor held
-    * across the stream was tried and abandoned: full-suite benches
-    * with it measured consistently in the suite's slow bistable state;
-    * see SURVEY §15.) Concurrent replays still observe each other's
-    * clamps while overlapped — that happens only in Bench's warmup
-    * pool, where results are discarded; a production job runs one
-    * query per session. */
-  private object ReplayGuard {
-    private val keys = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    private var depth = 0
-    private var base: Seq[(String, String)] = Nil
-
-    def scope[T](s: SparkSession, sets: Seq[(String, String)])(body: => T): T = {
-      synchronized {
-        if (depth == 0) base = keys.map(k => k -> s.conf.get(k))
-        depth += 1
-        sets.foreach { case (k, v) => s.conf.set(k, v) }
-      }
-      try body
-      finally synchronized {
-        depth -= 1
-        if (depth == 0) base.foreach { case (k, v) => s.conf.set(k, v) }
-      }
+    * newSession() inherits only builder-time options, so the parent's
+    * dynamic session conf is copied first (static/readonly entries
+    * skipped) and the custom function registry re-asserted — the child
+    * must plan exactly like the parent except for the overrides. */
+  private def replaySession(s: SparkSession,
+                            sets: Seq[(String, String)]): SparkSession = {
+    val ss = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try ss.conf.set(k, v) catch { case _: Throwable => () }
     }
+    graft.GraftSession.ensureFunctions(ss)
+    sets.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
   }
 
   /** Per-micro-batch latency of the most recent replay run, keyed by
@@ -634,30 +623,30 @@ object StreamOps {
     * rides through the sink write. Output lives under the (tmpfs)
     * checkpoint root keyed by `name` and is cleared at the START of
     * each run, so bench repeats never accumulate. */
-  def runToParquet(s: SparkSession, df: DataFrame, name: String,
-                   stateParts: Option[Int] = None): DataFrame = {
+  def runToParquet(s: SparkSession, build: SparkSession => DataFrame,
+                   name: String, stateParts: Option[Int] = None): DataFrame = {
     val out = CheckpointRoot.resolve(s"sink-$name")
     deleteRecursive(out)
     val ckpt = freshCheckpoint()
     // a STATEFUL caller still wants the small state-partition count
     // (per-partition store commits are the floor) — only the sink
     // write itself is distributed either way
-    ReplayGuard.scope(s, stateParts.toSeq.map(p =>
-      "spark.sql.shuffle.partitions" -> p.toString)) {
-      try {
-        val q = df.writeStream
-          .format("parquet")
-          .option("path", out.toString)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ReplayMetrics.record(name, q)
-      } finally {
-        deleteRecursive(ckpt)
-        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
-      }
+    val ss = replaySession(s, stateParts.toSeq.map(p =>
+      "spark.sql.shuffle.partitions" -> p.toString))
+    val df = build(ss)
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ReplayMetrics.record(name, q)
+    } finally {
+      deleteRecursive(ckpt)
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
     // the sink wrote exactly df's columns — reading back with that
     // schema skips a fresh-dir footer inference per run
@@ -697,27 +686,28 @@ object StreamOps {
     * the returned (lazy) DataFrame, so it lives under a per-`name`
     * root cleared at the START of the next run, like runToParquet's
     * sink. */
-  def runToParquetWithState(s: SparkSession, df: DataFrame, name: String,
+  def runToParquetWithState(s: SparkSession, build: SparkSession => DataFrame,
+                            name: String,
                             openProj: DataFrame => DataFrame): DataFrame = {
     val root = CheckpointRoot.resolve(s"sinkst-$name")
     deleteRecursive(root)
     val out = root.resolve("sink")
     val ckpt = root.resolve("ckpt")
-    ReplayGuard.scope(s, Seq(
-      "spark.sql.shuffle.partitions" -> replayStateParts(s).toString)) {
-      try {
-        val q = df.writeStream
-          .format("parquet")
-          .option("path", out.toString)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ReplayMetrics.record(name, q)
-      } finally {
-        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
-      }
+    val ss = replaySession(s, Seq(
+      "spark.sql.shuffle.partitions" -> replayStateParts(s).toString))
+    val df = build(ss)
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ReplayMetrics.record(name, q)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
     val flushed = s.read.schema(df.schema).parquet(out.toString)
     val open = openProj(
@@ -760,29 +750,29 @@ object StreamOps {
     * the aggregate's merge is commutative (counts, min/max, sums) —
     * the state store applies the same merge regardless of how the
     * backlog was sliced; the spec pins 1-slice ≡ 4-slice. */
-  def runUpdateDeltas(s: SparkSession, df: DataFrame, name: String,
-                      keyCols: Seq[String]): DataFrame = {
+  def runUpdateDeltas(s: SparkSession, build: SparkSession => DataFrame,
+                      name: String, keyCols: Seq[String]): DataFrame = {
     val root = CheckpointRoot.resolve(s"delta-$name")
     deleteRecursive(root)
     val ckpt = root.resolve("ckpt")
-    ReplayGuard.scope(s, Seq(
-      "spark.sql.shuffle.partitions" -> replayStateParts(s).toString)) {
-      try {
-        val q = df.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            b.withColumn("__batch", lit(id))
-              .write.mode("overwrite")
-              .parquet(root.resolve(f"delta-b$id%05d").toString)
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ReplayMetrics.record(name, q)
-      } finally {
-        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
-      }
+    val ss = replaySession(s, Seq(
+      "spark.sql.shuffle.partitions" -> replayStateParts(s).toString))
+    val df = build(ss)
+    try {
+      val q = df.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("__batch", lit(id))
+            .write.mode("overwrite")
+            .parquet(root.resolve(f"delta-b$id%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ReplayMetrics.record(name, q)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
     val deltas = s.read.schema(df.schema.add("__batch", LongType))
       .parquet(root.resolve("delta-b*").toString)
@@ -835,30 +825,33 @@ object StreamOps {
     s.read.parquet(root.resolve("out-b*").toString)
   }
 
-  def runToMemory(s: SparkSession, df: DataFrame, name: String,
-                  mode: String, noFlush: Boolean = false): DataFrame = {
+  def runToMemory(s: SparkSession, build: SparkSession => DataFrame,
+                  name: String, mode: String,
+                  noFlush: Boolean = false): DataFrame = {
     val sets = Seq("spark.sql.shuffle.partitions" ->
       replayStateParts(s).toString) ++
       (if (noFlush)
         Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
       else Nil)
-    ReplayGuard.scope(s, sets) {
-      val ckpt = freshCheckpoint()
-      try {
-        val q = df.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(mode)
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ReplayMetrics.record(name, q)
-      } finally {
-        deleteRecursive(ckpt)
-        org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
-      }
+    val ss = replaySession(s, sets)
+    val df = build(ss)
+    val ckpt = freshCheckpoint()
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ReplayMetrics.record(name, q)
+    } finally {
+      deleteRecursive(ckpt)
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
-    s.table(name)
+    // the memory sink registers its table in the session that ran the
+    // query — the child's catalog
+    ss.table(name)
   }
 }

@@ -54,10 +54,10 @@ object Scratch {
     // noFlush A/B on a complete-mode windowed agg
     if (sys.env.contains("SCRATCH_FLUSH")) {
       def winOnce(tag: String, noFlush: Boolean): Unit = {
-        val agg = StreamOps.windowedCounts(StreamOps.eventsStream(spark, dir))
         val t0 = System.nanoTime()
-        StreamOps.runToMemory(spark, agg, s"scrw_$tag", "complete",
-          noFlush = noFlush).write.format("noop").mode("overwrite").save()
+        StreamOps.runToMemory(spark,
+          ss => StreamOps.windowedCounts(StreamOps.eventsStream(ss, dir)),
+          s"scrw_$tag", "complete", noFlush = noFlush).write.format("noop").mode("overwrite").save()
         println(f"SCRATCH win[$tag] noFlush=$noFlush total=${(System.nanoTime() - t0) / 1e9}%5.2f s")
       }
       for (i <- 1 to 4) { winOnce(s"f$i", noFlush = false); winOnce(s"n$i", noFlush = true) }
@@ -67,24 +67,26 @@ object Scratch {
     // native-vs-from_json A/B on the streaming positions parse
     if (sys.env.contains("SCRATCH_PJ")) {
       def run(tag: String, native: Boolean): Unit = {
-        val lines = StreamOps.spreadStream(
-          StreamOps.eventsStream(spark, dir)
-            .select(col("event_id"), col("user_id"), col("ts")))
-          .select(col("event_id"),
-            queries.IngestQueries.positionEnvelopeLine.as("line"))
-        val rec = if (native) graft.plans.PositionRecordParse(col("line"))
-          else from_json(col("line"), sources.PositionLog.RecordSchema)
-        val parsed = queries.IngestQueries.positionEnvelopeProjection(
-          lines.withColumn("__rec", rec)
-            .select(col("*"), col("__rec.count").as("rec_count"),
-              posexplode(col("__rec.positions")).as(Seq("pos_idx", "__p")))
-            .select(col("*"), col("__p.vehicle_id").as("vehicle_id"),
-              col("__p.route_id").as("route_id"), col("__p.lat").as("lat"),
-              col("__p.lon").as("lon"), col("__p.direction").as("direction"),
-              col("__p.flag").as("flag"), col("__p.timestamp").as("pos_ts"))
-            .drop("__rec", "__p"))
+        def parsed(sx: org.apache.spark.sql.SparkSession) = {
+          val lines = StreamOps.spreadStream(
+            StreamOps.eventsStream(sx, dir)
+              .select(col("event_id"), col("user_id"), col("ts")))
+            .select(col("event_id"),
+              queries.IngestQueries.positionEnvelopeLine.as("line"))
+          val rec = if (native) graft.plans.PositionRecordParse(col("line"))
+            else from_json(col("line"), sources.PositionLog.RecordSchema)
+          queries.IngestQueries.positionEnvelopeProjection(
+            lines.withColumn("__rec", rec)
+              .select(col("*"), col("__rec.count").as("rec_count"),
+                posexplode(col("__rec.positions")).as(Seq("pos_idx", "__p")))
+              .select(col("*"), col("__p.vehicle_id").as("vehicle_id"),
+                col("__p.route_id").as("route_id"), col("__p.lat").as("lat"),
+                col("__p.lon").as("lon"), col("__p.direction").as("direction"),
+                col("__p.flag").as("flag"), col("__p.timestamp").as("pos_ts"))
+              .drop("__rec", "__p"))
+        }
         val t0 = System.nanoTime()
-        StreamOps.runToMemory(spark, parsed, s"scrpj_$tag", "append")
+        StreamOps.runToMemory(spark, parsed _, s"scrpj_$tag", "append")
           .orderBy("event_id", "pos_idx")
           .write.format("noop").mode("overwrite").save()
         println(f"SCRATCH pj[$tag] native=$native total=${(System.nanoTime() - t0) / 1e9}%5.2f s")
@@ -391,11 +393,11 @@ object Scratch {
     if (sys.env.contains("SCRATCH_STFLOOR")) {
       val d = sys.env.getOrElse("SCRATCH_STFLOOR_DIR", "/tmp/graft-sf1")
       def statelessMin = StreamOps.runToMemory(spark,
-        StreamOps.eventsStreamWide(spark, d, StreamOps.wideReplayFiles(spark))
+        ss => StreamOps.eventsStreamWide(ss, d, StreamOps.wideReplayFiles(spark))
           .select(col("event_id")).filter(col("event_id") < 0),
         "scr_floor_sl", "append", noFlush = true)
       def statefulMin = StreamOps.runToMemory(spark,
-        StreamOps.eventsStreamWide(spark, d, StreamOps.wideReplayFiles(spark))
+        ss => StreamOps.eventsStreamWide(ss, d, StreamOps.wideReplayFiles(spark))
           .withColumn("ts_w", timestamp_micros(expr("ts div 1000")))
           .withWatermark("ts_w", "1 hour")
           .groupBy(col("event_type")).agg(count(lit(1)).as("n")),

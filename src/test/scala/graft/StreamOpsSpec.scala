@@ -48,11 +48,11 @@ class StreamOpsSpec extends SparkSpec {
       .withColumn("event_type", lit("click"))
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .coalesce(1).write.parquet(s"$dir/in/events.parquet")
-    val in = spark.readStream.schema(graft.streaming.StreamOps.EventsSchema)
-      .parquet(s"$dir/in/events.parquet")
-    val agg = graft.streaming.StreamOps.sessionCounts(in, "30 minutes")
     val out = graft.streaming.StreamOps
-      .runToMemory(spark, agg, "sw_probe_sink", "complete")
+      .runToMemory(spark, ss => graft.streaming.StreamOps.sessionCounts(
+        ss.readStream.schema(graft.streaming.StreamOps.EventsSchema)
+          .parquet(s"$dir/in/events.parquet"), "30 minutes"),
+        "sw_probe_sink", "complete")
       .select(col("user_id"), col("n_events"),
         (col("session_window.end").cast("long") -
           col("session_window.start").cast("long")).as("len_s"))
@@ -84,8 +84,8 @@ class StreamOpsSpec extends SparkSpec {
       .as[(java.sql.Timestamp, String, Long)].collect()
       .map(r => (r._1.getTime, r._2) -> r._3).toMap
     val streamed = graft.streaming.StreamOps.runToMemory(spark,
-      graft.streaming.StreamOps.windowedCounts(
-        graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
+      ss => graft.streaming.StreamOps.windowedCounts(
+        graft.streaming.StreamOps.eventsStream(ss, "/root/testdata/sf0.001")),
       "wc_spec_sink", "complete")
       .select(col("window.start").as("h"), col("event_type"), col("n"))
       .as[(java.sql.Timestamp, String, Long)].collect()
@@ -130,13 +130,13 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
       .collect().toSeq
     val oneBatch = shape(StreamOps.runToParquetWithState(spark,
-      StreamOps.sessionCounts(
-        StreamOps.eventsStreamWide(spark, sf, StreamOps.wideReplayFiles(spark)),
+      ss => StreamOps.sessionCounts(
+        StreamOps.eventsStreamWide(ss, sf, StreamOps.wideReplayFiles(spark)),
         "30 minutes"),
       "spec_sess_final_1b", proj))
     val fourBatches = shape(StreamOps.runToParquetWithState(spark,
-      StreamOps.sessionCounts(
-        StreamOps.eventsStreamSliced(spark, sf, 4), "30 minutes"),
+      ss => StreamOps.sessionCounts(
+        StreamOps.eventsStreamSliced(ss, sf, 4), "30 minutes"),
       "spec_sess_final_4b", proj))
     assert(oneBatch.nonEmpty)
     assert(fourBatches === oneBatch)
@@ -155,7 +155,7 @@ class StreamOpsSpec extends SparkSpec {
     // degenerate slicing: the whole corpus in ONE batch must merge to
     // the identical keep-list (batch-boundary independence)
     val oneSlice = StreamOps.runUpdateDeltas(spark,
-      StreamOps.documentsStreamSliced(spark, sf, 1)
+      ss => StreamOps.documentsStreamSliced(ss, sf, 1)
         .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id")),
       "spec_incr_1b", Seq("fp"))
