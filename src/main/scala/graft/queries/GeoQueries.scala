@@ -440,12 +440,22 @@ object GeoQueries {
     * notch passes the bbox prefilter but must NOT land in ring 1; the
     * oracle computes the same parity over the same edge VALUES. */
   def geoPolyConcave(s: SparkSession, dir: String): DataFrame =
+    // two-level aggregate instead of countDistinct over the raw join
+    // output: a multi-countDistinct plans Expand x3 (every hit row
+    // tripled before the shuffle), while pre-collapsing to the distinct
+    // (poly, vehicle, route) combos is a map-side-combined aggregate
+    // whose shuffle carries |polys| x |vehicles| rows; the distinct
+    // counts then run over that tiny frame. At 100 TB the Expand is 3x
+    // the stream's hit volume — the combo collapse is bounded by key
+    // cardinality instead.
     graft.operators.PolyJoin.containsJoin(
       pos(s, dir), "lat", "lon",
       concavePolys(s), "poly_id", "verts", cellDeg = CellDeg,
       convex = false)
+      .groupBy("poly_id", "vehicle_id", "route_id")
+      .agg(count(lit(1)).as("__n"))
       .groupBy("poly_id")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum("__n").as("n"),
         countDistinct("vehicle_id").as("n_vehicles"),
         countDistinct("route_id").as("n_routes"))
       .orderBy("poly_id")

@@ -163,14 +163,17 @@ object IngestQueries {
       concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
       .otherwise(goodFrame)
     val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
+    // validity flag via get_json_object, not from_json: the routing
+    // only needs "payload parses AND carries id" — the streaming
+    // Jackson probe skips the struct materialization and the
+    // per-corrupt-row exception path (A/B at sf1, QuarantineProbe:
+    // parse cost over the scan floor 0.36 -> 0.26 s, row-identical)
     spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(col("frame"),
         regexp_extract(col("frame"), pattern, 1).as("evt_name"),
-        from_json(regexp_extract(col("frame"), pattern, 2),
-          StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
-          .as("p"))
-      .withColumn("ok", col("p.id").isNotNull)
+        get_json_object(regexp_extract(col("frame"), pattern, 2), "$.id")
+          .isNotNull.as("ok"))
       .groupBy("evt_name")
       .agg(count(lit(1)).as("n_frames"),
         count(when(col("ok"), 1)).as("n_ok"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** In-session A/B for ing_corrupt_quarantine's parse cost at sf1:
+  * (A) registered shape — two regexp_extract + from_json;
+  * (B) one rlike + substring slicing + from_json;
+  * (C) floor — frame build + groupBy only (no parse).
+  *   sbt 'Test/runMain graft.QuarantineProbe [dir] [rounds]' */
+object QuarantineProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    def base = {
+      val goodFrame = concat(
+        lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}]"))
+      val frame = when(col("event_id") % 7 === 0,
+        concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
+        .otherwise(goodFrame)
+      graft.operators.Par.spread(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")))
+        .select(col("event_id"), frame.as("frame"))
+    }
+    def finish(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ok", col("p.id").isNotNull)
+      .groupBy("evt_name")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        count(when(!col("ok"), 1)).as("n_bad"),
+        min(when(!col("ok"), col("frame"))).as("quarantine_sample"))
+      .orderBy("evt_name")
+    def vA = finish(base.select(col("frame"),
+      regexp_extract(col("frame"), pattern, 1).as("evt_name"),
+      from_json(regexp_extract(col("frame"), pattern, 2), schema).as("p")))
+    def vB = {
+      val t = rtrim(col("frame"))
+      val m = col("frame").rlike(pattern)
+      val name = substring_index(substring(t, 5, 1000000), "\"", 1)
+      val payload = expr("substring(rtrim(frame), 7 + length(substring_index(substring(rtrim(frame), 5, 1000000), '\"', 1)), " +
+        "length(rtrim(frame)) - 7 - length(substring_index(substring(rtrim(frame), 5, 1000000), '\"', 1)))")
+      finish(base.select(col("frame"),
+        when(m, name).otherwise(lit("")).as("evt_name"),
+        from_json(when(m, payload).otherwise(lit("")), schema).as("p")))
+    }
+    def vD = {
+      val m = col("frame").rlike(pattern)
+      val payload = regexp_extract(col("frame"), pattern, 2)
+      finish2(base.select(col("frame"),
+        regexp_extract(col("frame"), pattern, 1).as("evt_name"),
+        get_json_object(payload, "$.id").isNotNull.as("ok")))
+    }
+    def vC = base.select(col("frame"), lit("x").as("evt_name"))
+      .groupBy("evt_name").agg(count(lit(1)).as("n"), min("frame").as("q"))
+    def finish2(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("evt_name")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        count(when(!col("ok"), 1)).as("n_bad"),
+        min(when(!col("ok"), col("frame"))).as("quarantine_sample"))
+      .orderBy("evt_name")
+    def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"QPROBE $tag ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+    }
+    // equality check once
+    val a = vA.collect().map(_.toString).sorted.toSeq
+    val b = vB.collect().map(_.toString).sorted.toSeq
+    println("QPROBE B==A: " + (a == b))
+    val d = vD.collect().map(_.toString).sorted.toSeq
+    println("QPROBE D==A: " + (a == d))
+    for (r <- 1 to rounds) { time(s"A r$r")(vA); time(s"D r$r")(vD); time(s"C r$r")(vC) }
+    spark.stop()
+  }
+}
