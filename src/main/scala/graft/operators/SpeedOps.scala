@@ -41,42 +41,10 @@ object SpeedOps {
              maxGapSeconds: Double = MaxGapSeconds,
              maxSpeedKmh: Double = MaxRealisticSpeedKmh,
              buckets: Int = 0): DataFrame = {
-    val b = TimeBuckets.bucketCount(pos, buckets)
     // event_id tie-break: duplicate timestamps per vehicle would make
     // lag() nondeterministic across runs (and vs the oracle) otherwise.
-    val paired =
-      if (b == 1) {
-        val w = Window.partitionBy("vehicle_id").orderBy("ts_us", "event_id")
-        pos
-          .withColumn("prev_lat", lag("lat", 1).over(w))
-          .withColumn("prev_lon", lag("lon", 1).over(w))
-          .withColumn("prev_ts_s", lag("ts_s", 1).over(w))
-      } else {
-        val tb = TimeBuckets.withBucket(pos, "ts_us", b)
-        val w = Window.partitionBy(col("vehicle_id"), col("__tb"))
-          .orderBy("ts_us", "event_id")
-        // previous bucket's LAST row per (vehicle, bucket), by the same
-        // (ts_us, event_id) order the window uses; lag over nonempty
-        // buckets only — an empty bucket has no first row needing it
-        val kw = Window.partitionBy("vehicle_id").orderBy("__tb")
-        val carry = tb.groupBy(col("vehicle_id"), col("__tb"))
-          .agg(max_by(struct(col("lat"), col("lon"), col("ts_s")),
-            struct(col("ts_us"), col("event_id"))).as("__last"))
-          .withColumn("__carry", lag("__last", 1).over(kw))
-          .select(col("vehicle_id"), col("__tb"), col("__carry"))
-        tb
-          .withColumn("__plat", lag("lat", 1).over(w))
-          .withColumn("__plon", lag("lon", 1).over(w))
-          .withColumn("__pts", lag("ts_s", 1).over(w))
-          .join(carry, Seq("vehicle_id", "__tb"))
-          .withColumn("prev_lat", coalesce(col("__plat"), col("__carry.lat")))
-          .withColumn("prev_lon", coalesce(col("__plon"), col("__carry.lon")))
-          .withColumn("prev_ts_s", coalesce(col("__pts"), col("__carry.ts_s")))
-          // restore the single-window column order (the using-join moved
-          // the join keys to the front)
-          .select(pos.columns.map(col) ++
-            Seq(col("prev_lat"), col("prev_lon"), col("prev_ts_s")): _*)
-      }
+    val paired = TimeBuckets.lag1(pos, "vehicle_id", "ts_us", "event_id",
+      Seq("lat", "lon", "ts_s"), buckets)
     paired
       .filter(col("prev_ts_s").isNotNull)
       .withColumn("dt_s", col("ts_s") - col("prev_ts_s"))

@@ -55,6 +55,44 @@ object TimeBuckets {
       ((bytes / bucketBytesTarget) min parts max BigInt(1)).toInt
     }
 
+  /** Per-key lag(1) of `lagCols` (ordered by tsCol, tieCol; appended as
+    * `prev_<col>`), decomposed over (key, time bucket) above the size
+    * threshold. The only pair a bucket cannot form is (last row of the
+    * previous bucket, first row of this one); that predecessor is
+    * recovered from a map-side-combined per-bucket aggregate carrying
+    * the previous nonempty bucket's last row as ONE struct — in-bucket
+    * lag nulls appear only on the bucket's first row, so the per-column
+    * coalesce with the carry cannot tear. Row-identical to the single
+    * window at every B (spec-asserted); `key` must be non-null. */
+  def lag1(df: DataFrame, key: String, tsCol: String, tieCol: String,
+           lagCols: Seq[String], buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketCount(df, buckets)
+    val prevNames = lagCols.map("prev_" + _)
+    if (b == 1) {
+      val w = Window.partitionBy(key).orderBy(tsCol, tieCol)
+      lagCols.zip(prevNames).foldLeft(df) { case (d, (c, p)) =>
+        d.withColumn(p, lag(c, 1).over(w))
+      }
+    } else {
+      val tb = withBucket(df, tsCol, b)
+      val w = Window.partitionBy(col(key), col("__tb")).orderBy(tsCol, tieCol)
+      val kw = Window.partitionBy(key).orderBy("__tb")
+      val carry = tb.groupBy(col(key), col("__tb"))
+        .agg(max_by(struct(lagCols.map(col): _*),
+          struct(col(tsCol), col(tieCol))).as("__last"))
+        .withColumn("__carry", lag("__last", 1).over(kw))
+        .select(col(key), col("__tb"), col("__carry"))
+      val lagged = lagCols.zip(prevNames).foldLeft(tb) { case (d, (c, p)) =>
+        d.withColumn("__l_" + p, lag(c, 1).over(w))
+      }
+      lagged.join(carry, Seq(key, "__tb"))
+        .select(df.columns.map(col) ++ lagCols.zip(prevNames).map {
+          case (c, p) => coalesce(col("__l_" + p), col(s"__carry.$c")).as(p)
+        }: _*)
+    }
+  }
+
   /** Appends `__tb` in [0, b): equal-width buckets of the NUMERIC time
     * column, bounds riding the plan as a broadcast 1-row aggregate (no
     * driver collect — same shape as AsOfJoin's bucketed path). Bucketing

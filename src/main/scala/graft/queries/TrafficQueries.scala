@@ -46,17 +46,18 @@ object TrafficQueries {
     * plan's only wide edge. SpeedOps.speeds stays the general operator
     * for sources whose coordinates are real payload. */
   private[graft] def speedsSlim(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vehicle_id").orderBy("ts_us", "event_id")
     def latOf(id: org.apache.spark.sql.Column) =
       lit(50.3) + (id * 7919 % 3000) / lit(10000.0)
     def lonOf(id: org.apache.spark.sql.Column) =
       lit(30.2) + (id * 104729 % 6000) / lit(10000.0)
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id").as("vehicle_id"),
-        expr(PositionView.TsUsSql).as("ts_us"))
-      .withColumn("prev_event_id", lag("event_id", 1).over(w))
-      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+    // the slim lag goes through TimeBuckets.lag1, so a hot vehicle's
+    // history decomposes over time buckets above the size threshold —
+    // same escape hatch (and B-invariance proof) as SpeedOps.speeds
+    graft.operators.TimeBuckets.lag1(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id").as("vehicle_id"),
+          expr(PositionView.TsUsSql).as("ts_us")),
+      "vehicle_id", "ts_us", "event_id", Seq("event_id", "ts_us"))
       .filter(col("prev_ts_us").isNotNull)
       .withColumn("route_id", (col("vehicle_id") % 25).cast("int"))
       .withColumn("ts_s", col("ts_us") / lit(1e6))

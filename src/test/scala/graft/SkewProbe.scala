@@ -37,7 +37,7 @@ object SkewProbe {
     * decomposition FORCED on, in the same session, so the rehearsal
     * measures the escape hatch engaged rather than arguing it. */
   val Decomposable: Seq[String] =
-    Seq("ta_sessionize", "ta_session_stats", "ing_poll_lifecycle")
+    Seq("ta_speed_lag", "ta_sessionize", "ta_session_stats", "ing_poll_lifecycle")
 
   /** Threshold forcing the bucketed path at harness scale (the 256 MB
     * default is sized for real deployments; sf1's estimate is ~tens of

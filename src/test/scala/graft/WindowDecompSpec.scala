@@ -82,6 +82,20 @@ class WindowDecompSpec extends SparkSpec {
     }
   }
 
+  test("lag1 over (tsCol, tieCol) themselves: bucketed identical, B=2..64") {
+    // the slim ta_speed_lag shape — the lagged columns ARE the order
+    // columns; exercises carry-struct fields sharing names with keys
+    val pos = posFixture().select("event_id", "vehicle_id", "ts_us")
+    val single = sortedRows(TimeBuckets.lag1(pos, "vehicle_id", "ts_us",
+      "event_id", Seq("event_id", "ts_us"), buckets = 1))
+    assert(single.nonEmpty)
+    Buckets.foreach { b =>
+      val out = sortedRows(TimeBuckets.lag1(pos, "vehicle_id", "ts_us",
+        "event_id", Seq("event_id", "ts_us"), buckets = b))
+      assert(out === single, s"buckets=$b diverged")
+    }
+  }
+
   test("sessionize: column order and schema unchanged by the bucketed path") {
     val pos = posFixture()
     assert(SpeedOps.sessionize(pos, "vehicle_id", 120.0, buckets = 4)
