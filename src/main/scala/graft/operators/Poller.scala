@@ -193,15 +193,52 @@ object Poller {
     * keys per client and the counter exercises no window logic. */
   val StatsTtlUs: Long = 24L * 3600 * 1000000L
 
-  def stats(events: DataFrame, ttlUs: Long = StatsTtlUs): DataFrame = {
-    val wOrd = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("client_id")
+  def stats(events: DataFrame, ttlUs: Long = StatsTtlUs,
+            buckets: Int = 0): DataFrame = {
     val isFail = col("outcome") =!= "ok"
-    events
-      .withColumn("fails_so_far", sum(when(isFail, 1L).otherwise(0L)).over(wOrd))
-      .withColumn("fails_at_ok", max(when(!isFail, col("fails_so_far"))).over(wOrd))
-      .withColumn("max_ts_us", max(col("ts_us")).over(wAll))
+    val b = TimeBuckets.bucketCount(events, buckets)
+    val resolved =
+      if (b == 1) {
+        val wOrd = Window.partitionBy("client_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("client_id")
+        events
+          .withColumn("fails_so_far",
+            sum(when(isFail, 1L).otherwise(0L)).over(wOrd))
+          .withColumn("fails_at_ok",
+            max(when(!isFail, col("fails_so_far"))).over(wOrd))
+          .withColumn("max_ts_us", max(col("ts_us")).over(wAll))
+      } else {
+        // same (client, time-bucket) seam decomposition as [[lifecycle]]
+        // — the stats windows are the identical running quantities —
+        // plus the per-client max timestamp, which is a plain key max
+        // on the same per-bucket summary
+        val tb = TimeBuckets.withBucket(events, "ts_us", b)
+        val w = Window.partitionBy(col("client_id"), col("__tb"))
+          .orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val d1 = tb
+          .withColumn("__f_local", sum(when(isFail, 1L).otherwise(0L)).over(w))
+          .withColumn("__fa_local", max(when(!isFail, col("__f_local"))).over(w))
+        val sm = d1.groupBy(col("client_id"), col("__tb")).agg(
+          sum(when(isFail, 1L).otherwise(0L)).as("__f_b"),
+          max(when(!isFail, col("__f_local"))).as("__fa_b"),
+          max(col("ts_us")).as("__ts_b"))
+        val kw = Window.partitionBy("client_id").orderBy("__tb")
+        val prev = kw.rowsBetween(Window.unboundedPreceding, -1)
+        val seam = sm
+          .withColumn("__off", coalesce(sum("__f_b").over(prev), lit(0L)))
+          .withColumn("__fa_carry", max(col("__off") + col("__fa_b")).over(prev))
+          .withColumn("max_ts_us",
+            max("__ts_b").over(Window.partitionBy("client_id")))
+          .select(col("client_id"), col("__tb"), col("__off"),
+            col("__fa_carry"), col("max_ts_us"))
+        d1.join(seam, Seq("client_id", "__tb"))
+          .withColumn("fails_so_far", col("__off") + col("__f_local"))
+          .withColumn("fails_at_ok",
+            greatest(col("__fa_carry"), col("__off") + col("__fa_local")))
+      }
+    resolved
       .withColumn("pos",
         when(isFail, col("fails_so_far") - coalesce(col("fails_at_ok"), lit(0L))))
       .withColumn("refresh",

@@ -82,6 +82,16 @@ class WindowDecompSpec extends SparkSpec {
     }
   }
 
+  test("poller stats: bucketed path row-identical to single window, B=2..64") {
+    val ev = pollFixture()
+    val single = sortedRows(Poller.stats(ev, buckets = 1))
+    assert(single.nonEmpty)
+    Buckets.foreach { b =>
+      val out = sortedRows(Poller.stats(ev, buckets = b))
+      assert(out === single, s"buckets=$b diverged")
+    }
+  }
+
   test("lag1 over (tsCol, tieCol) themselves: bucketed identical, B=2..64") {
     // the slim ta_speed_lag shape — the lagged columns ARE the order
     // columns; exercises carry-struct fields sharing names with keys
