@@ -250,23 +250,54 @@ object StreamOps {
     * left_ts + window, so state is O(events per window), not O(stream).
     * An un-watermarked stream-stream join would grow state forever —
     * the difference between a demo and an operator that survives an
-    * unbounded 100 TB/day feed. */
+    * unbounded 100 TB/day feed.
+    *
+    * TIME-BUCKETED join key (range-join binning): a bare user_id
+    * equi-join evaluates the full clicks x purchases cross product per
+    * user before the time predicate prunes it — quadratic in per-user
+    * density (the sf1 shards: ~1.3k x 1.3k per user = 26.6M pair
+    * evaluations for a 37k-row result, and a 100 TB feed's hot users
+    * are strictly denser). Both sides therefore also carry
+    * floor(ts / window): a right row lives in exactly one bucket, a
+    * left row is EXPLODED into its own and the next bucket — the only
+    * two a match can land in, since 0 < right_ts - left_ts <= window —
+    * and the bucket id joins as an extra equality key. Each candidate
+    * pair is produced exactly once (the two exploded bucket values are
+    * distinct), pair volume drops to per-(user, window)-bucket
+    * products, and the watermark/state contract is untouched: bucket
+    * ids are derived from the same event-time columns, state eviction
+    * still keys off the time-range predicate (probed at sf1:
+    * 26.6M -> 7.4M pair evals, addBatch 4.3 -> ~2 s). */
   def intervalJoin(events: DataFrame, leftType: String, rightType: String,
                    window: String): DataFrame = {
     val tsUs = graft.sources.PositionView.TsUsSql
+    val wUs = intervalMicros(window)
     val left = events.filter(col("event_type") === leftType)
       .select(col("event_id").as("left_id"), col("user_id"),
         timestamp_micros(expr(tsUs)).as("left_ts"))
+      .withColumn("__lb", explode(array(
+        floor(unix_micros(col("left_ts")) / wUs),
+        floor(unix_micros(col("left_ts")) / wUs) + 1)))
       .withWatermark("left_ts", window)
     val right = events.filter(col("event_type") === rightType)
       .select(col("event_id").as("right_id"), col("user_id").as("__ru"),
         timestamp_micros(expr(tsUs)).as("right_ts"))
+      .withColumn("__rb", floor(unix_micros(col("right_ts")) / wUs))
       .withWatermark("right_ts", window)
     left.join(right,
-      col("user_id") === col("__ru") &&
+      col("user_id") === col("__ru") && col("__lb") === col("__rb") &&
         col("right_ts") > col("left_ts") &&
         col("right_ts") <= col("left_ts") + expr(s"INTERVAL $window"))
-      .drop("__ru")
+      .drop("__ru", "__lb", "__rb")
+  }
+
+  /** "N hours"-style interval string as microseconds (day-time only —
+    * month intervals have no fixed length). */
+  def intervalMicros(window: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(iv.months == 0, s"interval '$window' must be day-time, not months")
+    iv.days * 86400000000L + iv.microseconds
   }
 
   /** State-task count for FINITE replays (overridable via
@@ -289,7 +320,8 @@ object StreamOps {
     * it, and the clamp keeps the finite-replay commit floor bounded
     * (the probe showed both 2 and un-clamped counts losing). */
   def replayStateParts(s: SparkSession): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+    sys.props.get("graft.stream.parts").orElse(
+      sys.env.get("SPARK_GRAFT_STREAM_PARTS")).map(_.toInt).getOrElse {
       val par = s.conf.get("spark.sql.shuffle.partitions").toInt
       math.max(2, math.min(8, par / 8))
     }
@@ -315,6 +347,10 @@ object StreamOps {
       try ss.conf.set(k, v) catch { case _: Throwable => () }
     }
     graft.GraftSession.ensureFunctions(ss)
+    // probe knob (Scratch/bench A-Bs): swap the state store provider —
+    // e.g. RocksDB — for the replay session only
+    sys.props.get("graft.stream.provider").foreach(p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     sets.foreach { case (k, v) => ss.conf.set(k, v) }
     ss
   }
@@ -329,12 +365,23 @@ object StreamOps {
   object ReplayMetrics {
     final case class BatchStats(n: Int, p50Ms: Long, p95Ms: Long, maxMs: Long)
     private val m = new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+    private val det = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     def record(name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-      val ds = q.recentProgress.toSeq.map(_.batchDuration).sorted
+      val ps = q.recentProgress.toSeq
+      val ds = ps.map(_.batchDuration).sorted
       if (ds.nonEmpty) {
         def pct(p: Double): Long =
           ds(math.min(ds.size - 1, (p * ds.size).toInt))
         m.put(name, BatchStats(ds.size, pct(0.50), pct(0.95), ds.last))
+        // per-batch phase breakdown, kept ONLY for diagnostics probes
+        // (Scratch) — never serialized into the bench artifact
+        det.put(name, ps.map { p =>
+          val d = new java.util.TreeMap[String, java.lang.Long](p.durationMs)
+          val st = p.stateOperators.toSeq.map(so =>
+            s"rows=${so.numRowsTotal} commitMs=${so.allRemovalsTimeMs + so.commitTimeMs}")
+            .mkString("[", "; ", "]")
+          s"batch=${p.batchId} in=${p.numInputRows} dur=$d state=$st"
+        })
         ()
       }
     }
@@ -342,6 +389,7 @@ object StreamOps {
       import scala.jdk.CollectionConverters._
       m.asScala.toMap
     }
+    def details(name: String): Seq[String] = Option(det.get(name)).getOrElse(Nil)
   }
 
   /** Marker file naming a directory as a [[runToDated]] landing zone —

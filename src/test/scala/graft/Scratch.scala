@@ -540,6 +540,94 @@ object Scratch {
       spark.stop(); return
     }
 
+    // round-15: st_stream_join dissection — streaming vs the SAME join
+    // as a batch plan over the staged files, rocksdb A/B, and a
+    // two-sided stateful floor (cheapest possible two-input stateful op)
+    if (sys.env.contains("SCRATCH_SJ")) {
+      val d = sys.env.getOrElse("SCRATCH_SJ_DIR", "/tmp/graft-sf1")
+      val all = SparkEntry.queries
+      def current() = all("st_stream_join")(spark, d)
+      def batchEquiv() = {
+        // identical logical join over the same staged wide files,
+        // executed as a plain batch plan (AQE, 32-way) — the pure
+        // join-compute cost with zero streaming machinery
+        val ev = Tables.events(spark, d)
+        val tsUs = graft.sources.PositionView.TsUsSql
+        val left = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("left_id"), col("user_id"),
+            timestamp_micros(expr(tsUs)).as("left_ts"))
+        val right = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("right_id"), col("user_id").as("__ru"),
+            timestamp_micros(expr(tsUs)).as("right_ts"))
+        left.join(right,
+          col("user_id") === col("__ru") &&
+            col("right_ts") > col("left_ts") &&
+            col("right_ts") <= col("left_ts") + expr("INTERVAL 1 hour"))
+          .drop("__ru")
+          .select(col("user_id"), col("left_id").as("click_id"),
+            col("right_id").as("purchase_id"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      }
+      for (r <- 1 to 3) {
+        time(s"sj batch-equiv r$r")(batchEquiv())
+        sys.props.remove("graft.stream.provider")
+        time(s"sj current     r$r")(current())
+        StreamOps.ReplayMetrics.details("st_stream_join_sink").foreach(l => println(s"    $l"))
+        sys.props("graft.stream.provider") =
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        time(s"sj rocksdb     r$r")(current())
+        StreamOps.ReplayMetrics.details("st_stream_join_sink").foreach(l => println(s"    $l"))
+        sys.props.remove("graft.stream.provider")
+      }
+      spark.stop(); return
+    }
+
+    // round-15: stateful-replay cost sweep — state partition count x
+    // state store provider, per-batch phase breakdown from ReplayMetrics
+    if (sys.env.contains("SCRATCH_ST")) {
+      val d = sys.env.getOrElse("SCRATCH_ST_DIR", "/tmp/graft-sf1")
+      val names = sys.env.getOrElse("SCRATCH_ST_QUERIES",
+        "st_stream_join,st_session_window,st_session_final,st_incremental_dedup")
+        .split(",").map(_.trim).toSeq
+      val partSweep = sys.env.getOrElse("SCRATCH_ST_PARTS", "4,8,16,32")
+        .split(",").map(_.trim.toInt).toSeq
+      val providers = sys.env.getOrElse("SCRATCH_ST_PROVIDERS", "hdfs")
+        .split(",").map(_.trim).toSeq
+      val all = SparkEntry.queries
+      // one throwaway pass per query to absorb staging + codegen
+      names.foreach { n =>
+        try all(n)(spark, d).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"SCRATCH st warm $n FAILED: $e") }
+      }
+      for (r <- 1 to 2; prov <- providers; parts <- partSweep; n <- names) {
+        if (prov == "rocksdb")
+          sys.props("graft.stream.provider") =
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else sys.props.remove("graft.stream.provider")
+        sys.props("graft.stream.parts") = parts.toString
+        val t0 = System.nanoTime()
+        val ok = try { all(n)(spark, d).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => println(s"SCRATCH st $n FAILED: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) {
+          println(f"SCRATCH st[$n%-22s] prov=$prov%-7s parts=$parts%2d r$r ${dt}%6.2f s")
+          val sink = n match {
+            case "st_stream_join" => "st_stream_join_sink"
+            case "st_session_window" => "st_session_window_sink"
+            case "st_session_final" => "st_session_final_sink"
+            case "st_incremental_dedup" => "st_incr_dedup"
+            case other => other
+          }
+          (StreamOps.ReplayMetrics.details(sink) ++
+            StreamOps.ReplayMetrics.details(n)).distinct
+            .foreach(l => println(s"    $l"))
+        }
+      }
+      sys.props.remove("graft.stream.parts")
+      sys.props.remove("graft.stream.provider")
+      spark.stop(); return
+    }
+
     if (sys.env.contains("SCRATCH_TA")) {
       val d = sys.env.getOrElse("SCRATCH_TA_DIR", dir)
       def lagOrd = queries.TrafficQueries.queries("ta_speed_lag")(spark, d)

@@ -195,4 +195,57 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === expected)
   }
+
+  test("bucketed interval join hits every window-edge and bucket-edge pair") {
+    // the time-bucketed join key (intervalJoin's range-join binning)
+    // must not lose pairs at its seams: matches exactly AT the window
+    // bound, matches crossing a bucket boundary, and near-misses just
+    // outside the window on either side
+    import graft.streaming.StreamOps
+    val H = 3600L * 1000000L // 1 h in µs
+    def ns(us: Long): Long = us * 1000L
+    val rows = Seq(
+      // (event_id, user_id, event_type, ts_ns)
+      (1L, 1L, "click", ns(100L)),          // bucket 0
+      (10L, 1L, "purchase", ns(100L)),      // == click ts -> excluded (strict >)
+      (11L, 1L, "purchase", ns(100L + H)),  // exactly +1h -> included (<=), bucket 1
+      (12L, 1L, "purchase", ns(101L + H)),  // +1h +1µs -> excluded
+      (2L, 1L, "click", ns(H - 50L)),       // bucket 0, near bucket edge
+      (13L, 1L, "purchase", ns(H + 50L)),   // bucket 1, within 1h of click 2
+      (3L, 1L, "click", ns(H + 10L)),       // bucket 1
+      (14L, 1L, "purchase", ns(H + 200L)),  // bucket 1, same-bucket match for 3 (and 2)
+      (4L, 2L, "click", ns(H - 50L)),       // other user: no cross-user pairs
+      (15L, 3L, "purchase", ns(H + 50L)))
+    val dir = Files.createTempDirectory("graft-ij-").toFile
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts LONG")
+      .parquet(s"$dir/in")
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val ckpt = Files.createTempDirectory("graft-ij-ck-")
+    val q = StreamOps.intervalJoin(stream, "click", "purchase", "1 hour")
+      .select($"user_id", $"left_id".as("click_id"), $"right_id".as("purchase_id"))
+      .writeStream.format("memory").queryName("ij_edges")
+      .outputMode("append").option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ij_edges")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = for {
+      (cid, cu, ct, cts) <- rows if ct == "click"
+      (pid, pu, pt, pts) <- rows
+      if pt == "purchase" && pu == cu &&
+        pts / 1000L > cts / 1000L && pts / 1000L <= cts / 1000L + H
+    } yield (cu, cid, pid)
+    val exp = expected.toSet
+    // the seams the fixture plants: exactly-at-window-bound included,
+    // bucket-boundary-crossing included, strict-> and just-outside excluded
+    assert(exp.contains((1L, 1L, 11L)), "match exactly AT +window must survive")
+    assert(exp.contains((1L, 2L, 13L)), "bucket-crossing match must survive")
+    assert(!exp.contains((1L, 1L, 10L)), "equal-ts pair is excluded (strict >)")
+    assert(!exp.contains((1L, 1L, 12L)), "+window+1µs pair is excluded")
+    assert(!exp.exists(_._1 == 2L), "no cross-user pairs")
+    assert(got === exp)
+  }
 }
