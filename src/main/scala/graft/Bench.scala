@@ -3,11 +3,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Canary threshold (seconds): the suite's JVM is BISTABLE (SURVEY
-    * §15) — fast (~42 s/100 queries; the canary query reads ~0.11 s
-    * IN-SUITE) or damaged (a flat ~+0.4 s/query janino/dispatch tax;
-    * canary ~0.45-0.52 s), decided by startup/warmup timing that
-    * survives for the JVM's lifetime. 0.25 s sits between the two modes
-    * with margin both ways.
+    * §15) — fast (~42-47 s/104 queries; the canary query reads
+    * 0.11-0.23 s IN-SUITE depending on host disk state) or damaged (a
+    * flat ~+0.3-0.4 s/query tax; canary 0.45-0.56 s). 0.25 s sits
+    * between the two modes with margin both ways.
+    *
+    * Round-15 ROOT CAUSE (JFR, see SURVEY §16): the "damage" was
+    * 48.8 s/90 s of monitor-blocked time on IndexShuffleBlockResolver
+    * — every local shuffle map task commits its index file under ONE
+    * resolver lock, and when the container's root disk stalls under
+    * host write-back pressure the 1-20 ms hold serializes all 32
+    * cores on every shuffled query. GraftSession now puts
+    * spark.local.dir on tmpfs, which removed the tax on a host whose
+    * disk was measurably in the slow state (canary 0.53 -> 0.23,
+    * suite 57.5 -> 46.7 s, attempt 1). The gate stays as the backstop
+    * for any other whole-JVM damage mode.
     *
     * The canary reading is the suite's OWN measured min for
     * [[CanaryQuery]], judged AFTER the run: an isolated pre-suite

@@ -59,6 +59,23 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", (256L * 1024).toString))
       // managed (bucketed) tables land in scratch, not the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // Shuffle/spill scratch on tmpfs when the host has one. Every
+      // local-mode shuffle map task commits its output under ONE
+      // IndexShuffleBlockResolver lock (writeIndexFileAndCommit is
+      // synchronized on the resolver), so the lock hold time is a
+      // file create+write+rename on spark.local.dir — on this
+      // container's virtio root disk that stalls for 1-20 ms under
+      // host write-back pressure and serializes all 32 cores behind
+      // it. A JFR profile of the "damaged" bistable bench state
+      // (SURVEY §15) measured 48.8 s of IndexShuffleBlockResolver
+      // monitor-blocked time in a 90 s window — the flat ~+0.3 s
+      // per-query tax was THIS, not janino/dispatch. tmpfs makes the
+      // critical section microseconds again. A cluster deployment
+      // points this at its local SSDs via the env override — the
+      // standard knob (spark.local.dir), not operator semantics.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-local"
+        else sys.props("java.io.tmpdir")))
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as Long (ns since epoch) and convert in-plan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
