@@ -567,8 +567,19 @@ object MiscQueries {
         Tables.events(s, dir).select("event_type", "value")),
       weights, "event_type", nSalts = 32)
       .groupBy("event_type")
+      // decimal accumulation, double result: a double sum over 2M+
+      // terms is summation-ORDER-dependent in its last ulp, and the
+      // salted join's partial-agg order is nondeterministic — at sf1
+      // the ulp drift crossed a cent boundary under round(..., 2)
+      // (2479589.18 vs .17 against the oracle). Casting each exact
+      // product to decimal(22,6) makes the sum associative (exact
+      // integer arithmetic) in BOTH engines; the per-term cast rounds
+      // the same binary double to the same 6 decimals on both sides
+      // (a binary double can never sit exactly on a decimal rounding
+      // midpoint, so tie rules cannot diverge).
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value") * col("weight")), 2).as("wsum"))
+        round(sum((col("value") * col("weight")).cast("decimal(22,6)")), 2)
+          .cast("double").as("wsum"))
       .coalesce(1).sortWithinPartitions("event_type")
   }
 
@@ -578,7 +589,7 @@ object MiscQueries {
   // instead of the parity failure pointing at the salted join
   val qSkewJoinSql: String = """
     |SELECT e.event_type, count(*) AS n,
-    |  round(sum(e.value * w.weight), 2) AS wsum
+    |  CAST(round(sum(CAST(e.value * w.weight AS DECIMAL(22,6))), 2) AS DOUBLE) AS wsum
     |FROM events e
     |JOIN (VALUES ('signup', 2.0), ('purchase', 4.0), ('view', 0.5),
     |             ('click', 1.0), ('error', 0.25)) AS w(event_type, weight)

@@ -443,19 +443,6 @@ object StreamOps {
     }
   }
 
-  /** Runs a finite streaming query to a memory sink and returns the
-    * sink table. AvailableNow processes the full backlog then stops —
-    * the batch-replay harness for stream operators.
-    *
-    * After termination the run's state store providers are unloaded
-    * eagerly: each run writes to a fresh temp checkpoint, so its
-    * providers (holding the full join/agg state maps in executor
-    * memory) can never be reused, yet the maintenance thread only
-    * evicts them on its 60 s cycle — across a many-query suite that
-    * retained state compounds into GC pressure that shows up as
-    * multi-second variance in UNRELATED queries. Both the partition
-    * override and the unload are safe because the harness never runs
-    * two streams concurrently. */
   /** Replays a stream into a date-partitioned landing zone via
     * foreachBatch → [[graft.sources.DatedWriter]] — the reference
     * poller's ACTUAL pipeline shape (kpt/poller/writer.py:18-57
@@ -646,18 +633,6 @@ object StreamOps {
     c.asInstanceOf[PlantedStreamFailure]
   }
 
-  /** `noFlush = true` skips the trailing ZERO-ROW micro-batch Spark
-    * appends to a stateful replay (noDataMicroBatches — it advances
-    * the watermark so evictions/timeouts fire), measured at 0.5-0.7 s
-    * of state-scan + store commits per replay. Only legal where that
-    * batch cannot add OUTPUT rows: complete-mode aggregations re-emit
-    * the full result every batch (the no-data pass re-emits an
-    * identical table), and watermarked INNER joins emit matches in the
-    * batch the rows arrive (eviction only trims state). Queries whose
-    * RESULTS need the watermark push — append-mode windowed aggs,
-    * outer joins, flatMapGroupsWithState event-time timeouts — must
-    * keep the default. The DuckDB-hash gate pins that every noFlush
-    * adopter is row-identical to the batch oracle. */
   /** Stateless replay to a DISTRIBUTED file sink: the stream lands as
     * parquet (exactly-once via the file sink's commit log) and the
     * result is read back — rows never funnel through the driver. The
@@ -873,6 +848,31 @@ object StreamOps {
     s.read.parquet(root.resolve("out-b*").toString)
   }
 
+  /** Runs a finite streaming query to a memory sink and returns the
+    * sink table. AvailableNow processes the full backlog then stops —
+    * the batch-replay harness for stream operators.
+    *
+    * After termination the run's state store providers are unloaded
+    * eagerly: each run writes to a fresh temp checkpoint, so its
+    * providers (holding the full join/agg state maps in executor
+    * memory) can never be reused, yet the maintenance thread only
+    * evicts them on its 60 s cycle — across a many-query suite that
+    * retained state compounds into GC pressure that shows up as
+    * multi-second variance in UNRELATED queries. The unload is safe
+    * because the harness never runs two streams concurrently.
+    *
+    * `noFlush = true` skips the trailing ZERO-ROW micro-batch Spark
+    * appends to a stateful replay (noDataMicroBatches — it advances
+    * the watermark so evictions/timeouts fire), measured at 0.5-0.7 s
+    * of state-scan + store commits per replay. Only legal where that
+    * batch cannot add OUTPUT rows: complete-mode aggregations re-emit
+    * the full result every batch (the no-data pass re-emits an
+    * identical table), and watermarked INNER joins emit matches in the
+    * batch the rows arrive (eviction only trims state). Queries whose
+    * RESULTS need the watermark push — append-mode windowed aggs,
+    * outer joins, flatMapGroupsWithState event-time timeouts — must
+    * keep the default. The DuckDB-hash gate pins that every noFlush
+    * adopter is row-identical to the batch oracle. */
   def runToMemory(s: SparkSession, build: SparkSession => DataFrame,
                   name: String, mode: String,
                   noFlush: Boolean = false): DataFrame = {
