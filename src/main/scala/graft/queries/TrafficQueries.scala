@@ -416,6 +416,38 @@ object TrafficQueries {
   def taAsofWeather(s: SparkSession, dir: String): DataFrame =
     taAsofWeatherBody(s, dir).sortWithinPartitions("event_id")
 
+  /** ONLINE as-of enrichment: positions arrive in ranged micro-batches
+    * (the poller's live feed shape) and each batch is as-of joined
+    * against the STATIC weather series snapshot inside foreachBatch —
+    * the batch engine's broadcast as-of probe runs per arriving batch,
+    * exactly once per batch, like st_ann_serve's index serving. This
+    * is the serving form of the reference's weather enrichment
+    * (weather/extract.py's hourly series consumed next to the live
+    * kpt poller): a per-row backward lookup against reference data,
+    * which is why batch slicing is invisible — each output row depends
+    * only on its own position row and the static series, so the
+    * drained union is hash-identical to batch ta_asof_weather (same
+    * DuckDB oracle). Scale: the series stays |hours| x |types| at any
+    * corpus size (broadcast side), the stream side never shuffles. */
+  def stAsofServe(s: SparkSession, dir: String): DataFrame = {
+    // persist the snapshot series across micro-batches: foreachBatch
+    // re-executes every referenced plan per batch, so an un-cached
+    // series would re-aggregate the full corpus once PER batch — the
+    // serving index is built once, like st_ann_serve's corpus
+    val series = weatherSeries(s, dir).persist()
+    val stream = graft.streaming.StreamOps.eventsStreamSliced(s, dir, 4)
+    try {
+      graft.streaming.StreamOps.runBatchTransforms(s, stream, "st_asof_serve") {
+        batch =>
+          AsOfJoin.backwardBroadcast(
+            PositionView.fromEvents(batch).select("event_id", "event_type", "ts"),
+            series, keyCols = Seq("event_type"), timeCol = "ts",
+            valueCols = Seq("w_temp"))
+            .select("event_id", "w_temp")
+      }.sortWithinPartitions("event_id")
+    } finally { series.unpersist(); () }
+  }
+
   val taAsofWeatherSql: String = PositionView.oracleCte + """,
     |series AS (
     |  SELECT event_type, date_trunc('hour', ts) AS h,
@@ -695,6 +727,7 @@ object TrafficQueries {
     "ta_sessionize" -> (taSessionize _),
     "ta_session_stats" -> (taSessionStats _),
     "ta_asof_weather" -> (taAsofWeather _),
+    "st_asof_serve" -> (stAsofServe _),
     "ta_weather_corr" -> (taWeatherCorr _),
     "ta_speed_histogram" -> (taSpeedHistogram _),
     "ta_route_labels" -> (taRouteLabels _),
@@ -715,6 +748,7 @@ object TrafficQueries {
     "ta_sessionize" -> taSessionizeSql,
     "ta_session_stats" -> taSessionStatsSql,
     "ta_asof_weather" -> taAsofWeatherSql,
+    "st_asof_serve" -> taAsofWeatherSql,
     "ta_weather_corr" -> taWeatherCorrSql,
     "ta_speed_histogram" -> taSpeedHistogramSql,
     "ta_route_labels" -> taRouteLabelsSql,

@@ -196,6 +196,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming as-of serving equals the batch as-of enrichment") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TrafficQueries.queries("ta_asof_weather")(spark, sf)
+      .select("event_id", "w_temp")
+      .as[(Long, Option[Double])].collect().sorted.toSeq
+    val served = graft.queries.TrafficQueries.queries("st_asof_serve")(spark, sf)
+      .select("event_id", "w_temp")
+      .as[(Long, Option[Double])].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(served === batch)
+  }
+
   test("bucketed interval join hits every window-edge and bucket-edge pair") {
     // the time-bucketed join key (intervalJoin's range-join binning)
     // must not lose pairs at its seams: matches exactly AT the window
