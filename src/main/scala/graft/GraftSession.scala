@@ -73,9 +73,8 @@ object GraftSession {
       // critical section microseconds again. A cluster deployment
       // points this at its local SSDs via the env override — the
       // standard knob (spark.local.dir), not operator semantics.
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-local"
-        else sys.props("java.io.tmpdir")))
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", defaultLocalDir))
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as Long (ns since epoch) and convert in-plan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -110,6 +109,45 @@ object GraftSession {
       // directory presence alone.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
+
+  /** tmpfs scratch consumes RAM, so preferring /dev/shm is gated on a
+    * usable-space floor (spills that should RELIEVE memory pressure
+    * must not instead fill tmpfs to ENOSPC / cgroup OOM), and scratch
+    * is laid out one subdirectory per JVM pid so a session start can
+    * reclaim what a CRASHED JVM leaked — on tmpfs that leak is resident
+    * RAM until reboot, not just disk. Only dirs whose owning pid is
+    * dead (/proc/<pid> gone) are removed: a concurrently-running graft
+    * JVM (bench re-roll child, driver beside builder) keeps its live
+    * shuffle files. Falls back to java.io.tmpdir below the floor. */
+  private[graft] def defaultLocalDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    val floorBytes = 4L * 1024 * 1024 * 1024
+    if (shm.canWrite && shm.getUsableSpace > floorBytes) {
+      val root = new java.io.File(shm, "graft-local")
+      root.mkdirs()
+      val live = java.lang.ProcessHandle.current().pid()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+        d.getName match {
+          case s if s.startsWith("pid-") =>
+            val pid = s.stripPrefix("pid-")
+            val dead = pid.forall(_.isDigit) &&
+              pid.toLong != live &&
+              !java.nio.file.Files.isDirectory(
+                java.nio.file.Paths.get("/proc", pid))
+            if (dead) deleteRecursive(d)
+          case _ => () // pre-layout flat scratch: left for its owner
+        }
+      }
+      new java.io.File(root, s"pid-$live").getPath
+    } else sys.props("java.io.tmpdir")
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete()
+    ()
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * Multimodal payloads are the documents' UTF-8 bytes (pure ASCII, so
   * the DuckDB oracle can hash the text directly while Spark operates on
   * real binary). Streaming queries replay the events parquet through
-  * the file stream source and land in a memory sink; their oracles are
-  * the batch equivalents.
+  * the file stream source; queries whose output grows with the feed
+  * land in a distributed parquet sink (StreamOps.runToParquet), while
+  * bounded-group aggregations may keep the driver memory sink — the
+  * sink-discipline lint in RegistryPlanLintSpec enforces the split.
+  * Oracles are the batch equivalents.
   */
 object MiscQueries {
 
@@ -89,9 +92,13 @@ object MiscQueries {
   // ---- st_windowed_counts ------------------------------------------------
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
-    StreamOps.runToMemory(s, ss => StreamOps.windowedCounts(
+    // complete-mode aggregate landed as a distributed snapshot refresh
+    // (runCompleteSnapshot): the group count is windows x event_type —
+    // small per refresh, but still no reason to funnel it through the
+    // driver; the snapshot sink keeps every registered query memory-free
+    StreamOps.runCompleteSnapshot(s, ss => StreamOps.windowedCounts(
       StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))),
-      "st_windowed_counts_sink", "complete", noFlush = true)
+      "st_windowed_counts", noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -109,9 +116,9 @@ object MiscQueries {
     * oracle expands the overlap explicitly — one row per event per
     * covering window start. */
   def stSlidingCounts(s: SparkSession, dir: String): DataFrame = {
-    StreamOps.runToMemory(s, ss => StreamOps.slidingCounts(
+    StreamOps.runCompleteSnapshot(s, ss => StreamOps.slidingCounts(
       StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s))),
-      "st_sliding_counts_sink", "complete", noFlush = true)
+      "st_sliding_counts", noFlush = true)
       .select(col("window.start").cast("timestamp_ntz").as("win_start"),
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
@@ -130,12 +137,19 @@ object MiscQueries {
 
   // ---- st_stream_dedup ---------------------------------------------------
 
+  /** Distributed parquet sink, not the memory sink: the dedup's output
+    * is the whole distinct corpus — on an unbounded feed a memory sink
+    * funnels every surviving row through the driver per batch, the
+    * exact bottleneck runToParquet exists to remove (the bounded-group
+    * aggs keep the memory sink; their per-batch output is a few
+    * thousand grouped rows, documented at each site). */
   def stStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    StreamOps.runToMemory(s, ss => StreamOps.streamDedup(
+    StreamOps.runToParquet(s, ss => StreamOps.streamDedup(
       StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
       Seq("user_id", "event_type"))
       .select("user_id", "event_type"),
-      "st_stream_dedup_sink", "append", noFlush = true)
+      "st_stream_dedup", stateParts = Some(StreamOps.replayStateParts(s)),
+      noFlush = true)
       .orderBy("user_id", "event_type")
   }
 
@@ -436,11 +450,14 @@ object MiscQueries {
   def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
     // wide staged source: the 1M-row scan+project feeding the session
     // shuffle gets one task per file instead of the single backlog
-    // file's one split (probed at sf1: 2.36 -> 1.92 s)
-    StreamOps.runToMemory(s, ss => StreamOps.sessionCounts(
+    // file's one split (probed at sf1: 2.36 -> 1.92 s). The complete
+    // re-emission (one row per session) lands as a distributed snapshot
+    // refresh, never a driver collect; the true unbounded-feed shape is
+    // st_session_final (append + one state read).
+    StreamOps.runCompleteSnapshot(s, ss => StreamOps.sessionCounts(
       StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
       "30 minutes"),
-      "st_session_window_sink", "complete", noFlush = true)
+      "st_session_window", noFlush = true)
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("sess_start"),
         col("session_window.end").cast("timestamp_ntz").as("sess_end"),
@@ -530,12 +547,15 @@ object MiscQueries {
     * against the equivalent batch join in DuckDB. The watermark bounds
     * the join state (see StreamOps.intervalJoin). */
   def stStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    StreamOps.runToMemory(s, ss => StreamOps.intervalJoin(
+    // distributed parquet sink: join output grows with feed density —
+    // the memory sink collected every matched pair into the driver
+    StreamOps.runToParquet(s, ss => StreamOps.intervalJoin(
       StreamOps.eventsStreamWide(ss, dir, StreamOps.wideReplayFiles(s)),
       "click", "purchase", "1 hour")
       .select(col("user_id"), col("left_id").as("click_id"),
         col("right_id").as("purchase_id")),
-      "st_stream_join_sink", "append", noFlush = true)
+      "st_stream_join", stateParts = Some(StreamOps.replayStateParts(s)),
+      noFlush = true)
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
@@ -575,8 +595,12 @@ object MiscQueries {
       // product to decimal(22,6) makes the sum associative (exact
       // integer arithmetic) in BOTH engines; the per-term cast rounds
       // the same binary double to the same 6 decimals on both sides
-      // (a binary double can never sit exactly on a decimal rounding
-      // midpoint, so tie rules cannot diverge).
+      // because both engines round double→decimal ties AWAY FROM ZERO
+      // (Spark HALF_UP on the magnitude, DuckDB half-away-from-zero) —
+      // a double CAN sit exactly on a 6-decimal midpoint (0.0078125 =
+      // 2^-7 is exactly between 0.007812 and 0.007813), so the
+      // agreement rests on the tie rules coinciding, not on midpoints
+      // being unreachable.
       .agg(count(lit(1)).as("n"),
         round(sum((col("value") * col("weight")).cast("decimal(22,6)")), 2)
           .cast("double").as("wsum"))
@@ -609,13 +633,15 @@ object MiscQueries {
     * window version (ing_poll_lifecycle). */
   def stReconnectBackoff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    StreamOps.runToMemory(s, ss => graft.operators.PollLifecycle.assign(
+    // per-event output (one lifecycle row per poll) grows with the
+    // feed — distributed parquet sink, never the driver memory sink
+    StreamOps.runToParquet(s, ss => graft.operators.PollLifecycle.assign(
       StreamOps.eventsStream(ss, dir)
         .select(col("event_id"), col("user_id").as("client_id"),
           expr(graft.sources.PositionView.TsUsSql).as("ts_us"),
           graft.operators.Poller.outcomeCol.as("outcome"))
         .as[graft.operators.PollEvent]).toDF(),
-      "st_reconnect_backoff_sink", "append")
+      "st_reconnect_backoff", stateParts = Some(StreamOps.replayStateParts(s)))
       .orderBy("client_id", "event_id")
   }
 

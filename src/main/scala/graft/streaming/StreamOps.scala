@@ -272,17 +272,22 @@ object StreamOps {
                    window: String): DataFrame = {
     val tsUs = graft.sources.PositionView.TsUsSql
     val wUs = intervalMicros(window)
+    // exact integer floor division (the pmod-floor pattern TsUsSql
+    // already uses): floor(us / wUs) via IEEE double division is only
+    // correct while 1/wUs exceeds the quotient's half-ulp — a long
+    // window over far-future timestamps could mis-bucket a row by one
+    // and silently drop a matching pair at a bucket seam
+    def bucket(tsCol: String): org.apache.spark.sql.Column =
+      expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${wUs}L)) div ${wUs}L")
     val left = events.filter(col("event_type") === leftType)
       .select(col("event_id").as("left_id"), col("user_id"),
         timestamp_micros(expr(tsUs)).as("left_ts"))
-      .withColumn("__lb", explode(array(
-        floor(unix_micros(col("left_ts")) / wUs),
-        floor(unix_micros(col("left_ts")) / wUs) + 1)))
+      .withColumn("__lb", explode(array(bucket("left_ts"), bucket("left_ts") + 1)))
       .withWatermark("left_ts", window)
     val right = events.filter(col("event_type") === rightType)
       .select(col("event_id").as("right_id"), col("user_id").as("__ru"),
         timestamp_micros(expr(tsUs)).as("right_ts"))
-      .withColumn("__rb", floor(unix_micros(col("right_ts")) / wUs))
+      .withColumn("__rb", bucket("right_ts"))
       .withWatermark("right_ts", window)
     left.join(right,
       col("user_id") === col("__ru") && col("__lb") === col("__rb") &&
@@ -465,6 +470,7 @@ object StreamOps {
     * + ~0.3 s read-back over the 1-file-per-date layout). */
   def runToDated(s: SparkSession, df: DataFrame, tsCol: String,
                  outDir: String, filesPerDate: Int = 1): Unit = {
+    SinkAudit.record("dated", outDir)
     import java.nio.file.{Files, Paths}
     val root = Paths.get(outDir)
     val marker = root.resolve(DatedZoneMarker)
@@ -551,6 +557,7 @@ object StreamOps {
                             outDir: String, checkpointDir: String,
                             failAtBatch: Option[Long] = None,
                             fresh: Boolean = false): Unit = {
+    SinkAudit.record("dated", outDir)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(outDir)
@@ -647,15 +654,23 @@ object StreamOps {
     * checkpoint root keyed by `name` and is cleared at the START of
     * each run, so bench repeats never accumulate. */
   def runToParquet(s: SparkSession, build: SparkSession => DataFrame,
-                   name: String, stateParts: Option[Int] = None): DataFrame = {
+                   name: String, stateParts: Option[Int] = None,
+                   noFlush: Boolean = false): DataFrame = {
+    SinkAudit.record("parquet", name)
     val out = CheckpointRoot.resolve(s"sink-$name")
     deleteRecursive(out)
     val ckpt = freshCheckpoint()
     // a STATEFUL caller still wants the small state-partition count
     // (per-partition store commits are the floor) — only the sink
-    // write itself is distributed either way
+    // write itself is distributed either way. noFlush skips the
+    // trailing zero-row micro-batch under the same legality contract
+    // documented on runToMemory (output must not depend on the final
+    // watermark push — first-arrival dedup and inner joins qualify).
     val ss = replaySession(s, stateParts.toSeq.map(p =>
-      "spark.sql.shuffle.partitions" -> p.toString))
+      "spark.sql.shuffle.partitions" -> p.toString) ++
+      (if (noFlush)
+        Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      else Nil))
     val df = build(ss)
     try {
       val q = df.writeStream
@@ -712,6 +727,7 @@ object StreamOps {
   def runToParquetWithState(s: SparkSession, build: SparkSession => DataFrame,
                             name: String,
                             openProj: DataFrame => DataFrame): DataFrame = {
+    SinkAudit.record("parquet+state", name)
     val root = CheckpointRoot.resolve(s"sinkst-$name")
     deleteRecursive(root)
     val out = root.resolve("sink")
@@ -775,6 +791,7 @@ object StreamOps {
     * backlog was sliced; the spec pins 1-slice ≡ 4-slice. */
   def runUpdateDeltas(s: SparkSession, build: SparkSession => DataFrame,
                       name: String, keyCols: Seq[String]): DataFrame = {
+    SinkAudit.record("delta", name)
     val root = CheckpointRoot.resolve(s"delta-$name")
     deleteRecursive(root)
     val ckpt = root.resolve("ckpt")
@@ -831,6 +848,7 @@ object StreamOps {
     * session parallelism. */
   def runBatchTransforms(s: SparkSession, df: DataFrame, name: String)
                         (f: DataFrame => DataFrame): DataFrame = {
+    SinkAudit.record("batch-deltas", name)
     val root = CheckpointRoot.resolve(s"fb-$name")
     deleteRecursive(root)
     val ckpt = root.resolve("ckpt")
@@ -846,6 +864,68 @@ object StreamOps {
     q.awaitTermination()
     ReplayMetrics.record(name, q)
     s.read.parquet(root.resolve("out-b*").toString)
+  }
+
+  /** COMPLETE-mode replay landed DISTRIBUTED: each micro-batch's full
+    * re-emitted aggregate overwrites a deterministic snapshot dir via
+    * foreachBatch — the materialized-view-refresh shape of a
+    * complete-mode aggregation (a production serving layer refreshes
+    * its table per batch; readers always see the latest refresh). The
+    * write is a distributed parquet job, so unlike the memory sink no
+    * row ever funnels through the driver, whatever the aggregate's
+    * cardinality does as the feed grows. Per-batch cost is O(result),
+    * which is complete mode's own contract — the per-batch refresh is
+    * the price of re-emission, not of this sink; append-mode variants
+    * (runToParquetWithState) are the shape when that price is too high.
+    *
+    * `noFlush` legality is as documented on [[runToMemory]]: complete
+    * mode re-emits the full result every batch, so the trailing
+    * zero-row batch can only rewrite an identical snapshot. */
+  def runCompleteSnapshot(s: SparkSession, build: SparkSession => DataFrame,
+                          name: String, noFlush: Boolean = false): DataFrame = {
+    SinkAudit.record("snapshot", name)
+    val root = CheckpointRoot.resolve(s"snap-$name")
+    deleteRecursive(root)
+    val ckpt = root.resolve("ckpt")
+    val out = root.resolve("snapshot")
+    val ss = replaySession(s, Seq("spark.sql.shuffle.partitions" ->
+      replayStateParts(s).toString) ++
+      (if (noFlush)
+        Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      else Nil))
+    val df = build(ss)
+    try {
+      val q = df.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out.toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ReplayMetrics.record(name, q)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+    }
+    s.read.schema(df.schema).parquet(out.toString)
+  }
+
+  /** Records which SINK each replay harness run used, keyed by run
+    * name — the evidence base for the registry sink-discipline lint
+    * (RegistryPlanLintSpec): a registered streaming query must land
+    * distributed; the driver-collecting memory sink is probe/test-only.
+    * Recording at the harness entry points (not in the queries) means
+    * a future query wired to the wrong sink is caught by construction,
+    * not by review. */
+  object SinkAudit {
+    private val uses = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def record(kind: String, name: String): Unit = { uses.add(s"$kind:$name"); () }
+    def memorySinks: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      uses.asScala.toSet.filter(_.startsWith("memory:"))
+    }
+    def clear(): Unit = uses.clear()
   }
 
   /** Runs a finite streaming query to a memory sink and returns the
@@ -876,6 +956,7 @@ object StreamOps {
   def runToMemory(s: SparkSession, build: SparkSession => DataFrame,
                   name: String, mode: String,
                   noFlush: Boolean = false): DataFrame = {
+    SinkAudit.record("memory", name)
     val sets = Seq("spark.sql.shuffle.partitions" ->
       replayStateParts(s).toString) ++
       (if (noFlush)

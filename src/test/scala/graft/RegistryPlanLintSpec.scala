@@ -20,16 +20,41 @@ class RegistryPlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // ONE pass over the registry feeds both lints: building a query's
+  // plan executes any streaming replay it contains (the run* harnesses
+  // are eager), so the pass leaves behind the physical plans AND the
+  // SinkAudit trail of which sink every replay landed in.
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
+    graft.streaming.StreamOps.SinkAudit.clear()
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan
+    }
+  }
+
   test("no registered query plans a shuffled cartesian product") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
-        val carts = collectWithSubqueries(plan) {
-          case c: CartesianProductExec => c
-        }
-        if (carts.nonEmpty) Some(name) else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val carts = collectWithSubqueries(plan) {
+        case c: CartesianProductExec => c
+      }
+      if (carts.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"shuffled cartesian in: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered streaming query lands in the driver memory sink") {
+    // Sink discipline: a memory sink collects EVERY output row into the
+    // driver per micro-batch — for output that grows with the feed
+    // (dedup = the distinct corpus, joins = match density, per-event
+    // state transforms) that is the one bottleneck no executor count
+    // can fix. Every registered replay must land distributed: parquet
+    // (append), parquet+state, update-deltas, dated zone, or the
+    // complete-mode snapshot refresh. runToMemory survives for
+    // tests/probes only; this lint catches any future registry query
+    // wired back onto it (it would have caught st_stream_dedup /
+    // st_stream_join, which shipped driver-funneled through round 15).
+    plans.length // force the registry pass
+    val mem = graft.streaming.StreamOps.SinkAudit.memorySinks
+    assert(mem.isEmpty, s"registered queries using the memory sink: $mem")
   }
 }
