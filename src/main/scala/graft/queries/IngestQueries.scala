@@ -167,8 +167,14 @@ object IngestQueries {
     // only needs "payload parses AND carries id" — the streaming
     // Jackson probe skips the struct materialization and the
     // per-corrupt-row exception path (A/B at sf1, QuarantineProbe:
-    // parse cost over the scan floor 0.36 -> 0.26 s, row-identical)
-    spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("event_type"))
+    // parse cost over the scan floor 0.36 -> 0.26 s, row-identical).
+    // Plain spread, NOT spreadEvOrdered: the output is a 2-row grouped
+    // aggregate — a range exchange (and its boundary-sampling job) buys
+    // nothing here, and dropping it closed the sf1 gate (QuarantineProbe
+    // r16: 0.585 s min = 1.79x vs 0.662 s = 2.02x with the range pass;
+    // the probed alternatives — one-pass regexp_replace E, regex-free
+    // string slicing F — both measured SLOWER than the current shape).
+    spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(col("frame"),
         regexp_extract(col("frame"), pattern, 1).as("evt_name"),

@@ -57,6 +57,35 @@ object QuarantineProbe {
     }
     def vC = base.select(col("frame"), lit("x").as("evt_name"))
       .groupBy("evt_name").agg(count(lit(1)).as("n"), min("frame").as("q"))
+    // E: ONE regex pass — regexp_replace rewrites a matching frame to
+    // "name\x01payload" (no match → unchanged), split_part slices both
+    // groups out; jackson runs only via get_json_object as in D
+    def vE = {
+      val rep = regexp_replace(col("frame"), pattern, "$1$2")
+      val matched = contains(rep, lit(""))
+      finish2(base
+        .withColumn("rep", rep)
+        .select(col("frame"),
+          when(matched, split_part(col("rep"), lit(""), lit(1)))
+            .otherwise(lit("")).as("evt_name"),
+          (matched && get_json_object(
+            split_part(col("rep"), lit(""), lit(2)), "$.id").isNotNull)
+            .as("ok")))
+    }
+    // F: regex-free — wire-format string ops (prefix + suffix + quote
+    // slicing); probes the regex share of the parse cost
+    def vF = {
+      val t = rtrim(col("frame"))
+      val name = substring_index(substring(t, 5, 1 << 20), "\"", 1)
+      val m = startswith(col("frame"), lit("42[\"")) && endswith(t, lit("]")) &&
+        name.rlike("^\\w+$")
+      val payload = expr(
+        "substring(rtrim(frame), 7 + length(substring_index(substring(rtrim(frame), 5, 1048576), '\"', 1)), " +
+        "length(rtrim(frame)) - 7 - length(substring_index(substring(rtrim(frame), 5, 1048576), '\"', 1)))")
+      finish2(base.select(col("frame"),
+        when(m, name).otherwise(lit("")).as("evt_name"),
+        (m && get_json_object(payload, "$.id").isNotNull).as("ok")))
+    }
     def finish2(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("evt_name")
       .agg(count(lit(1)).as("n_frames"),
@@ -75,7 +104,12 @@ object QuarantineProbe {
     println("QPROBE B==A: " + (a == b))
     val d = vD.collect().map(_.toString).sorted.toSeq
     println("QPROBE D==A: " + (a == d))
-    for (r <- 1 to rounds) { time(s"A r$r")(vA); time(s"D r$r")(vD); time(s"C r$r")(vC) }
+    println("QPROBE E==A: " + (a == vE.collect().map(_.toString).sorted.toSeq))
+    println("QPROBE F==A: " + (a == vF.collect().map(_.toString).sorted.toSeq))
+    for (r <- 1 to rounds) {
+      time(s"A r$r")(vA); time(s"D r$r")(vD); time(s"E r$r")(vE)
+      time(s"F r$r")(vF); time(s"C r$r")(vC)
+    }
     spark.stop()
   }
 }
