@@ -19,40 +19,75 @@ import org.apache.spark.sql.functions._
   * bounded per-bucket summary (last row, prefix totals) that a
   * map-side-combined aggregate produces at |keys| x B rows.
   *
-  * Like AsOfJoin, the decomposition engages by PLAN-SIZE ESTIMATE:
-  * below [[DefaultBucketBytes]] the single-window plan runs as-is (the
-  * carry machinery's fixed stages cost more than the skew they remove
-  * at small volume), while an UNKNOWN size estimates huge and buckets —
-  * the safe default for a 100 TB scan. The threshold is env-overridable
-  * (SPARK_GRAFT_WINDOW_BUCKET_BYTES) so the local skew rehearsal can
+  * Like AsOfJoin, the decomposition engages by plan ESTIMATE — but in
+  * ROWS, not bytes ([[DefaultBucketRows]], the byte estimate divided by
+  * the schema's row width): a hot key's sequential window cost is
+  * per-row, so a byte threshold engages at wildly different hot-task
+  * seconds depending on row width. Below the threshold the
+  * single-window plan runs as-is (the carry machinery's fixed stages
+  * cost more than the skew they remove at small volume), while an
+  * UNKNOWN size estimates huge and buckets — the safe default for a
+  * 100 TB scan. The threshold is env-overridable
+  * (SPARK_GRAFT_WINDOW_BUCKET_ROWS) so the local skew rehearsal can
   * exercise the bucketed plans at harness scale.
   */
 object TimeBuckets {
 
-  /** Estimated input bytes above which a per-key window is bucketed. */
-  val DefaultBucketBytes: Long = 256L << 20
+  /** Estimated input ROWS per bucket above which a per-key window is
+    * bucketed. Rows, not bytes: a hot key's sequential window task
+    * costs per-ROW (sort comparisons, lag/scan passes), so a byte
+    * threshold engages the hatch at wildly different hot-task costs
+    * depending on row width — a two-long lag row hits 256 MB at ~6M
+    * rows where a 1 KB document row hits it at 250k, a 24x swing in
+    * the sequential seconds the threshold is supposed to bound. The
+    * estimate therefore converts bytes to rows through the schema's
+    * Catalyst default row width first.
+    *
+    * Calibration (CrossoverProbe, r16; 75%-hot-key streams, minima):
+    * at EQUAL row counts slim (4-long) and wide (+3 doubles +string)
+    * frames cost the same both single and bucketed (4M rows: 7.12 vs
+    * 7.04 s single, 1.56 vs 1.62 s bucketed) — the crossover is a ROW
+    * property, which is the whole case for this conversion. Under
+    * heavy skew the bucketed side wins from ~1M rows (1.77→1.02 s) and
+    * the gap grows monotonically (8M: 16.8→2.97 s); under uniform data
+    * the seam machinery costs ~1 s flat (SCALE.md r15), amortized by
+    * the time a multi-million-row job engages. 2M rows/bucket places
+    * engagement where the skewed side already wins decisively for the
+    * cheapest per-row operator (the slim lag) while compensating the
+    * estimate's systematic row UNDER-count (~1.6x on the probe frames;
+    * parquet file-relation byte estimates are compressed bytes, biasing
+    * the same direction). */
+  val DefaultBucketRows: Long = 2L * 1000 * 1000
 
   /** System property first (an in-session toggle, so the skew rehearsal
     * can A/B default-vs-bucketed inside ONE session — cross-window
     * comparisons on this host are untrustworthy), then env, then the
     * 100 TB-safe default. Read at plan BUILD time. */
-  def bucketBytesTarget: Long =
-    sys.props.get("spark.graft.windowBucketBytes")
-      .orElse(sys.env.get("SPARK_GRAFT_WINDOW_BUCKET_BYTES")).map(_.toLong)
-      .getOrElse(DefaultBucketBytes)
+  def bucketRowsTarget: Long =
+    sys.props.get("spark.graft.windowBucketRows")
+      .orElse(sys.env.get("SPARK_GRAFT_WINDOW_BUCKET_ROWS")).map(_.toLong)
+      .getOrElse(DefaultBucketRows)
 
-  /** Bucket count: one per [[bucketBytesTarget]] of estimated input,
-    * capped at the session's shuffle parallelism (more buckets than
-    * tasks only multiplies seams), floored at 1 (= stay single-window).
-    * `buckets > 0` forces a count — the spec harness pins B-invariance
-    * with it. */
+  /** Catalyst-default row width of `df`'s schema, floored at 8 bytes so
+    * a degenerate schema cannot explode the row estimate. */
+  def estimatedRowWidth(df: DataFrame): Long =
+    math.max(8L, df.schema.map(_.dataType.defaultSize.toLong).sum)
+
+  /** Estimated input rows: plan byte estimate ÷ schema row width. */
+  def estimatedRows(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes / estimatedRowWidth(df)
+
+  /** Bucket count: one per [[bucketRowsTarget]] of estimated input
+    * rows, capped at the session's shuffle parallelism (more buckets
+    * than tasks only multiplies seams), floored at 1 (= stay
+    * single-window). `buckets > 0` forces a count — the spec harness
+    * pins B-invariance with it. */
   def bucketCount(df: DataFrame, buckets: Int): Int =
     if (buckets > 0) buckets
     else {
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val parts = BigInt(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      ((bytes / bucketBytesTarget) min parts max BigInt(1)).toInt
+      ((estimatedRows(df) / bucketRowsTarget) min parts max BigInt(1)).toInt
     }
 
   /** Per-key lag(1) of `lagCols` (ordered by tsCol, tieCol; appended as

@@ -39,10 +39,10 @@ object SkewProbe {
   val Decomposable: Seq[String] =
     Seq("ta_speed_lag", "ta_sessionize", "ta_session_stats", "ing_poll_lifecycle")
 
-  /** Threshold forcing the bucketed path at harness scale (the 256 MB
-    * default is sized for real deployments; sf1's estimate is ~tens of
-    * MB). 0.5 MB → B = min(estimate/0.5MB, parallelism) ≈ the 32 cap. */
-  val ForcedBucketBytes = "500000"
+  /** Threshold forcing the bucketed path at harness scale (the 4M-row
+    * default is sized for real deployments; sf1 is ~1M rows). 10k rows
+    * → B = min(estRows/10k, parallelism) ≈ the 32 cap. */
+  val ForcedBucketRows = "10000"
 
   def main(args: Array[String]): Unit = {
     val uni = args.headOption.getOrElse("/tmp/graft-sf1")
@@ -55,7 +55,7 @@ object SkewProbe {
     def run(r: Int, tag: String, dir: String, name: String,
             bucketed: Boolean): Unit = {
       if (bucketed)
-        sys.props("spark.graft.windowBucketBytes") = ForcedBucketBytes
+        sys.props("spark.graft.windowBucketRows") = ForcedBucketRows
       try {
         val t0 = System.nanoTime()
         val df = if (name == "cc_star") ccStar(spark, dir)
@@ -65,7 +65,7 @@ object SkewProbe {
         println(f"round $r $tag%-8s $name%-24s $dt%6.2f s")
         val k = (name, tag)
         best(k) = math.min(best.getOrElse(k, Double.MaxValue), dt)
-      } finally if (bucketed) sys.props.remove("spark.graft.windowBucketBytes")
+      } finally if (bucketed) sys.props.remove("spark.graft.windowBucketRows")
     }
     for (r <- 1 to rounds; (tag, dir) <- Seq("uniform" -> uni, "zipf" -> zipf)) {
       all.foreach(n => run(r, tag, dir, n, bucketed = false))

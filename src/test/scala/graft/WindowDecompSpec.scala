@@ -122,6 +122,37 @@ class WindowDecompSpec extends SparkSpec {
     assert(TimeBuckets.bucketCount(pos, 5) === 5)
   }
 
+  test("width-aware estimate: engagement tracks rows, not bytes") {
+    // slim (two longs) and wide (same rows + doubles + a string) frames
+    // with IDENTICAL row counts must derive ~equal row estimates and the
+    // SAME bucket count — the byte estimate alone differs by the width
+    // ratio, which is exactly the mis-engagement the rows conversion
+    // removes (a hot key's sequential window cost is per-row)
+    val n = 512
+    val slim = spark.range(n).select(col("id").as("k"), col("id").as("ts_us"))
+    val wide = spark.range(n).select(col("id").as("k"), col("id").as("ts_us"),
+      (col("id") * 1.5).as("d1"), (col("id") * 2.5).as("d2"),
+      concat(lit("payload-"), col("id")).as("s1"))
+    val slimRows = TimeBuckets.estimatedRows(slim)
+    val wideRows = TimeBuckets.estimatedRows(wide)
+    // same row count → row estimates within a small factor (string
+    // default size vs actual lengths is the slack), NOT the ~3x the
+    // byte estimates differ by
+    val slimBytes = slim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wideBytes = wide.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(wideBytes > slimBytes * 2, "fixture must differ in width")
+    assert((slimRows - wideRows).abs * 4 <= slimRows.max(wideRows),
+      s"row estimates diverged: slim=$slimRows wide=$wideRows")
+    // with a forced per-bucket rows target both widths engage IDENTICALLY
+    sys.props("spark.graft.windowBucketRows") = (n / 8).toString
+    try {
+      val bs = TimeBuckets.bucketCount(slim, 0)
+      val bw = TimeBuckets.bucketCount(wide, 0)
+      assert(bs > 1, "forced target must engage the hatch")
+      assert(bs === bw, s"widths engaged differently: slim=$bs wide=$bw")
+    } finally { sys.props.remove("spark.graft.windowBucketRows"); () }
+  }
+
   test("withBucket: degenerate bounds collapse to one bucket") {
     val one = Seq((1L, 1L, 1000000L, 1.0)).toDF("event_id", "vehicle_id", "ts_us", "ts_s")
     val out = TimeBuckets.withBucket(one, "ts_us", 8)
