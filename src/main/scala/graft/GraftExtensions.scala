@@ -93,6 +93,11 @@ object GraftExtensions {
         "routes_record_parse"),
       arity("routes_record_parse", 1)(exprs =>
         graft.plans.RoutesRecordParse(exprs.head))),
+    (FunctionIdentifier("socketio_frame"),
+      new ExpressionInfo(classOf[graft.plans.SocketIoFrame].getName,
+        "socketio_frame"),
+      arity("socketio_frame", 1)(exprs =>
+        graft.plans.SocketIoFrame(exprs.head))),
     (FunctionIdentifier("asof_index"),
       new ExpressionInfo(classOf[graft.plans.AsOfIndex].getName, "asof_index"),
       arity("asof_index", 2)(exprs =>

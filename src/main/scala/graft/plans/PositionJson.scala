@@ -94,11 +94,22 @@ case class PositionRecordParse(child: Expression)
   override def prettyName: String = "position_record_parse"
   override def inputTypes = Seq(StringType)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     PositionRecordParse.compute(input.asInstanceOf[UTF8String])
 
+  // explicit isNull re-check: compute() returns null for a MALFORMED
+  // line (non-null input), which defineCodeGen's child-derived isNull
+  // would miss — a downstream GetStructField would NPE on the null row
+  // (caught in r16 by SocketIoFrame's corrupt-routing query; this
+  // parser had the same latent defect, masked only because its
+  // registered inputs are writer-canonical)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.PositionRecordParse.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.PositionRecordParse.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): PositionRecordParse =
     copy(child = newChild)
@@ -183,11 +194,17 @@ case class RoutesRecordParse(child: Expression)
   override def prettyName: String = "routes_record_parse"
   override def inputTypes = Seq(StringType)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     RoutesRecordParse.compute(input.asInstanceOf[UTF8String])
 
+  // see PositionRecordParse.doGenCode — null return must set isNull
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.RoutesRecordParse.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.RoutesRecordParse.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): RoutesRecordParse =
     copy(child = newChild)

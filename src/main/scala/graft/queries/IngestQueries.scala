@@ -107,18 +107,23 @@ object IngestQueries {
   // ---- ing_socketio_parse ------------------------------------------------
 
   /** Socket.IO event frame `42["event",payload]` (parsers.py:14
-    * SOCKET_IO_EVENT_PATTERN, :56-72). */
+    * SOCKET_IO_EVENT_PATTERN, :56-72). The frame split is the native
+    * single-pass [[graft.plans.SocketIoFrame]] expression — one char
+    * scan instead of two full regex evaluations per frame, with the
+    * regex's exact match semantics (pinned by SocketIoFrameSpec); the
+    * coalesce mirrors regexp_extract's '' on no-match. */
   def ingSocketioParse(s: SparkSession, dir: String): DataFrame = {
     val frame = concat(
       lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
       lit(",\"t\":\""), col("event_type"), lit("\"}]"))
-    val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
     spreadEvOrdered(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
+      .select(col("event_id"),
+        graft.plans.SocketIoFrame(col("frame")).as("f"))
       .select(
         col("event_id"),
-        regexp_extract(col("frame"), pattern, 1).as("evt_name"),
-        from_json(regexp_extract(col("frame"), pattern, 2),
+        coalesce(col("f.evt_name"), lit("")).as("evt_name"),
+        from_json(col("f.payload"),
           StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
           .as("p"))
       .select(col("event_id"), col("evt_name"),
@@ -162,7 +167,6 @@ object IngestQueries {
     val frame = when(col("event_id") % 7 === 0,
       concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
       .otherwise(goodFrame)
-    val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
     // validity flag via get_json_object, not from_json: the routing
     // only needs "payload parses AND carries id" — the streaming
     // Jackson probe skips the struct materialization and the
@@ -170,16 +174,19 @@ object IngestQueries {
     // parse cost over the scan floor 0.36 -> 0.26 s, row-identical).
     // Plain spread, NOT spreadEvOrdered: the output is a 2-row grouped
     // aggregate — a range exchange (and its boundary-sampling job) buys
-    // nothing here, and dropping it closed the sf1 gate (QuarantineProbe
-    // r16: 0.585 s min = 1.79x vs 0.662 s = 2.02x with the range pass;
-    // the probed alternatives — one-pass regexp_replace E, regex-free
-    // string slicing F — both measured SLOWER than the current shape).
+    // nothing here (QuarantineProbe r16: 0.585 s min vs 0.662 s with
+    // the range pass at sf1). The frame split is the native single-pass
+    // SocketIoFrame expression — one char scan replaces two full regex
+    // evaluations per frame (the probed regexp_replace / substring
+    // rewrites both LOST because they still paid regex or extra
+    // allocation; the codegen scan pays neither).
     spreadEv(s, dir, col("event_id"), col("user_id"), col("event_type"))
       .select(col("event_id"), frame.as("frame"))
       .select(col("frame"),
-        regexp_extract(col("frame"), pattern, 1).as("evt_name"),
-        get_json_object(regexp_extract(col("frame"), pattern, 2), "$.id")
-          .isNotNull.as("ok"))
+        graft.plans.SocketIoFrame(col("frame")).as("f"))
+      .select(col("frame"),
+        coalesce(col("f.evt_name"), lit("")).as("evt_name"),
+        get_json_object(col("f.payload"), "$.id").isNotNull.as("ok"))
       .groupBy("evt_name")
       .agg(count(lit(1)).as("n_frames"),
         count(when(col("ok"), 1)).as("n_ok"),

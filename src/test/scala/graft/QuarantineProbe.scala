@@ -93,6 +93,13 @@ object QuarantineProbe {
         count(when(!col("ok"), 1)).as("n_bad"),
         min(when(!col("ok"), col("frame"))).as("quarantine_sample"))
       .orderBy("evt_name")
+    // G: the native single-pass SocketIoFrame expression (one char
+    // scan, no regex) + the same get_json_object id probe
+    def vG = finish2(base
+      .select(col("frame"), graft.plans.SocketIoFrame(col("frame")).as("f"))
+      .select(col("frame"),
+        coalesce(col("f.evt_name"), lit("")).as("evt_name"),
+        get_json_object(col("f.payload"), "$.id").isNotNull.as("ok")))
     def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
@@ -106,9 +113,9 @@ object QuarantineProbe {
     println("QPROBE D==A: " + (a == d))
     println("QPROBE E==A: " + (a == vE.collect().map(_.toString).sorted.toSeq))
     println("QPROBE F==A: " + (a == vF.collect().map(_.toString).sorted.toSeq))
+    println("QPROBE G==A: " + (a == vG.collect().map(_.toString).sorted.toSeq))
     for (r <- 1 to rounds) {
-      time(s"A r$r")(vA); time(s"D r$r")(vD); time(s"E r$r")(vE)
-      time(s"F r$r")(vF); time(s"C r$r")(vC)
+      time(s"D r$r")(vD); time(s"G r$r")(vG); time(s"C r$r")(vC)
     }
     spark.stop()
   }

@@ -32,8 +32,19 @@ def main():
     queries, spread, errors, meta = {}, {}, [], []
     for w in windows:
         d = json.load(open(w))
-        queries.update(d.get("queries", {}))
-        spread.update(d.get("spread", {}))
+        # MIN-merge on duplicate query keys: passing two sweeps' window
+        # files produces per-query minima across sweeps — the same
+        # outer-round decorrelation graft.Bench applies within one
+        # window (a contention minute lands on different queries each
+        # sweep, and the min discards it). Spread follows its winning
+        # window so it stays the variance evidence for the kept number.
+        for q, v in d.get("queries", {}).items():
+            if v >= 0 and (q not in queries or queries[q] < 0 or v < queries[q]):
+                queries[q] = v
+                if q in d.get("spread", {}):
+                    spread[q] = d["spread"][q]
+            elif q not in queries:
+                queries[q] = v
         errors.extend(d.get("errors", []))
         meta.append({"window": w.split("/")[-1], "sf": d.get("sf"),
                      "repeats": d.get("repeats"),
