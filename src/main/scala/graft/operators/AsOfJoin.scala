@@ -226,17 +226,57 @@ object AsOfJoin {
       case DateType => unix_date(c).cast("long")
       case _ => c.cast("long")
     }
+    probePacked(left,
+      packSeries(right, keyCols, timeCol, valueCols),
+      keyCols, timeCol, valueCols)
+  }
+
+  /** The broadcast as-of's INDEX artifact: one row per key with the
+    * series' times (ascending longs) and payload structs as aligned
+    * arrays. Split out of [[backwardBroadcast]] so a SERVING caller can
+    * build it once, persist it, and probe arriving batches against it
+    * — inlined, the packing aggregation (groupBy + collect_list + its
+    * shuffle) re-ran inside EVERY micro-batch's broadcast build
+    * (AsofDetail r16: ~40% of steady per-batch latency, and the whole
+    * batch-0 tail). `epochScale` consistency with the probe side is
+    * the caller's contract here; the one-shot path still requires it. */
+  def packSeries(right: DataFrame, keyCols: Seq[String], timeCol: String,
+                 valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def asLong(c: Column): Column = right.schema(timeCol).dataType match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => unix_date(c).cast("long")
+      case _ => c.cast("long")
+    }
     val rightNonNull = keyCols.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val payload = struct(valueCols.map(col): _*)
     // one row per key: ascending times with payloads aligned — sorting
     // (t, payload) structs keeps both arrays consistent after the split
-    val packed = rightNonNull
+    rightNonNull
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(
-        asLong(col(timeCol), right.schema(timeCol).dataType).as("__t"),
+        asLong(col(timeCol)).as("__t"),
         payload.as("__p")))).as("__s"))
       .select(keyCols.map(col) ++ Seq(
         col("__s.__t").as("__ts"), col("__s.__p").as("__ps")): _*)
+  }
+
+  /** Probes `left` against a [[packSeries]] artifact: broadcast join on
+    * the keys, per-row binary search (AsOfIndex) into the packed time
+    * array, payload attached as one struct. Left rows before the first
+    * series time (or with no key match) get null values — ASOF LEFT
+    * JOIN semantics. */
+  def probePacked(left: DataFrame, packed: DataFrame, keyCols: Seq[String],
+                  timeCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    val leftCols = left.columns
+    def asLong(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => unix_date(c).cast("long")
+      case _ => c.cast("long")
+    }
     val joined = left.join(broadcast(packed), keyCols, "left")
     val idx = graft.plans.AsOfIndex(col("__ts"),
       asLong(col(timeCol), left.schema(timeCol).dataType))

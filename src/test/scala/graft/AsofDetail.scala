@@ -10,6 +10,16 @@ object AsofDetail {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment: does a trivial streaming replay (same foreachBatch
+    // machinery, unrelated plan) move batch 0's cost? If yes the
+    // residue is stream-init; if no it is the asof plan itself.
+    if (args.contains("warmstream")) {
+      graft.streaming.StreamOps.runBatchTransforms(spark,
+        graft.streaming.StreamOps.eventsStreamSliced(spark, "/root/testdata/sf0.001", 1)
+          .select(org.apache.spark.sql.functions.col("event_id")),
+        "asof_warm")(b => b.limit(1))
+      println("ASOF warmstream done")
+    }
     for (r <- 1 to 3) {
       val t0 = System.nanoTime()
       graft.queries.TrafficQueries.stAsofServe(spark, "/root/testdata/sf0.1")
