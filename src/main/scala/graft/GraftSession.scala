@@ -59,6 +59,16 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", (256L * 1024).toString))
       // managed (bucketed) tables land in scratch, not the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // Report the sortBy order of bucketed scans (off by default
+      // since 3.0 because a multi-file bucket can't guarantee it, and
+      // the check lists files at planning). Bucketing.writeBucketed
+      // repartitions on the bucket column before the write, so every
+      // bucket is ONE sorted file by construction and the co-located
+      // merge join runs sort-free — without this conf the join
+      // re-sorts both pre-sorted sides on every query, which is the
+      // cost the layout exists to pre-pay. The planning-time listing
+      // is the same InMemoryFileIndex the scan builds anyway.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Shuffle/spill scratch on tmpfs when the host has one. Every
       // local-mode shuffle map task commits its output under ONE
       // IndexShuffleBlockResolver lock (writeIndexFileAndCommit is
