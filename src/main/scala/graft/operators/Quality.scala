@@ -21,7 +21,17 @@ object Quality {
     // the same table — a self-check), which would make the join
     // condition ambiguous
     val keys = parent.select(col(parentKey).as("__graft_pk"))
-    child.join(keys, col(childKey) === col("__graft_pk"), "left_anti")
+    // SHUFFLE_HASH pins the shape the doc above promises: without it
+    // the planner broadcasts the parent keys whenever their estimate
+    // dips under the threshold — at 10x bench data that is a 1.5M-row
+    // driver-side build (measured 1.04 s vs 0.64 s for the hinted
+    // shuffled hash, AntiJoinAbProbe). The build side here is the
+    // parent KEY COLUMN only, so the per-partition hash set is narrow
+    // and bounded by the shuffle partitioning, and the (much larger)
+    // child side streams through unsorted — cheaper than a merge
+    // anti-join, which would sort the child.
+    child.join(keys.hint("shuffle_hash"),
+      col(childKey) === col("__graft_pk"), "left_anti")
   }
 
   /** One audit row per FK check: name, orphan count, child row count.

@@ -494,7 +494,15 @@ object TextQueries {
     val hits = tagged.filter(col("split") =!= "train")
       .select(col("__id"), explode(col("sh")).as("sg0"))
       .select(col("__id"), xxhash64(col("sg0")).as("sg"))
-      .join(trainSh, Seq("sg"))
+      // MERGE pins the inverted-index shape: the train vocabulary
+      // GROWS with the corpus (591k distinct shingles at 10x bench
+      // data, billions at 100 TB), but its 8-byte-long frame estimates
+      // small enough that the planner broadcasts it — a driver-side
+      // build measured 1.32 s vs 0.86 s for the merge (ContamJoinAbProbe;
+      // sf0.1 ties). The distinct() above already hash-partitions the
+      // train side on sg, so the merge re-uses that exchange and only
+      // the eval explode shuffles.
+      .join(trainSh.hint("merge"), Seq("sg"))
       .select(col("__id")).distinct()
       .withColumn("contaminated", lit(true))
     tagged.filter(col("split") =!= "train")

@@ -65,6 +65,32 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(smjs.nonEmpty, s"fact-fact join lost its merge shape:\n$plan")
   }
 
+  test("q_orphan_check: anti joins shuffle on the key, never broadcast the parent") {
+    val plan = executed(SparkEntry.queries("q_orphan_check")(spark, sf))
+    val shjs = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(shjs.size >= 2, s"fk anti joins lost their shuffled-hash shape:\n$plan")
+    // the only broadcasts allowed are the one-row count(*) totals the
+    // audit row cross-joins in — never a parent key set
+    val bhjs = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhjs.isEmpty, s"a parent key set is broadcast:\n$plan")
+  }
+
+  test("tx_contamination: the train vocabulary is never broadcast") {
+    // the train shingle set grows with the corpus; the overlap join
+    // must stay a shuffled merge on the shingle hash
+    val plan = executed(SparkEntry.queries("tx_contamination")(spark, sf))
+    val bhjBuilds = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    // the only join allowed to broadcast is the final small hit-list
+    // left join back onto the eval docs
+    assert(bhjBuilds.size <= 1, s"train vocabulary broadcast crept back:\n$plan")
+    val smjs = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"overlap join lost its merge shape:\n$plan")
+  }
+
   test("ta_session_stats: the session agg reuses the sessionize partitioning") {
     val plan = executed(SparkEntry.queries("ta_session_stats")(spark, sf))
     val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
