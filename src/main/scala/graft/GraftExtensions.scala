@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpePieceCount, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, PunctCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -153,6 +153,12 @@ object GraftExtensions {
     (FunctionIdentifier("ws_token_count"),
       new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
       arity("ws_token_count", 1)(exprs => WsTokenCount(exprs.head))),
+    (FunctionIdentifier("bpe_piece_count"),
+      new ExpressionInfo(classOf[BpePieceCount].getName, "bpe_piece_count"),
+      arity("bpe_piece_count", 1)(exprs => BpePieceCount(exprs.head))),
+    (FunctionIdentifier("punct_count"),
+      new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
+      arity("punct_count", 1)(exprs => PunctCount(exprs.head))),
     (FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       // raw AggregateFunction: the analyzer wraps it into an

@@ -20,8 +20,12 @@ object TextFunctions {
   /** BPE-ish pre-tokenizer: letter runs, single digits, single
     * punctuation marks. Same regex works in Java and RE2 (DuckDB). */
   val BpeRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeRegex), lit(0)))
+
+  /** Piece count — native one-scan counter (plans/BpePieceCount),
+    * value-identical to `size(regexp_extract_all(text, BpeRegex, 0))`
+    * (pinned by BpePieceCountSpec); the regex form was ~0.78 s of
+    * tx_token_count's 1.06 s at 10x bench data. */
+  def bpeTokenCount(text: Column): Column = graft.plans.BpePieceCount(text)
 
   /** Canonical subword vocabulary for [[bpeSubwordCount]] — the ONE
     * source of truth: the codegen tokenizer
@@ -61,10 +65,13 @@ object TextFunctions {
     nStop.cast("double") / tokenCount(text)
   }
 
-  /** Fraction of characters that are not letters/digits/space. */
+  /** Fraction of characters that are not letters/digits/space. Native
+    * one-scan counter (plans/PunctCount) — the regexp_extract_all form
+    * allocates one single-char string per match and was measured as
+    * the entire cost of the quality-score pass (2.44 s of 2.37 s total
+    * at 10x bench data, QualityScoreProbe). */
   def punctRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
-      length(text)
+    graft.plans.PunctCount(text).cast("double") / length(text)
 
   /** Mean whitespace-token length. */
   def meanTokenLen(text: Column): Column =

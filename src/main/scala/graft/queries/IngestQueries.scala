@@ -233,7 +233,10 @@ object IngestQueries {
     // the length prefix is the REAL packet length per row — a fixed
     // prefix would violate the length-framed wire format being modeled
     val json = regexp_extract(col("resp"), ":0(\\{.*\\})", 1)
-    spreadEv(s, dir, col("event_id"), col("user_id"))
+    // spreadEvOrdered, not spreadEv + orderBy: the trailing orderBy's
+    // range-boundary sampling re-executes the whole synth+parse chain
+    // (this was the one parse query still paying it)
+    spreadEvOrdered(s, dir, col("event_id"), col("user_id"))
       .select(col("event_id"),
         concat(length(packet).cast("string"), lit(":"), packet).as("resp"))
       .select(col("event_id"),
@@ -242,7 +245,7 @@ object IngestQueries {
           StructField("pingInterval", LongType)))).as("h"))
       .select(col("event_id"), col("h.sid").as("sid"),
         col("h.pingInterval").as("ping_interval"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   val ingHandshakeParseSql: String = """
