@@ -21,6 +21,29 @@ object Par {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBytes) org.apache.spark.sql.functions.broadcast(df) else df
   }
+
+  /** ROW-count-aware broadcast arbitration for a fact-shaped join side:
+    * broadcast while the estimated build is cheap, pin the shuffled
+    * MERGE past it. Bytes are the wrong variable here — a broadcast's
+    * driver-side hash build is priced per ROW (measured on q5's pruned
+    * orders side: 150k rows build in-noise, 1.5M rows cost ~0.7 s over
+    * the merge the hint displaces — while both sit "small" under any
+    * bytes budget). Rows are estimated width-aware from the plan's
+    * sizeInBytes (the round-16 bucketing-threshold trick; rowCount
+    * stats are absent without CBO): parquet compression makes the
+    * estimate ~4x low, so the 50k default cuts at ~200k real rows —
+    * inside the measured crossover band (the 150k-row side still wins
+    * as a broadcast; 600k-row sides already lose). The merge (not shuffle_hash)
+    * fallback is the memory-safe shape when both sides keep growing. */
+  def broadcastIfFewRows(df: DataFrame,
+                         maxEstRows: Long = 50000L): DataFrame = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val width = math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum + 8)
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / width).toLong)
+    if (estRows <= maxEstRows) org.apache.spark.sql.functions.broadcast(df)
+    else df.hint("merge")
+  }
   /** Spreads narrow rows across the session's shuffle parallelism
     * before a compute-bound stage (per-row parsing, hashing, pair
     * products) — but ONLY when the scan cannot already feed that many

@@ -94,15 +94,17 @@ object TpchQueries {
     // cluster scale it stays a shuffled join. The 5-row deliverable
     // takes the one-partition sort.
     //
-    // orders is a FACT side: its pruned estimate slips under the
-    // auto-broadcast threshold at sf1 (21 MB file x 2/9 columns), and
-    // the planner's broadcast costs a driver-side single-threaded hash
-    // build of 1.5M rows that the parallel merge never pays — measured
-    // 1.81 s -> 1.09 s at sf1, no sf0.1 regression (Q5AbProbe; the
-    // shuffle_hash shape ties but SMJ has no per-partition build-side
-    // memory requirement, the only safe default when both sides grow
-    // with the corpus).
-    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    // orders is a FACT side arbitrated by ROW count
+    // (Par.broadcastIfFewRows): its pruned BYTE estimate always looks
+    // "small" (21 MB file x 2/9 columns), but the broadcast's
+    // driver-side hash build is priced per row — measured in blessed
+    // windows: at 150k rows the broadcast wins (0.43 vs 0.70 s), at
+    // 1.5M rows it loses (1.81 vs 1.09 s) and at corpus scale it is
+    // impossible. The fallback pins MERGE, the memory-safe shuffled
+    // shape when both sides grow (shuffle_hash ties on time but needs
+    // the per-partition build to fit).
+    l.join(graft.operators.Par.broadcastIfFewRows(o),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(graft.operators.Par.broadcastIfSmall(c),
         col("o_custkey") === col("c_custkey") &&

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Par
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** Pins both branches of Par.broadcastIfFewRows: a side under the
+  * estimated-row cutoff broadcasts; past it the join is a shuffled
+  * merge — never a driver-side build of a fact-sized side, never an
+  * unhinted fall-through back to the planner's bytes-based pick.
+  */
+class ParArbitrationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def joinExecs(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    (collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j },
+     collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j })
+  }
+
+  test("small side broadcasts") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderpriority")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val (bhj, smj) = joinExecs(
+      l.join(Par.broadcastIfFewRows(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n")))
+    assert(bhj.nonEmpty && smj.isEmpty,
+      s"expected the broadcast branch at 1.5k rows: bhj=${bhj.size} smj=${smj.size}")
+  }
+
+  test("fact-sized side pins the shuffled merge") {
+    // sf0.1 lineitem (600k rows, ~25 MB pruned estimate) sits well past
+    // the 100k estimated-row cutoff while still "small" in bytes — the
+    // exact case where the planner's own pick would broadcast
+    val big = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val probe = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select("o_orderkey")
+    val (bhj, smj) = joinExecs(
+      probe.join(Par.broadcastIfFewRows(big),
+        col("o_orderkey") === col("l_orderkey"))
+        .agg(round(sum("l_quantity"), 2).as("s")))
+    assert(smj.nonEmpty, s"expected the merge branch past the cutoff: $bhj")
+    assert(bhj.isEmpty, s"fact-sized side was broadcast: $bhj")
+  }
+}

@@ -51,18 +51,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bcasts.nonEmpty, s"expected a broadcast of the query side:\n$plan")
   }
 
-  test("q5: dimension tables are broadcast, the fact-fact join is not") {
+  test("q5: dimension tables are broadcast; the fact-fact join is row-arbitrated") {
+    // the lineitem x orders side goes through Par.broadcastIfFewRows:
+    // at this test scale (1.5k orders) the broadcast branch is correct
+    // — ParArbitrationSpec pins the merge branch past the row cutoff
     val plan = executed(SparkEntry.queries("q5_local_supplier")(spark, sf))
     val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
     assert(bcasts.size >= 2, s"expected broadcast dims in the snowflake:\n$plan")
-    // lineitem x orders must stay a shuffled merge join: both sides
-    // grow with the corpus, and the planner's broadcast (orders'
-    // pruned estimate dips under the threshold at bench scale) pays a
-    // driver-side hash build of the whole orders side — measured 1.8 s
-    // vs 1.1 s at sf1 (Q5AbProbe), and impossible at cluster scale
-    val smjs = collectWithSubqueries(plan) {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-    assert(smjs.nonEmpty, s"fact-fact join lost its merge shape:\n$plan")
   }
 
   test("q_orphan_check: anti joins shuffle on the key, never broadcast the parent") {
