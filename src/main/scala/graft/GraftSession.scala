@@ -68,6 +68,13 @@ object GraftSession {
       // re-sorts both pre-sorted sides on every query, which is the
       // cost the layout exists to pre-pay. The planning-time listing
       // is the same InMemoryFileIndex the scan builds anyway.
+      // UPGRADE CHECKLIST (Spark-version dependence): this is a legacy
+      // conf, a removal candidate in future Spark majors. Correctness
+      // never depends on it — FileSourceScanExec only CLAIMS the sort
+      // order when every bucket is a single file, which writeBucketed
+      // guarantees — but if a Spark bump drops the conf, the bucket
+      // join silently re-sorts. BucketingSpec's sort-free plan-shape
+      // assertion is the tripwire: it fails on such an upgrade.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Shuffle/spill scratch on tmpfs when the host has one. Every
       // local-mode shuffle map task commits its output under ONE

@@ -34,7 +34,15 @@ object Par {
     * estimate ~4x low, so the 50k default cuts at ~200k real rows —
     * inside the measured crossover band (the 150k-row side still wins
     * as a broadcast; 600k-row sides already lose). The merge (not shuffle_hash)
-    * fallback is the memory-safe shape when both sides keep growing. */
+    * fallback is the memory-safe shape when both sides keep growing.
+    *
+    * Width caveat: the fixed per-type defaultSize prices a string
+    * column at 20 bytes, so a schema dominated by long variable-width
+    * strings can misestimate width by a large factor and flip the pick
+    * across data distributions. Worst case is performance, never
+    * memory safety (the fallback is the merge) — callers with such
+    * schemas should pre-project to the narrow join columns (every
+    * in-tree caller does) or pass a tightened maxEstRows. */
   def broadcastIfFewRows(df: DataFrame,
                          maxEstRows: Long = 50000L): DataFrame = {
     val stats = df.queryExecution.optimizedPlan.stats
@@ -44,6 +52,32 @@ object Par {
     if (estRows <= maxEstRows) org.apache.spark.sql.functions.broadcast(df)
     else df.hint("merge")
   }
+  /** Row-arbitrated broadcast for a side whose OWN stats are useless —
+    * a join output, where planning-time sizeInBytes is a byte product
+    * that overshoots by orders of magnitude. The row estimate comes
+    * from `proxy` instead: a scan-rooted frame whose cardinality upper-
+    * bounds the side (q5: the reduced orders⨝customer side is at most
+    * |orders|, the proxy is the orders scan). Width-aware rows from the
+    * proxy's sizeInBytes, same parquet ~4x-low caveat as
+    * [[broadcastIfFewRows]] — size the threshold against MEASURED
+    * crossovers, not nominal row counts.
+    *
+    * Below the threshold the broadcast skips every exchange on the
+    * probe side; above it the side stays UNHINTED (not merge-pinned):
+    * the caller's join then plans as a shuffle whose real post-shuffle
+    * size AQE re-arbitrates at runtime — the memory-safe path when
+    * both sides keep growing, without blocking AQE's own runtime
+    * broadcast flip the way a merge hint would. */
+  def broadcastIfProxyFewRows(df: DataFrame, proxy: DataFrame,
+                              maxEstRows: Long): DataFrame = {
+    val stats = proxy.queryExecution.optimizedPlan.stats
+    val width = math.max(8, proxy.schema.fields.map(_.dataType.defaultSize).sum + 8)
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / width).toLong)
+    if (estRows <= maxEstRows) org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** Spreads narrow rows across the session's shuffle parallelism
     * before a compute-bound stage (per-row parsing, hashing, pair
     * products) — but ONLY when the scan cannot already feed that many

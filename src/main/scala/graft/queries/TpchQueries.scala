@@ -81,36 +81,58 @@ object TpchQueries {
       |LIMIT 10""".stripMargin
 
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
-    val sup = Tables.supplier(s, dir)
-    val n = Tables.nation(s, dir)
-    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    // Region-first shape: the r_name='EUROPE' predicate reaches BOTH
+    // fact inputs before the one fact-to-fact shuffle, instead of
+    // filtering after a full lineitem⨝orders join. nation⨝region
+    // collapses to the 5 EUROPE nations (one broadcast row set);
+    // supplier and customer semi-reduce through it, so the lineitem
+    // side shrinks ~5x at the (broadcast) supplier join and the orders
+    // side shrinks ~5x at the customer join — the shuffled bytes of
+    // the orderkey join drop by the region selectivity on each side.
+    // n_name rides the supplier dim, so no post-join nation lookup.
+    val euroN = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val euroSup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(euroN), col("s_nationkey") === col("n_nationkey"))
     // customer is dim-SHAPED here but scales with the corpus, so the
-    // broadcast is estimate-driven (Par.broadcastIfSmall): at sf0.1 it
-    // rides the fact join broadcast (-0.3 s measured — the planner's
-    // decompressed estimate overshot the default threshold), at
-    // cluster scale it stays a shuffled join. The 5-row deliverable
-    // takes the one-partition sort.
-    //
-    // orders is a FACT side arbitrated by ROW count
-    // (Par.broadcastIfFewRows): its pruned BYTE estimate always looks
-    // "small" (21 MB file x 2/9 columns), but the broadcast's
-    // driver-side hash build is priced per row — measured in blessed
-    // windows: at 150k rows the broadcast wins (0.43 vs 0.70 s), at
-    // 1.5M rows it loses (1.81 vs 1.09 s) and at corpus scale it is
-    // impossible. The fallback pins MERGE, the memory-safe shuffled
-    // shape when both sides grow (shuffle_hash ties on time but needs
-    // the per-partition build to fit).
-    l.join(graft.operators.Par.broadcastIfFewRows(o),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(graft.operators.Par.broadcastIfSmall(c),
-        col("o_custkey") === col("c_custkey") &&
-        col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    // broadcast is estimate-driven (Par.broadcastIfSmall): under the
+    // 64 MB dim budget the orders side reduces map-side with zero
+    // exchanges; at cluster scale it degrades to a shuffled fact-dim
+    // join and the shape still holds.
+    val euroCust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(euroN.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+    val oScan = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val ordersEuro = oScan
+      .join(graft.operators.Par.broadcastIfSmall(euroCust),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    // Final fact join arbitration (Par.broadcastIfProxyFewRows, proxy =
+    // the orders scan since ordersEuro's own stats are a join product):
+    // while orders is small enough that the ~1/5-reduced side builds
+    // cheaply, the hard broadcast erases EVERY fact exchange — the
+    // whole query becomes one scan pipeline per fact plus the 5-row
+    // agg exchange. Past the threshold the side stays UNHINTED: the
+    // join plans as a shuffle and AQE re-arbitrates from the REAL
+    // post-reduction sizes (measured flipping to runtime broadcast at
+    // sf1), degrading to the memory-safe shuffled join at corpus
+    // scale. The old merge-pinned two-fact-exchange shape measured
+    // 1.29 s at sf1 vs the 0.086 s oracle; region-first + arbitration
+    // closes it.
+    // euroSup takes the HARD broadcast hint (supplier is a genuine
+    // dim, like the previous shape's broadcast(sup)): its stats are a
+    // join-product estimate, so the arbitrated hint declines and the
+    // planner then broadcasts whichever side's PRUNED bytes look small
+    // — observed picking the 4-column lineitem FACT as the build side.
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.operators.Par.broadcastIfProxyFewRows(ordersEuro, oScan,
+          maxEstRows = 500000L),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       // coalesce(1) directly above the agg's exchange: final merge of

@@ -34,8 +34,9 @@ class ParArbitrationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("fact-sized side pins the shuffled merge") {
     // sf0.1 lineitem (600k rows, ~25 MB pruned estimate) sits well past
-    // the 100k estimated-row cutoff while still "small" in bytes — the
-    // exact case where the planner's own pick would broadcast
+    // Par.broadcastIfFewRows's default estimated-row cutoff (50k) while
+    // still "small" in bytes — the exact case where the planner's own
+    // pick would broadcast
     val big = Tables.lineitem(spark, "/root/testdata/sf0.1")
       .select(col("l_orderkey"), col("l_quantity"))
     val probe = Tables.orders(spark, "/root/testdata/sf0.1")

@@ -52,9 +52,11 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("q5: dimension tables are broadcast; the fact-fact join is row-arbitrated") {
-    // the lineitem x orders side goes through Par.broadcastIfFewRows:
-    // at this test scale (1.5k orders) the broadcast branch is correct
-    // — ParArbitrationSpec pins the merge branch past the row cutoff
+    // region-first shape: EUROPE nations broadcast into supplier and
+    // customer before any fact join; the reduced orders side goes
+    // through Par.broadcastIfProxyFewRows (proxy = the orders scan) —
+    // at this test scale the broadcast branch is correct, past the
+    // cutoff the side stays unhinted for AQE's runtime arbitration
     val plan = executed(SparkEntry.queries("q5_local_supplier")(spark, sf))
     val bcasts = collectWithSubqueries(plan) { case b: BroadcastExchangeLike => b }
     assert(bcasts.size >= 2, s"expected broadcast dims in the snowflake:\n$plan")
