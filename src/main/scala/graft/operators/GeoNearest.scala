@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.GeoFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact nearest-neighbor join from a large point set to a point layer
@@ -45,22 +44,28 @@ import org.apache.spark.sql.functions._
   * single shuffle via ReusedExchange (asserted in GeoNearestSpec).
   *
   * The per-pass argmin is a codegen'd primitive min over ONE packed
-  * long (dist_micro << IdBits | dense_signal_idx): distance dominates,
-  * the dense surrogate (row_number over the layer — a bounded,
-  * dim-side-only unpartitioned window) breaks ties order-isomorphically
-  * to signal_id.
+  * long (dist_micro << IdBits | signal_id): distance dominates,
+  * signal_id ITSELF breaks ties — identical to the oracle's
+  * min(dist·K + id) and fully parallel. (The previous dense
+  * row_number surrogate funneled the whole layer through one
+  * unpartitioned-window task — the exact single-task bottleneck this
+  * operator exists to avoid once the layer grows with a deployment —
+  * and cost an extra id-mapping join on the way out.)
   *
   * Contract: `positions(event_id PK, lat, lon)`, `signals(signal_id
-  * UNIQUE, s_lat, s_lon)`, and |lat| <= maxAbsLatDeg on BOTH sides —
-  * a violated latitude bound voids the exactness guarantee. Positions
-  * with no signal anywhere in the layer are dropped (inner-join
-  * semantics of the final pass).
+  * UNIQUE in [0, 2^IdBits) — enforced in-plan; a layer with a wider
+  * id space pre-maps ids through RankOps.withGlobalRank, which is
+  * order-preserving and parallel)`, and |lat| <= maxAbsLatDeg on BOTH
+  * sides — a violated latitude bound voids the exactness guarantee.
+  * Positions with no signal anywhere in the layer are dropped
+  * (inner-join semantics of the final pass).
   */
 object GeoNearest {
 
-  /** Bits reserved for the dense signal surrogate inside the packed
-    * argmin long; a broadcastable layer is far below 2^24 ids. */
-  val IdBits = 24
+  /** Bits reserved for the signal id inside the packed argmin long:
+    * 2^28 ids x the worst-case half-circumference distance
+    * (2.01e10 micro-km) still sits under 2^63 with ~40% margin. */
+  val IdBits = 28
 
   def nearest(positions: DataFrame, signals: DataFrame,
               cellDeg: Double, originLat: Double, originLon: Double,
@@ -84,11 +89,19 @@ object GeoNearest {
         math.sin(r * math.toRadians(cellDeg) / 2) *
         math.cos(math.toRadians(maxAbsLatDeg)) * 0.999
 
+    // sig_idx = signal_id, guarded in-plan: an out-of-range id would
+    // silently corrupt the packed argmin, so the range check rides the
+    // projection itself (raise_error in the otherwise branch — codegen
+    // cannot prune it away, and it costs one comparison per layer row)
+    val maxId = (1L << IdBits) - 1
     val sig = signals
       .select(col("signal_id"), col("s_lat"), col("s_lon"))
       .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))
       .withColumn("sig_idx",
-        row_number().over(Window.orderBy("signal_id")).cast("long") - 1)
+        when(col("signal_id").between(0, maxId), col("signal_id").cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"GeoNearest: signal_id outside [0, 2^$IdBits): "),
+            col("signal_id")))))
       .withColumn("sgx", GeoFunctions.gridX(col("s_lon"), originLon, cellDeg))
       .withColumn("sgy", GeoFunctions.gridY(col("s_lat"), originLat, cellDeg))
 
@@ -184,11 +197,11 @@ object GeoNearest {
       .join(broadcast(
         sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat")))))
 
+    // sig_idx IS signal_id, so unpacking recovers it directly — no
+    // mapping join back through the layer
     resolved1.unionByName(resolved2).unionByName(m3)
       .select(col("event_id"),
-        col("m").bitwiseAND(lit((1L << IdBits) - 1)).as("sig_idx"),
+        col("m").bitwiseAND(lit(maxId)).as("signal_id"),
         distKmOf(col("m")).as("dist_km"))
-      .join(broadcast(sig.select("sig_idx", "signal_id")), "sig_idx")
-      .select("event_id", "signal_id", "dist_km")
   }
 }

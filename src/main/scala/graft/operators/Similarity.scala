@@ -183,7 +183,16 @@ object Similarity {
     * (pass a sampled frame) and the one full-corpus pass is the final
     * assignment ([[ivfAssign]]) — the standard train-small/assign-once
     * IVF build. A cluster that empties mid-iteration drops out (c
-    * shrinks), which the probe-side argmax handles transparently. */
+    * shrinks), which the probe-side argmax handles transparently.
+    *
+    * Cluster labels are the seed vectors' OWN ids, not a 0..c-1 dense
+    * rank: labels only need to be stable and unique (every consumer
+    * keys or sorts by them), ids of the c lowest-id seeds are
+    * order-isomorphic to the dense rank so all id-ordered tie-breaks
+    * are unchanged, and the id avoids ranking the seed through an
+    * unpartitioned window — bounded at c rows here, but the lint
+    * banning single-task windows (RegistryPlanLintSpec) allows no
+    * unannotated exceptions. */
   def kmeansCentroids(data: DataFrame, idCol: String, vecCol: String,
                       c: Int, iters: Int = 8): DataFrame = {
     require(c >= 1 && iters >= 0, s"need c>=1, iters>=0 (got $c, $iters)")
@@ -193,9 +202,7 @@ object Similarity {
       .filter(col("__n") > 0)
       .select(col("__vid"), transform(col("__e"), x => x / col("__n")).as("__u"))
     var cent = vn.orderBy("__vid").limit(c)
-      .withColumn("cluster",
-        row_number().over(Window.orderBy("__vid")).cast("long") - 1)
-      .select(col("cluster"), col("__u").as("cemb"))
+      .select(col("__vid").cast("long").as("cluster"), col("__u").as("cemb"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val asg = vn.crossJoin(broadcast(centArray(cent)))

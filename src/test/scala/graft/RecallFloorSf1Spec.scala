@@ -6,7 +6,7 @@ package graft
   * its own guarded floor. Skipped (cancelled) when /tmp/graft-sf1 is
   * absent: the shards are derived scratch (GenScale), not driver
   * testdata, and a fresh container runs the sf0.1 suite only.
-  * Measured at HEAD: ss_lsh 0.96, ss_ivf 0.85, dd_embedding_lsh 0.92.
+  * Measured at HEAD: ss_lsh 0.96, ss_ivf 0.90, dd_embedding_lsh 0.92.
   */
 class RecallFloorSf1Spec extends SparkSpec {
   import spark.implicits._
@@ -30,11 +30,11 @@ class RecallFloorSf1Spec extends SparkSpec {
     assert(rec >= 0.8, s"ss_lsh_topk sf1 recall collapsed: $rec (measured 0.96)")
   }
 
-  test("ss_ivf_topk registry defaults hold recall@10 >= 0.8 at sf1") {
+  test("ss_ivf_topk registry defaults hold recall@10 >= 0.85 at sf1") {
     assume(shardsPresent, s"$Dir absent — run Test/runMain graft.GenScale first")
     val rec = recallOf(
       queries.SimilarityQueries.queries("ss_ivf_topk")(spark, Dir))
-    assert(rec >= 0.8, s"ss_ivf_topk sf1 recall collapsed: $rec (measured 0.85)")
+    assert(rec >= 0.85, s"ss_ivf_topk sf1 recall under the advertised floor: $rec (measured 0.90 at nprobe=7)")
   }
 
   test("dd_embedding_lsh registry defaults hold pair recall >= 0.8 at sf1") {

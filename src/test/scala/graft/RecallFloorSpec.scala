@@ -13,8 +13,12 @@ package graft
   * Everything in the path is deterministic on fixed data (seeded
   * hyperplanes, deterministic k-means), so the floor carries no seed
   * variance: a failure means a default changed or an operator
-  * regressed. Measured at HEAD: ss_lsh 0.92, ss_ivf 0.84,
-  * dd_embedding_lsh 0.94.
+  * regressed. Measured at HEAD: ss_lsh 0.92, ss_ivf 0.90,
+  * dd_embedding_lsh 0.94. ss_ivf additionally carries the ADVERTISED
+  * >= 0.85 floor (SURVEY §13) — nprobe is sized to hold it with
+  * margin at every SF, so the floor here matches the docs instead of
+  * a weaker 0.8 that lets the advertised number drift silently
+  * (r16's 0.8425 did exactly that).
   */
 class RecallFloorSpec extends SparkSpec {
   import spark.implicits._
@@ -34,10 +38,10 @@ class RecallFloorSpec extends SparkSpec {
     assert(rec >= 0.8, s"ss_lsh_topk sf0.1 recall collapsed: $rec (measured 0.92)")
   }
 
-  test("ss_ivf_topk registry defaults hold recall@10 >= 0.8 at sf0.1") {
+  test("ss_ivf_topk registry defaults hold recall@10 >= 0.85 at sf0.1") {
     val rec = recallOf(
       queries.SimilarityQueries.queries("ss_ivf_topk")(spark, Dir))
-    assert(rec >= 0.8, s"ss_ivf_topk sf0.1 recall collapsed: $rec (measured 0.84)")
+    assert(rec >= 0.85, s"ss_ivf_topk sf0.1 recall under the advertised floor: $rec (measured 0.90 at nprobe=7)")
   }
 
   test("dd_embedding_lsh registry defaults hold pair recall >= 0.8 at sf0.1") {

@@ -42,6 +42,52 @@ class RegistryPlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"shuffled cartesian in: ${offenders.mkString(", ")}")
   }
 
+  test("unpartitioned windows appear only over post-aggregation frames") {
+    // A Window with no PARTITION BY funnels every input row through
+    // one task — the canonical scale-killer when the input grows with
+    // a deployment (the pre-r17 GeoNearest ranked the whole signal
+    // layer this way). The legal pattern is the documented
+    // post-aggregation one: RankOps' offsets window over <=64 bucket
+    // counts, Pack.prefixSum's totals window over bucket sums,
+    // SpeedOps.topNGroups over an already-reduced per-group frame —
+    // all sit directly above an aggregate, which this lint checks
+    // structurally: descending from the window through
+    // sort/exchange/projection wrappers must reach an aggregate exec
+    // (or a limit-bounded TakeOrderedAndProject — the optimizer's
+    // rank<=n pushdown under topNGroups, parallel and bounded at n
+    // rows by construction) before any scan, join, or generator.
+    // Row-level global ranking belongs in RankOps.withGlobalRank.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def inputOf(p: SparkPlan): SparkPlan = p match {
+      case s: SortExec => inputOf(s.child)
+      case e: exchange.ShuffleExchangeLike => inputOf(e.child)
+      case p: ProjectExec => inputOf(p.child)
+      case f: FilterExec => inputOf(f.child)
+      case c: CoalesceExec => inputOf(c.child)
+      case other => other
+    }
+    def isBounded(p: SparkPlan): Boolean = p match {
+      case _: aggregate.HashAggregateExec => true
+      case _: aggregate.ObjectHashAggregateExec => true
+      case _: aggregate.SortAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec => true
+      case _ => false
+    }
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = collectWithSubqueries(plan) {
+        case w: WindowExec if w.partitionSpec.isEmpty && !isBounded(inputOf(w.child)) => w
+        case w: WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !isBounded(inputOf(w.child)) => w
+      }
+      if (bad.nonEmpty) Some(s"$name (${bad.head.getClass.getSimpleName} over ${inputOf(bad.head.children.head).getClass.getSimpleName})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a non-aggregated frame in: ${offenders.mkString(", ")}")
+  }
+
   test("no registered streaming query lands in the driver memory sink") {
     // Sink discipline: a memory sink collects EVERY output row into the
     // driver per micro-batch — for output that grows with the feed
