@@ -247,8 +247,36 @@ object Bench {
         "\"" + k + "\":{\"n\":" + v.n + ",\"p50_ms\":" + v.p50Ms +
           ",\"p95_ms\":" + v.p95Ms + ",\"max_ms\":" + v.maxMs + "}"
       }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"canary_attempts":$attempt,"damaged":$damaged,"spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"stream_batches":$sb,"queries":$qs,"value":${f3(total)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // A window published past the re-roll budget must never be COMPARED
+    // as if it were a fast-state window: when this run is damaged, the
+    // previous artifact's fast-state window rides along as
+    // "blessed_ref" (canary/value/sf/queries of the last undamaged
+    // write — or ITS carried ref, so a chain of damaged runs still
+    // points at the last real blessing) and downstream readers
+    // (tools/survey_counts.py, round-over-round deltas) read that one.
+    val blessedRef: Option[String] =
+      if (!damaged) None
+      else try {
+        val p = java.nio.file.Paths.get(outFile)
+        if (!java.nio.file.Files.isRegularFile(p)) None
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val prev = om.readTree(java.nio.file.Files.readString(p))
+          val src =
+            if (!prev.path("damaged").asBoolean(false)) Some(prev)
+            else Option(prev.get("blessed_ref"))
+          src.map { n =>
+            val keep = om.createObjectNode()
+            Seq("canary", "value", "sf", "repeats", "queries").foreach { k =>
+              if (n.has(k)) keep.set[com.fasterxml.jackson.databind.JsonNode](k, n.get(k))
+            }
+            om.writeValueAsString(keep)
+          }
+        }
+      } catch { case _: Throwable => None }
+    val blessedJson = blessedRef.map(r => s""","blessed_ref":$r""").getOrElse("")
+    val full = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"canary_attempts":$attempt,"damaged":$damaged$blessedJson,"spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"stream_batches":$sb,"queries":$qs,"value":${f3(total)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }

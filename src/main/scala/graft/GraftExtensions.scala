@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpePieceCount, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, PunctCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpePieceCount, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, ImageHeaderDecode, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, PunctCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,9 @@ object GraftExtensions {
     (FunctionIdentifier("binary_gps_decode"),
       new ExpressionInfo(classOf[BinaryGpsDecode].getName, "binary_gps_decode"),
       arity("binary_gps_decode", 1)(exprs => BinaryGpsDecode(exprs.head))),
+    (FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeaderDecode].getName, "image_header"),
+      arity("image_header", 1)(exprs => ImageHeaderDecode(exprs.head))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       arity("simhash64", 1)(exprs => SimHash64(exprs.head))),

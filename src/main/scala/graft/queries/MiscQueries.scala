@@ -89,6 +89,87 @@ object MiscQueries {
     |  ((new_w + 15) // 16) * ((new_h + 15) // 16) AS n_tiles
     |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- mm_header_decode ----------------------------------------------------
+
+  /** REAL container-header decode (plans/ImageHeader): PNG IHDR and
+    * JPEG SOF width/height extraction over headers SYNTHESIZED in-plan
+    * from doc_id — byte plumbing the engine owns outright, distinct
+    * from the pixel-decode stub. Even ids become PNGs, odd ids JPEGs
+    * whose SOF sits behind a VARIABLE-length COM segment (doc_id-sized
+    * payload), so the decoder's marker walk and length-skip are
+    * genuinely exercised. The oracle builds the identical blob with
+    * DuckDB byte functions and parses it back independently (hex-image
+    * slicing + the same COM length-skip arithmetic) — a hash match
+    * means the decode inverts real bytes, not that two copies of one
+    * formula agree. */
+  def mmHeaderDecode(s: SparkSession, dir: String): DataFrame = {
+    def be(c: org.apache.spark.sql.Column, bytes: Int) =
+      unhex(lpad(hex(c), bytes * 2, "0"))
+    val dims = graft.operators.Par.spread(
+        Tables.documents(s, dir).select(col("doc_id")))
+      .withColumn("w", (col("doc_id") % 1800 + 100).cast("long"))
+      .withColumn("h", (col("doc_id") * 3 % 1200 + 80).cast("long"))
+      .withColumn("pad", (col("doc_id") % 7 + 2).cast("long"))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")),         // signature
+      be(lit(13), 4), lit("IHDR").cast("binary"),
+      be(col("w"), 4), be(col("h"), 4),
+      unhex(lit("0806000000")))               // depth/color/CRC filler
+    val jpeg = concat(
+      unhex(lit("FFD8FFFE")),                 // SOI + COM marker
+      be(col("pad") + 2, 2),                  // segment length (self-inclusive)
+      expr("cast(repeat('A', pad) as binary)"),
+      unhex(lit("FFC00011")),                 // SOF0, len 17
+      unhex(lit("08")), be(col("h"), 2), be(col("w"), 2),
+      unhex(lit("03011100021101031101")),     // 3 components
+      unhex(lit("FFD9")))                     // EOI
+    val img = when(col("doc_id") % 2 === 0, png).otherwise(jpeg)
+    dims.select(col("doc_id"),
+        graft.plans.ImageHeaderDecode(img).as("__hdr"))
+      .select(col("doc_id"), col("__hdr.fmt").as("fmt"),
+        col("__hdr.width").as("width"), col("__hdr.height").as("height"))
+      .orderBy("doc_id")
+  }
+
+  val mmHeaderDecodeSql: String = """
+    |WITH d AS (
+    |  SELECT doc_id,
+    |    CAST(doc_id % 1800 + 100 AS BIGINT) AS w,
+    |    CAST(doc_id * 3 % 1200 + 80 AS BIGINT) AS h,
+    |    CAST(doc_id % 7 + 2 AS BIGINT) AS pad
+    |  FROM documents),
+    |b AS (
+    |  SELECT doc_id,
+    |    CASE WHEN doc_id % 2 = 0 THEN
+    |      unhex('89504E470D0A1A0A') || unhex(lpad(hex(13),8,'0'))
+    |        || encode('IHDR') || unhex(lpad(hex(w),8,'0'))
+    |        || unhex(lpad(hex(h),8,'0')) || unhex('0806000000')
+    |    ELSE
+    |      unhex('FFD8FFFE') || unhex(lpad(hex(pad+2),4,'0'))
+    |        || encode(repeat('A', CAST(pad AS INT)))
+    |        || unhex('FFC00011') || unhex('08')
+    |        || unhex(lpad(hex(h),4,'0')) || unhex(lpad(hex(w),4,'0'))
+    |        || unhex('03011100021101031101') || unhex('FFD9')
+    |    END AS img
+    |  FROM d),
+    |p AS (SELECT doc_id, hex(img) AS hx FROM b),
+    |dec AS (
+    |  SELECT doc_id, hx,
+    |    CASE WHEN substr(hx,1,16) = '89504E470D0A1A0A'
+    |           AND substr(hx,25,8) = '49484452' THEN 'png'
+    |         WHEN substr(hx,1,4) = 'FFD8' THEN 'jpeg'
+    |         ELSE 'unknown' END AS fmt,
+    |    ('0x' || substr(hx,9,4))::BIGINT AS seglen
+    |  FROM p)
+    |SELECT doc_id, fmt,
+    |  CASE fmt WHEN 'png'  THEN ('0x' || substr(hx,33,8))::BIGINT
+    |           WHEN 'jpeg' THEN ('0x' || substr(hx, 2*(11+seglen)+1, 4))::BIGINT
+    |  END AS width,
+    |  CASE fmt WHEN 'png'  THEN ('0x' || substr(hx,41,8))::BIGINT
+    |           WHEN 'jpeg' THEN ('0x' || substr(hx, 2*(9+seglen)+1, 4))::BIGINT
+    |  END AS height
+    |FROM dec ORDER BY doc_id""".stripMargin
+
   // ---- st_windowed_counts ------------------------------------------------
 
   def stWindowedCounts(s: SparkSession, dir: String): DataFrame = {
@@ -660,6 +741,7 @@ object MiscQueries {
     "st_positions_parse" -> (stPositionsParse _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize_plan" -> (mmResizePlan _),
+    "mm_header_decode" -> (mmHeaderDecode _),
     "ag_approx_quantile" -> (agApproxQuantile _),
     "ag_approx_distinct" -> (agApproxDistinct _),
     "ag_approx_topk" -> (agApproxTopk _),
@@ -688,5 +770,6 @@ object MiscQueries {
     "st_session_window" -> stSessionWindowSql,
     "st_session_final" -> stSessionWindowSql,
     "mm_resize_plan" -> mmResizePlanSql,
+    "mm_header_decode" -> mmHeaderDecodeSql,
     "mm_decode_features" -> mmDecodeFeaturesSql)
 }

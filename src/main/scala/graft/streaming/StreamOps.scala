@@ -352,9 +352,26 @@ object StreamOps {
       try ss.conf.set(k, v) catch { case _: Throwable => () }
     }
     graft.GraftSession.ensureFunctions(ss)
-    // probe knob (Scratch/bench A-Bs): swap the state store provider —
-    // e.g. RocksDB — for the replay session only
-    sys.props.get("graft.stream.provider").foreach(p =>
+    // State-store provider: a DEPLOYMENT knob (like SPARK_GRAFT_LOCAL_DIR
+    // / SPARK_GRAFT_SPLIT_BYTES), not operator semantics. The default
+    // HDFS-backed in-memory store wins at this harness's state sizes
+    // (the sf1 A/B in SCALE.md round 15 measured RocksDB strictly
+    // slower here), but at 100 TB-deployment state sizes — dedup key
+    // spaces or session maps that outgrow executor heap — RocksDB's
+    // spill-to-disk store is the right default and this is where it
+    // flips on: SPARK_GRAFT_STATE_PROVIDER=rocksdb (or any fully
+    // qualified provider class). Results are store-independent —
+    // StateStoreProviderSpec hash-gates a stateful replay under
+    // RocksDB against the default store. The sys-prop spelling
+    // overrides env for in-JVM probes/A-Bs.
+    val provider = sys.props.get("graft.stream.provider")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER"))
+      .map {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case fqcn => fqcn
+      }
+    provider.foreach(p =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     sets.foreach { case (k, v) => ss.conf.set(k, v) }
     ss

@@ -36,6 +36,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f.schema("f").dataType.simpleString === "array<double>")
   }
 
+  test("image_header decodes PNG IHDR and walks JPEG markers to the SOF") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a real 3x2 PNG header (signature + IHDR), as libpng would emit it
+    val png = hx("89504E470D0A1A0A0000000D49484452" +
+      "0000000300000002080600000099819AAB")
+    // JPEG: SOI, APP0/JFIF (len 16), DQT (len 5 dummy), then SOF2
+    // (progressive, 0xC2) with height 2, width 3 — the walk must skip
+    // two variable segments and accept a non-baseline SOF
+    val jpg = hx("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+      "FFDB0006" + "00010203" + "FFC2000B" + "08" + "0002" + "0003" +
+      "01011100" + "FFD9")
+    // corrupt family: empty, bad signature, PNG cut before IHDR dims,
+    // JPEG whose scan data starts before any SOF
+    val noSof = hx("FFD8" + "FFDA0002")
+    val rows = Seq(1L -> png, 2L -> jpg, 3L -> Array.empty[Byte],
+      4L -> "not an image".getBytes("UTF-8"), 5L -> png.take(20),
+      6L -> noSof)
+      .toDF("id", "b")
+      .select(col("id"), graft.plans.ImageHeaderDecode(col("b")).as("h"))
+      .select(col("id"), col("h.fmt"), col("h.width"), col("h.height"))
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(rows(1L) === (("png", Some(3L), Some(2L))))
+    assert(rows(2L) === (("jpeg", Some(3L), Some(2L))))
+    for (k <- Seq(3L, 4L, 5L, 6L))
+      assert(rows(k) === (("unknown", None, None)), s"payload $k")
+  }
+
   test("resizePlan fits the long side, preserves aspect, counts tiles") {
     val dims = Seq((1L, 1280L, 720L), (2L, 224L, 224L), (3L, 100L, 400L))
       .toDF("id", "w", "h")
