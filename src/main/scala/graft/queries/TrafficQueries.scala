@@ -444,12 +444,25 @@ object TrafficQueries {
     val packed = AsOfJoin.packSeries(weatherSeries(s, dir),
       keyCols = Seq("event_type"), timeCol = "ts",
       valueCols = Seq("w_temp")).persist()
+    // The delta sink's per-batch cost is committer machinery x file
+    // count, not bytes: the shuffle-free probe inherits the scan's
+    // split count (16 at sf1), so each narrow 2-column delta paid 16
+    // file commits. coalesce folds the write to cores/4 files per
+    // batch — measured at sf1: 0.283 -> 0.214 s/batch at 8 files,
+    // while coalesce(1) (0.436 s) shows the other edge, the probe
+    // compute serializing. AQE cannot do this fold (no shuffle in the
+    // probe plan); a cluster deploy scales the divisor with its cores
+    // via the session parallelism, keeping file count bounded and the
+    // probe parallel.
+    val writeFiles = math.max(2,
+      s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
     def probe(batch: DataFrame): DataFrame =
       AsOfJoin.probePacked(
         PositionView.fromEvents(batch).select("event_id", "event_type", "ts"),
         packed, keyCols = Seq("event_type"), timeCol = "ts",
         valueCols = Seq("w_temp"))
         .select("event_id", "w_temp")
+        .coalesce(writeFiles)
     val stream = graft.streaming.StreamOps.eventsStreamSliced(s, dir, 4)
     try {
       // warm the serving plan before accepting traffic: one probe row
