@@ -43,29 +43,38 @@ import org.apache.spark.sql.functions._
   * shuffles). The two filter branches over one aggregation share a
   * single shuffle via ReusedExchange (asserted in GeoNearestSpec).
   *
-  * The per-pass argmin is a codegen'd primitive min over ONE packed
-  * long (dist_micro << IdBits | signal_id): distance dominates,
-  * signal_id ITSELF breaks ties — identical to the oracle's
-  * min(dist·K + id) and fully parallel. (The previous dense
-  * row_number surrogate funneled the whole layer through one
-  * unpartitioned-window task — the exact single-task bottleneck this
-  * operator exists to avoid once the layer grows with a deployment —
-  * and cost an extra id-mapping join on the way out.)
+  * The per-pass argmin in passes 1-2 is a codegen'd primitive min over
+  * ONE packed long (dist_micro << IdBits | signal_id): distance
+  * dominates, signal_id ITSELF breaks ties — identical to the oracle's
+  * min(dist·K + id) and fully parallel. (The previous dense row_number
+  * surrogate funneled the whole layer through one unpartitioned-window
+  * task — the exact single-task bottleneck this operator exists to
+  * avoid once the layer grows with a deployment — and cost an extra
+  * id-mapping join on the way out.) The packing is overflow-safe there
+  * because ring-join candidates are separation-bounded by the
+  * require() above (<= 20°/axis → dist < 3,162 km < 2^(63-IdBits)
+  * micro-km). Pass 3's exactness net has UNBOUNDED distances (up to
+  * the half circumference), so it uses a lexicographic struct-min of
+  * (dist_micro, signal_id) instead — same ordering, no packing; it
+  * runs on ~0 rows by construction, so the non-primitive aggregate
+  * costs nothing.
   *
   * Contract: `positions(event_id PK, lat, lon)`, `signals(signal_id
   * UNIQUE in [0, 2^IdBits) — enforced in-plan; a layer with a wider
-  * id space pre-maps ids through RankOps.withGlobalRank, which is
-  * order-preserving and parallel)`, and |lat| <= maxAbsLatDeg on BOTH
-  * sides — a violated latitude bound voids the exactness guarantee.
-  * Positions with no signal anywhere in the layer are dropped
-  * (inner-join semantics of the final pass).
+  * id space, e.g. raw planet-OSM node ids, pre-maps ids through
+  * RankOps.withGlobalRank, which is order-preserving and parallel)`,
+  * and |lat| <= maxAbsLatDeg on BOTH sides — a violated latitude
+  * bound voids the exactness guarantee. Positions with no signal
+  * anywhere in the layer are dropped (inner-join semantics of the
+  * final pass).
   */
 object GeoNearest {
 
-  /** Bits reserved for the signal id inside the packed argmin long:
-    * 2^28 ids x the worst-case half-circumference distance
-    * (2.01e10 micro-km) still sits under 2^63 with ~40% margin. */
-  val IdBits = 28
+  /** Bits reserved for the signal id inside the packed argmin long.
+    * 31 is the ring-bounded maximum: 2^31 ids x the worst ring-join
+    * distance (20°/axis separation → 3,162 km = 3.17e9 micro-km)
+    * packs to 6.8e18 < 2^63 with ~26% headroom. */
+  val IdBits = 31
 
   def nearest(positions: DataFrame, signals: DataFrame,
               cellDeg: Double, originLat: Double, originLon: Double,
@@ -115,9 +124,17 @@ object GeoNearest {
       col("s_lat"), col("s_lon"), col("s_coslat"))
     // the double round reproduces the oracle's decimal rounding
     // (round(d,6) is not an exact micro multiple in binary; rounding
-    // its *1e6 image recovers the integer)
-    val packed = round(round(dist, 6) * lit(1e6)).cast("long") *
-      lit(1L << IdBits) + col("sig_idx")
+    // its *1e6 image recovers the integer). The isNotNull guard is
+    // load-bearing under ANSI: an unmatched LEFT row has null s_*, and
+    // haversineKmPre's least/greatest clamps SKIP nulls — the "dist"
+    // of a non-candidate evaluates to the half circumference, whose
+    // eager multiply overflows at IdBits=31 before the null sig_idx
+    // can null the sum. The when() short-circuits, restoring "m is
+    // null when nothing matched" by construction; MATCHED candidates
+    // are ring-bounded (<= 20°/axis) and pack with headroom.
+    val packed = when(col("sig_idx").isNotNull,
+      round(round(dist, 6) * lit(1e6)).cast("long") *
+        lit(1L << IdBits) + col("sig_idx"))
     // min(packed) as "m" (null when the LEFT join matched nothing);
     // the position attributes are functionally dependent on event_id,
     // so first() is deterministic and lets the unresolved branch feed
@@ -192,16 +209,26 @@ object GeoNearest {
     val resolved2 = m2.filter(isResolved(widenRing))
     val un2 = m2.filter(!isResolved(widenRing))
 
-    // pass 3: exactness net over the whole broadcast layer
-    val m3 = argmin(un2.select("event_id", "lat", "lon", "coslat", "gx", "gy")
+    // pass 3: exactness net over the whole broadcast layer. Distances
+    // here are UNBOUNDED (no ring), so the packed long could overflow
+    // at IdBits=31 — this pass argmins a lexicographic struct of
+    // (dist_micro, signal_id) instead: the identical (distance, id)
+    // ordering with no packing, on the ~0 rows that ever get here.
+    val distMicro = round(round(dist, 6) * lit(1e6)).cast("long")
+    val m3 = un2.select("event_id", "lat", "lon", "coslat")
       .join(broadcast(
-        sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat")))))
+        sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"))))
+      .groupBy("event_id")
+      .agg(min(struct(distMicro.as("d"), col("sig_idx").as("i"))).as("ms"))
+      .select(col("event_id"), col("ms.i").as("signal_id"),
+        (col("ms.d").cast("double") / 1e6).as("dist_km"))
 
     // sig_idx IS signal_id, so unpacking recovers it directly — no
     // mapping join back through the layer
-    resolved1.unionByName(resolved2).unionByName(m3)
+    resolved1.unionByName(resolved2)
       .select(col("event_id"),
         col("m").bitwiseAND(lit(maxId)).as("signal_id"),
         distKmOf(col("m")).as("dist_km"))
+      .unionByName(m3)
   }
 }
