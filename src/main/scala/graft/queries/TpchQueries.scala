@@ -158,8 +158,16 @@ object TpchQueries {
       |ORDER BY revenue DESC, n_name""".stripMargin
 
   def topCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
+    // customer GROWS with the corpus: row-arbitrated like q5's old
+    // orders side (BroadcastSweep flagged the planner's byte-based
+    // pick building a 150k-row hash at sf1 — inside the measured
+    // broadcast-wins band, but the bytes estimate goes row-blind
+    // exactly when the build stops being cheap; the merge fallback is
+    // the memory-safe fact-fact shape past the cutoff)
     val spend = Tables.orders(s, dir)
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.Par.broadcastIfFewRows(Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "c_nationkey")
       .agg(round(sum("o_totalprice"), 2).as("total_spend"))
     val w = Window.partitionBy("c_nationkey")
