@@ -103,6 +103,15 @@ object GeoNearest {
     // projection itself (raise_error in the otherwise branch — codegen
     // cannot prune it away, and it costs one comparison per layer row)
     val maxId = (1L << IdBits) - 1
+    // the layer is dim-sized but appears in THREE plan branches (ring-1
+    // explode, pass-2 probe, pass-3 broadcast net); without lineage
+    // truncation each branch re-runs the caller's full derivation —
+    // for the registry query that was an events scan + JSON position
+    // parse per branch (RescanSweep: events.parquet scanned 4x). The
+    // LAZY localCheckpoint computes the |layer|-row frame once on the
+    // first action and the other branches read its blocks
+    // (Audit.withRecall precedent; eager=false keeps plan building
+    // job-free for the lint specs).
     val sig = signals
       .select(col("signal_id"), col("s_lat"), col("s_lon"))
       .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))
@@ -113,6 +122,7 @@ object GeoNearest {
             col("signal_id")))))
       .withColumn("sgx", GeoFunctions.gridX(col("s_lon"), originLon, cellDeg))
       .withColumn("sgy", GeoFunctions.gridY(col("s_lat"), originLat, cellDeg))
+      .localCheckpoint(eager = false)
 
     val p = Par.spread(positions.select("event_id", "lat", "lon"))
       .withColumn("coslat", GeoFunctions.cosLat(col("lat")))
