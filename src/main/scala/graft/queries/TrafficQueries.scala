@@ -295,13 +295,19 @@ object TrafficQueries {
     * as ta_hourly_activity. */
   def taInterpolate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = pos(s, dir)
-    val hourly = p
+    // ONE corpus scan: bounds and the route set derive from the hourly
+    // aggregate itself — date_trunc is monotone so min/max commute
+    // with it, and hourly's route set IS pos's route set. The staged
+    // (lazy localCheckpoint) aggregate is dim-sized (routes x hours)
+    // and feeds three branches (bounds, spine, the LOCF join) that
+    // each re-ran the full JSON position parse before (RescanSweep:
+    // events.parquet scanned 3x per run).
+    val hourly = pos(s, dir)
       .groupBy(col("route_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-    val bounds = p.agg(date_trunc("hour", min("ts")).as("h0"),
-      date_trunc("hour", max("ts")).as("h1"))
-    val spine = p.select("route_id").distinct()
+      .localCheckpoint(eager = false)
+    val bounds = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val spine = hourly.select("route_id").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("route_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
