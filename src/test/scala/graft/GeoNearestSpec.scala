@@ -70,6 +70,33 @@ class GeoNearestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got(1L)._1 === 4L)
   }
 
+  test("ids at the 2^31 bound pack correctly; past it the guard fires") {
+    // the sf1 shards carry 900M-wide event-derived ids — pin the full
+    // contract: near-bound ids survive packing AND the tie-break (two
+    // equidistant signals, larger-id pair member near 2^IdBits-1);
+    // unmatched-position rows (forcing pass 2/3 with null candidates)
+    // must not overflow the packed multiply (the r17 ANSI regression:
+    // a null side's pseudo-distance is the half circumference)
+    val top = (1L << GeoNearest.IdBits) - 2
+    val pos = Seq((1L, 50.45, 30.5), (2L, 50.58, 30.79)).toDF("event_id", "lat", "lon")
+    val sig = Seq((top, 50.45, 30.52), (top - 1, 50.45, 30.48))
+      .toDF("signal_id", "s_lat", "s_lon")
+    val got = run(pos, sig, widenRing = 2)
+    assert(got(1L)._1 === top - 1) // tie -> smaller id, undamaged by packing
+    assert(got(2L)._1 === top)     // resolved via the broadcast net, id intact
+    val bad = Seq((1L << GeoNearest.IdBits, 50.45, 30.52))
+      .toDF("signal_id", "s_lat", "s_lon")
+    // surfaces as SparkRuntimeException (raise_error in a broadcast
+    // build) or SparkException (task failure) depending on which pass
+    // evaluates the guard first — assert on the message, not the class
+    val e = intercept[Exception] {
+      GeoNearest.nearest(pos, bad, 0.05, 50.3, 30.2, 50.6).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("signal_id outside")), e.toString)
+  }
+
   test("the resolved/unresolved branches reuse one aggregation shuffle") {
     val pos = positions(200)
     val sig = positions(200).filter(col("event_id") % 11 === 0)
