@@ -465,6 +465,84 @@ object TextQueries {
     |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---- tx_lm_perplexity ----------------------------------------------------
+
+  /** Bigram-LM perplexity scoring of the eval split — the model-based
+    * quality filter a training pipeline runs beside the heuristic one
+    * (tx_quality_filter): train Laplace-smoothed bigram counts on the
+    * md5 'train' split, score every 'val' doc by average negative log
+    * likelihood, flag the worst. Deterministic across engines and
+    * partitionings: each bigram's log-prob is rounded to integer
+    * micro-nats and SUMMED EXACTLY (the q_skew_join decimal
+    * discipline — a double sum of logs is summation-order-dependent in
+    * its last ulp), and the perplexity exponentiates the already-
+    * rounded average. Scale shape: the count tables grow with the
+    * corpus, so both probability joins are merge-hinted (the
+    * tx_contamination rule — never broadcast a vocabulary); only the
+    * one-row vocabulary size rides a broadcast. */
+  def txLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(s, dir)
+      .select(col("doc_id"), col("text"), trainSplit(col("doc_id")).as("split"))
+    val train = d.filter(col("split") === "train")
+    val uni = train.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val big = train.select(explode(wordShingles(col("text"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val vsz = uni.agg(count(lit(1)).as("vsz"))
+    val eb = d.filter(col("split") === "val")
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val scored = eb
+      .join(big.hint("merge"), Seq("b"), "left")
+      .join(uni.hint("merge"), col("w1") === col("w"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("vsz"))) * lit(1e6))
+          .cast("long").as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("__s").cast("double") / (col("n_bigrams") * lit(1e6)), 4)
+          .as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 2))
+      // per-eval-doc deliverable: one-partition sort (q5 coalesce note)
+      .coalesce(1).sortWithinPartitions("doc_id")
+  }
+
+  val txLmPerplexitySql: String = s"""
+    |WITH d AS (
+    |  SELECT doc_id, text, CASE
+    |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+    |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+    |      ELSE 'train' END AS split
+    |  FROM documents),
+    |tt AS (SELECT doc_id, $toksSql AS toks FROM d WHERE split = 'train'),
+    |uni AS (
+    |  SELECT t AS w, count(*) AS c1
+    |  FROM tt, LATERAL (SELECT unnest(toks) AS t) u GROUP BY 1),
+    |v AS (SELECT count(*) AS vsz FROM uni),
+    |big AS (
+    |  SELECT toks[i] || ' ' || toks[i+1] AS b, count(*) AS c2
+    |  FROM tt, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u GROUP BY 1),
+    |ev AS (SELECT doc_id, $toksSql AS toks FROM d WHERE split = 'val'),
+    |eb AS (
+    |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b, toks[i] AS w1
+    |  FROM ev, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u),
+    |sc AS (
+    |  SELECT doc_id,
+    |    CAST(round(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + vsz)) * 1e6)
+    |      AS BIGINT) AS lp
+    |  FROM eb LEFT JOIN big USING (b)
+    |    LEFT JOIN uni ON eb.w1 = uni.w
+    |    CROSS JOIN v),
+    |agg AS (
+    |  SELECT doc_id, count(*) AS n_bigrams,
+    |    round(-CAST(sum(lp) AS DOUBLE) / (count(*) * 1e6), 4) AS avg_nll
+    |  FROM sc GROUP BY doc_id)
+    |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 2) AS ppl
+    |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---- tx_contamination --------------------------------------------------
 
   /** Benchmark-decontamination check: an eval (val/test) doc is
@@ -549,7 +627,8 @@ object TextQueries {
     "tx_repetition" -> (txRepetition _),
     "tx_contamination" -> (txContamination _),
     "tx_quality_filter" -> (txQualityFilter _),
-    "tx_stratified_sample" -> (txStratifiedSample _))
+    "tx_stratified_sample" -> (txStratifiedSample _),
+    "tx_lm_perplexity" -> (txLmPerplexity _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -564,5 +643,6 @@ object TextQueries {
     "tx_repetition" -> txRepetitionSql,
     "tx_contamination" -> txContaminationSql,
     "tx_quality_filter" -> txQualityFilterSql,
-    "tx_stratified_sample" -> txStratifiedSampleSql)
+    "tx_stratified_sample" -> txStratifiedSampleSql,
+    "tx_lm_perplexity" -> txLmPerplexitySql)
 }
