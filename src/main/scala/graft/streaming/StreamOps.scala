@@ -436,7 +436,28 @@ object StreamOps {
       if (Files.isDirectory(shm) && Files.isWritable(shm)) shm.resolve("graft-ckpt")
       else Paths.get(sys.props("java.io.tmpdir"), "graft-ckpt")
     Files.createDirectories(base)
-    base
+    // ONE SUBDIR PER JVM: sink-/recover- paths are keyed by query name,
+    // so two live graft JVMs (a Verify beside a bench, concurrent
+    // harness runs) sharing the flat root raced on the same
+    // FileStreamSink metadata ("Race while writing batch 0", observed
+    // when two Verifies overlapped). Dead-pid siblings are reclaimed on
+    // startup exactly like GraftSession's pid-scoped shuffle scratch —
+    // on tmpfs a leaked checkpoint is resident RAM, not just disk.
+    // recover- dirs keep their cross-RESTART contract: the recoverable
+    // replays restart queries inside one JVM, never across JVMs.
+    val live = java.lang.ProcessHandle.current().pid()
+    Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach { d =>
+      val n = d.getName
+      if (n.startsWith("pid-")) {
+        val pid = n.stripPrefix("pid-")
+        if (pid.forall(_.isDigit) && pid.toLong != live &&
+            !Files.isDirectory(Paths.get("/proc", pid)))
+          deleteRecursive(d.toPath)
+      }
+    }
+    val mine = base.resolve(s"pid-$live")
+    Files.createDirectories(mine)
+    mine
   }
 
   /** Fresh single-run checkpoint dir under [[CheckpointRoot]]. The
