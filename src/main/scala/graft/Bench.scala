@@ -268,7 +268,11 @@ object Bench {
             else Option(prev.get("blessed_ref"))
           src.map { n =>
             val keep = om.createObjectNode()
-            Seq("canary", "value", "sf", "repeats", "queries").foreach { k =>
+            // canary_attempts rides along so a blessed_ref-quoting
+            // reader never falls back to the damaged run's attempts
+            // (mixed-provenance headline, r17 advice)
+            Seq("canary", "canary_attempts", "value", "sf", "repeats",
+                "queries").foreach { k =>
               if (n.has(k)) keep.set[com.fasterxml.jackson.databind.JsonNode](k, n.get(k))
             }
             om.writeValueAsString(keep)

@@ -147,10 +147,11 @@ object GraftSession {
         d.getName match {
           case s if s.startsWith("pid-") =>
             val pid = s.stripPrefix("pid-")
-            val dead = pid.forall(_.isDigit) &&
-              pid.toLong != live &&
-              !java.nio.file.Files.isDirectory(
-                java.nio.file.Paths.get("/proc", pid))
+            // Try-parse: an all-digit suffix wider than Long.MaxValue
+            // must be skipped, not crash session startup
+            val dead = scala.util.Try(pid.toLong).toOption.exists(p =>
+              p != live && !java.nio.file.Files.isDirectory(
+                java.nio.file.Paths.get("/proc", pid)))
             if (dead) deleteRecursive(d)
           case _ => () // pre-layout flat scratch: left for its owner
         }

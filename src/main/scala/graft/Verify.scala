@@ -47,8 +47,40 @@ object Verify {
           val aggs = present.flatMap(c =>
             Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
           val row = df.agg(aggs.head, aggs.tail: _*).head
+          def v(f: String): Option[Double] = {
+            val i = row.schema.fieldNames.indexOf(f)
+            if (i < 0 || row.isNullAt(i)) None
+            else Some(row.get(i).toString.toDouble)
+          }
+          // ENFORCE the advertised floor (SparkEntry.auditFloors): a
+          // rows-only query whose audit column collapsed must fail the
+          // driver-VISIBLE gate, not just a ScalaTest floor — withhold
+          // its dump so the driver's rows check errs for it.
+          val violation = SparkEntry.auditFloors.get(name).flatMap {
+            case (colName, bound, isMin) =>
+              // floor checks the WORST row: min for a >= floor,
+              // max for a <= ceiling
+              v(if (isMin) s"${colName}_min" else s"${colName}_max")
+                .filter(x => if (isMin) x < bound else x > bound)
+                .map(x => (colName, x, bound, isMin))
+          }
+          violation.foreach { case (c, x, bound, isMin) =>
+            val rel = if (isMin) "<" else ">"
+            System.err.println(
+              s"[verify] $name AUDIT FLOOR VIOLATION: $c=$x $rel " +
+                s"advertised ${if (isMin) "floor" else "ceiling"} $bound" +
+                " — withholding dump so the rows gate fails visibly")
+            def rm(p: java.nio.file.Path): Unit = {
+              if (Files.isDirectory(p))
+                Files.list(p).forEach(rm(_))
+              Files.deleteIfExists(p); ()
+            }
+            rm(Paths.get(path))
+          }
           val kv = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
             s""""$f": ${row.get(i)}"""
+          } ++ violation.map { case (c, x, bound, _) =>
+            s""""floor_violation": "$c=$x vs $bound""""
           }
           Some(s""""$name": {${kv.mkString(", ")}}""")
         }

@@ -80,13 +80,25 @@ object GeoQueries {
     val n = math.max(1L, eventsCount(s, dir) / 199)
     val cell = math.max(0.002, math.min(0.2,
       CellDeg * math.pow(RefSignals / n.toDouble, 0.4)))
+    // Compact-id pre-map: GeoNearest packs signal_id into IdBits=31
+    // bits and HARD-FAILS past 2^31; sf1 event ids already reach ~900M
+    // (~2.4x headroom). Signals are exactly the event_id % 199 == 0
+    // rows, so event_id / 199 is an order-preserving bijection into
+    // [0, maxEventId/199] — 475x more id headroom with ZERO extra
+    // stages (an arbitrary layer would use RankOps.withGlobalRank, the
+    // remedy the GeoNearest contract documents). Order preservation
+    // keeps the packed-long tie-break identical: min over
+    // (dist, id/199) picks the same signal as min over (dist, id).
     graft.operators.GeoNearest.nearest(
       pos(s, dir).select("event_id", "lat", "lon"),
-      signals(s, dir),
+      signals(s, dir)
+        .withColumn("signal_id", (col("signal_id") / 199).cast("long")),
       cellDeg = cell,
       originLat = GeoFunctions.KyivBounds._1,
       originLon = GeoFunctions.KyivBounds._3,
       maxAbsLatDeg = GeoFunctions.KyivBounds._2)
+      // map back to the caller-visible id space (the oracle's ids)
+      .withColumn("signal_id", col("signal_id") * 199)
       .orderBy("event_id")
   }
 

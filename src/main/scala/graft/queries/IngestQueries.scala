@@ -298,7 +298,10 @@ object IngestQueries {
     * it), so 26 of the 30 date directories are never opened — the
     * property the reference's file rotation exists to provide. */
   def ingDatedWrite(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft-dated/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // pid-scoped: a name-keyed shared /tmp path races between
+    // concurrent graft JVMs (the serve-warm hazard, r18 sweep)
+    val out = graft.streaming.StreamOps.scratchPath(
+      "dated-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val posDf = PositionView.fromEvents(events(s, dir))
       .select("event_id", "vehicle_id", "ts", "value")
     // one file per date: ~3k rows/date at sf0.1 — four files each was
@@ -655,7 +658,9 @@ object IngestQueries {
     * NOTHING; the file-count drop itself is asserted in
     * DatedWriterSpec (file layout is not SQL-observable). */
   def ingCompactZone(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft-dated-compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // pid-scoped: see ingDatedWrite — shared name-keyed paths race
+    val base = graft.streaming.StreamOps.scratchPath(
+      "dated-compact-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     // the fragmented zone is this query's INPUT — a state some appender
     // left behind, not work the compaction job does. Stage the pristine
     // zone once per (session, dir) and hand each run a file-level clone

@@ -452,7 +452,10 @@ object MiscQueries {
     * stream → rotated-files → read-back path loses and duplicates
     * nothing. */
   def stDatedSink(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft-stream-dated/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // pid-scoped: a name-keyed shared /tmp path races between
+    // concurrent graft JVMs (the serve-warm hazard, r18 sweep)
+    val out = StreamOps.scratchPath(
+      "stream-dated-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val src = StreamOps.eventsStream(s, dir)
       .select(col("event_id"), col("user_id").as("vehicle_id"),
         timestamp_micros(expr(graft.sources.PositionView.TsUsSql)).as("ts"),
@@ -498,7 +501,7 @@ object MiscQueries {
     // the measured cost is the RECOVERY itself: read the checkpoint,
     // land the staged batch exactly once, drain the remaining backlog.
     val (pOut, pCkpt) = graft.operators.Stage.value(s, dir, "recover_killed") {
-      val out0 = "/tmp/graft-stream-recover/" + key + "_killed"
+      val out0 = StreamOps.scratchPath("recover-" + key + "_killed")
       val ck0 = StreamOps.recoverCheckpointDir(key + "-killed")
       val dropped =
         try { StreamOps.runToDatedRecoverable(s, src, "ts", out0, ck0,
@@ -507,7 +510,7 @@ object MiscQueries {
       require(dropped, "planted mid-stream failure did not fire")
       (out0, ck0)
     }
-    val out = "/tmp/graft-stream-recover/" + key + "_work"
+    val out = StreamOps.scratchPath("recover-" + key + "_work")
     val ckpt = StreamOps.recoverCheckpointDir(key + "-work")
     graft.sources.DatedWriter.cloneTree(pOut, out)
     graft.sources.DatedWriter.cloneTree(pCkpt, ckpt)

@@ -480,7 +480,7 @@ object TrafficQueries {
       // its committer/codec init is part of the batch-0 tail being warmed
       probe(Tables.events(s, dir).limit(1))
         .write.mode("overwrite")
-        .parquet("/tmp/graft-serve-warm/st_asof_serve")
+        .parquet(graft.streaming.StreamOps.scratchPath("st_asof_serve"))
       graft.streaming.StreamOps.runBatchTransforms(s, stream, "st_asof_serve")(probe)
         .sortWithinPartitions("event_id")
     } finally { packed.unpersist(); () }

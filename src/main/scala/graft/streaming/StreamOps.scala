@@ -345,6 +345,15 @@ object StreamOps {
     * dynamic session conf is copied first (static/readonly entries
     * skipped) and the custom function registry re-asserted — the child
     * must plan exactly like the parent except for the overrides. */
+  /** Thread-scoped state-store provider override for in-JVM probes and
+    * specs. The sys-prop spelling is GLOBAL — a spec mutating it would
+    * silently flip concurrent suites' replays onto RocksDB during its
+    * window — so test paths use this DynamicVariable instead, which
+    * scopes the override to the calling thread (replaySession runs on
+    * the caller's thread; the child session's conf is fixed before any
+    * micro-batch thread starts). */
+  val ProviderOverride = new scala.util.DynamicVariable[Option[String]](None)
+
   private def replaySession(s: SparkSession,
                             sets: Seq[(String, String)]): SparkSession = {
     val ss = s.newSession()
@@ -364,7 +373,8 @@ object StreamOps {
     // StateStoreProviderSpec hash-gates a stateful replay under
     // RocksDB against the default store. The sys-prop spelling
     // overrides env for in-JVM probes/A-Bs.
-    val provider = sys.props.get("graft.stream.provider")
+    val provider = ProviderOverride.value
+      .orElse(sys.props.get("graft.stream.provider"))
       .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER"))
       .map {
         case "rocksdb" =>
@@ -450,8 +460,10 @@ object StreamOps {
       val n = d.getName
       if (n.startsWith("pid-")) {
         val pid = n.stripPrefix("pid-")
-        if (pid.forall(_.isDigit) && pid.toLong != live &&
-            !Files.isDirectory(Paths.get("/proc", pid)))
+        // Try-parse: an all-digit suffix wider than Long.MaxValue must
+        // be skipped (stray dir name), not crash root initialization
+        if (scala.util.Try(pid.toLong).toOption.exists(p =>
+              p != live && !Files.isDirectory(Paths.get("/proc", pid))))
           deleteRecursive(d.toPath)
       }
     }
@@ -475,6 +487,16 @@ object StreamOps {
     * checkpoints. */
   def recoverCheckpointDir(key: String): String =
     CheckpointRoot.resolve("recover-" + key).toString
+
+  /** Pid-scoped scratch path for non-checkpoint streaming side files
+    * (warm-up writes, staging). Name-keyed paths under a SHARED root
+    * (the old /tmp/graft-serve-warm) race between concurrent graft
+    * JVMs exactly like the flat checkpoint root did — two Verifies
+    * overwrite each other's parquet footers mid-read. Routing them
+    * under [[CheckpointRoot]] gives them the same per-JVM isolation
+    * and dead-pid reclamation for free. */
+  def scratchPath(name: String): String =
+    CheckpointRoot.resolve("scratch-" + name).toString
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -43,4 +43,11 @@ class RecallFloorSf1Spec extends SparkSpec {
       queries.DedupQueries.queries("dd_embedding_lsh")(spark, Dir))
     assert(rec >= 0.8, s"dd_embedding_lsh sf1 recall collapsed: $rec (measured 0.92)")
   }
+
+  test("st_ivf_serve holds the advertised recall@10 >= 0.85 at sf1") {
+    assume(shardsPresent, s"$Dir absent — run Test/runMain graft.GenScale first")
+    val rec = recallOf(
+      queries.SimilarityQueries.queries("st_ivf_serve")(spark, Dir))
+    assert(rec >= 0.85, s"st_ivf_serve sf1 recall under the advertised floor: $rec")
+  }
 }

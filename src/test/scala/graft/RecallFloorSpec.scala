@@ -49,4 +49,13 @@ class RecallFloorSpec extends SparkSpec {
       queries.DedupQueries.queries("dd_embedding_lsh")(spark, Dir))
     assert(rec >= 0.8, s"dd_embedding_lsh sf0.1 recall collapsed: $rec (measured 0.94)")
   }
+
+  test("st_ivf_serve holds the advertised recall@10 >= 0.85 at sf0.1") {
+    // the streamed IVF probe serves the SAME staged index as
+    // ss_ivf_topk, so its recall must match the batch row's — a drift
+    // between them means the foreachBatch path stopped using the index
+    val rec = recallOf(
+      queries.SimilarityQueries.queries("st_ivf_serve")(spark, Dir))
+    assert(rec >= 0.85, s"st_ivf_serve sf0.1 recall under the advertised floor: $rec")
+  }
 }

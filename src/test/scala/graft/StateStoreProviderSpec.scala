@@ -11,8 +11,9 @@ package graft
   *
   * st_session_window is the gate query: flatMapGroupsWithState-free
   * but stateful (session-window aggregation), so every batch round-trips
-  * the state store. The provider swap rides the replay-session sys-prop
-  * spelling of the knob (graft.stream.provider), scoped to this JVM.
+  * the state store. The provider swap rides the THREAD-scoped
+  * StreamOps.ProviderOverride (not the global sys-prop — that would
+  * leak RocksDB into concurrently-running suites' replays).
   */
 class StateStoreProviderSpec extends SparkSpec {
 
@@ -26,13 +27,13 @@ class StateStoreProviderSpec extends SparkSpec {
   test("a stateful replay is hash-identical under RocksDB") {
     val default = rows()
     assert(default.nonEmpty, "gate query returned no rows")
-    val prop = "graft.stream.provider"
-    sys.props(prop) =
+    // thread-scoped override, NOT the global sys-prop: mutating the
+    // prop would flip concurrently-running suites' replays onto
+    // RocksDB for this test's window (r17 advice finding)
+    val rocks = graft.streaming.StreamOps.ProviderOverride.withValue(Some(
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    try {
-      val rocks = rows()
-      assert(rocks === default,
-        "st_session_window diverged between state store providers")
-    } finally sys.props.remove(prop)
+    )) { rows() }
+    assert(rocks === default,
+      "st_session_window diverged between state store providers")
   }
 }
