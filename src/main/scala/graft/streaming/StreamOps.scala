@@ -86,6 +86,19 @@ object StreamOps {
   def eventsStreamWide(s: SparkSession, dir: String, files: Int): DataFrame =
     eventsStreamStaged(s, dir, files, filesPerTrigger = None)
 
+  /** Ranged backlog drained `filesPerBatch` files per micro-batch from
+    * a `slices`-file stage: each batch's scan plans one task per file,
+    * so a per-batch parse/probe runs filesPerBatch-way parallel WITHOUT
+    * the in-batch shuffle [[spreadStream]]-style fan-out would pay
+    * (measured on st_asof_serve at sf1: an in-probe Par.spread made the
+    * batch p50 834 -> 1211 ms — the exchange costs more than the serial
+    * parse it relieves; multi-file batches get the parallelism for
+    * free). Batch boundaries stay deterministic: files drain in stamped
+    * mtime (range) order, so batch k = ranges [k*f, (k+1)*f). */
+  def eventsStreamSlicedWide(s: SparkSession, dir: String, slices: Int,
+                             filesPerBatch: Int): DataFrame =
+    eventsStreamStaged(s, dir, slices, filesPerTrigger = Some(filesPerBatch))
+
   /** Stages `<dir>/<table>.parquet` as `slices` RANGE partitions on
     * `sortCol` (staged once per (dir, table, slices) and reused, so
     * batch boundaries stay fixed across a failed run and its recovery
@@ -849,6 +862,28 @@ object StreamOps {
     * the aggregate's merge is commutative (counts, min/max, sums) —
     * the state store applies the same merge regardless of how the
     * backlog was sliced; the spec pins 1-slice ≡ 4-slice. */
+  /** Drained-union read-back over the per-batch sink dirs: EXPLICIT
+    * dir paths with the already-known schema, not a glob. A glob makes
+    * DataFrameReader probe the literal glob string as a potential
+    * FileStreamSink output, and the recovered FileNotFoundException is
+    * logged WARN with a full driver stack — the "unexplained stack
+    * trace" in BENCH_r17's tail (reproduced r18: WARN FileStreamSink
+    * "Assume no metadata directory ... out-b* does not exist"; the
+    * read then succeeds, so nerr stayed 0). Multi-path reads skip the
+    * probe entirely, one real dir probes quietly, and the explicit
+    * schema skips per-dir footer inference — ONE driver listing, no
+    * stacks, cheaper drain (the r17 item-3 lever). */
+  private def readBatchDirs(s: SparkSession, root: java.nio.file.Path,
+                            prefix: String,
+                            schema: StructType): DataFrame = {
+    val dirs = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getPath).sorted
+    require(dirs.nonEmpty,
+      s"no $prefix batch dirs under $root — the replay produced no batches")
+    s.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+  }
+
   def runUpdateDeltas(s: SparkSession, build: SparkSession => DataFrame,
                       name: String, keyCols: Seq[String]): DataFrame = {
     SinkAudit.record("delta", name)
@@ -874,8 +909,8 @@ object StreamOps {
     } finally {
       org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
     }
-    val deltas = s.read.schema(df.schema.add("__batch", LongType))
-      .parquet(root.resolve("delta-b*").toString)
+    val deltas = readBatchDirs(s, root, "delta-b",
+      df.schema.add("__batch", LongType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
     deltas.withColumn("__rn", row_number().over(w))
@@ -912,18 +947,23 @@ object StreamOps {
     val root = CheckpointRoot.resolve(s"fb-$name")
     deleteRecursive(root)
     val ckpt = root.resolve("ckpt")
+    // the transform's output schema, captured from the first batch's
+    // plan so the drain read never infers footers (readBatchDirs)
+    @volatile var outSchema: StructType = null
     val q = df.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        f(b).write.mode("overwrite")
+        val out = f(b)
+        if (outSchema == null) outSchema = out.schema
+        out.write.mode("overwrite")
           .parquet(root.resolve(f"out-b$id%05d").toString)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     ReplayMetrics.record(name, q)
-    s.read.parquet(root.resolve("out-b*").toString)
+    readBatchDirs(s, root, "out-b", outSchema)
   }
 
   /** COMPLETE-mode replay landed DISTRIBUTED: each micro-batch's full

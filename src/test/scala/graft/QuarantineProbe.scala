@@ -114,8 +114,33 @@ object QuarantineProbe {
     println("QPROBE E==A: " + (a == vE.collect().map(_.toString).sorted.toSeq))
     println("QPROBE F==A: " + (a == vF.collect().map(_.toString).sorted.toSeq))
     println("QPROBE G==A: " + (a == vG.collect().map(_.toString).sorted.toSeq))
+    // H: the registered G shape WITHOUT the Par.spread pre-shuffle —
+    // the scan's own splits feed SocketIoFrame directly (r18: is the
+    // fan-out shuffle still paying for itself on a 10-shard source?)
+    def baseNoSpread = {
+      val goodFrame = concat(
+        lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}]"))
+      val frame = when(col("event_id") % 7 === 0,
+        concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
+        .otherwise(goodFrame)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .select(col("event_id"), frame.as("frame"))
+    }
+    def vH = finish2(baseNoSpread
+      .select(col("frame"), graft.plans.SocketIoFrame(col("frame")).as("f"))
+      .select(col("frame"),
+        coalesce(col("f.evt_name"), lit("")).as("evt_name"),
+        get_json_object(col("f.payload"), "$.id").isNotNull.as("ok")))
+    // C0: bare scan + count floor (no frame build, no parse, no spread)
+    def vC0 = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .groupBy().agg(count(lit(1)).as("n"))
+    println("QPROBE H==A: " + (a == vH.collect().map(_.toString).sorted.toSeq))
     for (r <- 1 to rounds) {
       time(s"D r$r")(vD); time(s"G r$r")(vG); time(s"C r$r")(vC)
+      time(s"H r$r")(vH); time(s"C0 r$r")(vC0)
     }
     spark.stop()
   }
