@@ -97,9 +97,15 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       selected.foreach { case (_, fn) =>
         pool.submit(new Runnable {
-          def run(): Unit =
+          def run(): Unit = {
+            // warmup replays run CONCURRENTLY: one query's eager
+            // state-store unload would abort a sibling's mid-commit
+            // store (stacks in the bench stderr) — suppress it here;
+            // the sequential measured loop unloads eagerly as before
+            graft.streaming.StreamOps.SuppressStoreUnload.set(true)
             try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
+          }
         })
       }
       pool.shutdown()

@@ -147,7 +147,11 @@ object SimilarityQueries {
   def stIvfServe(s: SparkSession, dir: String): DataFrame = {
     val indexed = ivfIndexed(s, dir)
     val cents = ivfCentroids(s, dir)
-    val qStream = graft.streaming.StreamOps.embeddingsStreamSliced(s, dir, 4)
+    // 2 ranged slices (the r18 serving-family convention): the probe is
+    // stateless against the static index, so the drained union is
+    // slicing-independent and each extra batch only pays the engine
+    // floor + an index-probe stage launch
+    val qStream = graft.streaming.StreamOps.embeddingsStreamSliced(s, dir, 2)
       .filter(col("vec_id") % 50 === 0)
     val served =
       graft.streaming.StreamOps.runBatchTransforms(s, qStream, "st_ivf_serve") {

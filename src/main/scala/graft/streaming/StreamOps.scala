@@ -501,6 +501,23 @@ object StreamOps {
   def recoverCheckpointDir(key: String): String =
     CheckpointRoot.resolve("recover-" + key).toString
 
+  /** Set true on Bench's concurrent WARMUP threads: the eager
+    * state-store unload a finishing replay runs in its finally
+    * (releaseStateStores) is process-global, so with several warmup
+    * replays in flight one query's unload killed a sibling's
+    * mid-commit store ("CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT …
+    * RejectedExecutionException: pool Terminated" aborts, logged with
+    * full stacks into the bench stderr — the r18 stack-provenance
+    * hunt). Warmup replays skip the eager unload (the measured loop is
+    * sequential and unloads as before; Spark's 60 s maintenance cycle
+    * reclaims whatever warmup leaves loaded). */
+  val SuppressStoreUnload: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private def releaseStateStores(): Unit =
+    if (!SuppressStoreUnload.get())
+      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+
   /** Pid-scoped scratch path for non-checkpoint streaming side files
     * (warm-up writes, staging). Name-keyed paths under a SHARED root
     * (the old /tmp/graft-serve-warm) race between concurrent graft
@@ -585,7 +602,7 @@ object StreamOps {
       ReplayMetrics.record("dated:" + root.getFileName.toString, q)
     } finally {
       deleteRecursive(ckpt)
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
   }
 
@@ -649,6 +666,25 @@ object StreamOps {
     if (!Files.exists(marker)) Files.createFile(marker)
     val commits = root.resolve("_commits")
     Files.createDirectories(commits)
+    // A PLANTED failure is this replay's fixture, not an incident:
+    // Spark's stream thread logs the termination exception at ERROR
+    // with a full stack, which lands in bench/driver stderr and reads
+    // as an unexplained crash in the artifact tail (the r17 "stack in
+    // a clean artifact" finding was this class of noise). Silence the
+    // stream-execution loggers for the planted run only; the real
+    // failure still reaches the caller as PlantedStreamFailure.
+    val silenced = failAtBatch.isDefined
+    val execLoggers = Seq(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.runtime.StreamExecution")
+    val prior: Seq[(String, org.apache.logging.log4j.Level)] =
+      if (!silenced) Nil
+      else execLoggers.map { l =>
+        val lv = org.apache.logging.log4j.LogManager.getLogger(l).getLevel
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          l, org.apache.logging.log4j.Level.OFF)
+        (l, lv)
+      }
     try {
       val q = df.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -694,7 +730,10 @@ object StreamOps {
       // catch the SAME exception type
       case e: Throwable if causedByPlanted(e) => throw rootPlanted(e)
     } finally {
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      prior.foreach { case (l, lv) =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(l, lv)
+      }
+      releaseStateStores()
     }
   }
 
@@ -757,7 +796,7 @@ object StreamOps {
       ReplayMetrics.record(name, q)
     } finally {
       deleteRecursive(ckpt)
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
     // the sink wrote exactly df's columns — reading back with that
     // schema skips a fresh-dir footer inference per run
@@ -819,7 +858,7 @@ object StreamOps {
       q.awaitTermination()
       ReplayMetrics.record(name, q)
     } finally {
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
     val flushed = s.read.schema(df.schema).parquet(out.toString)
     val open = openProj(
@@ -907,7 +946,7 @@ object StreamOps {
       q.awaitTermination()
       ReplayMetrics.record(name, q)
     } finally {
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
     val deltas = readBatchDirs(s, root, "delta-b",
       df.schema.add("__batch", LongType))
@@ -1006,7 +1045,7 @@ object StreamOps {
       q.awaitTermination()
       ReplayMetrics.record(name, q)
     } finally {
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
     s.read.schema(df.schema).parquet(out.toString)
   }
@@ -1077,7 +1116,7 @@ object StreamOps {
       ReplayMetrics.record(name, q)
     } finally {
       deleteRecursive(ckpt)
-      org.apache.spark.sql.execution.streaming.state.GraftStateBridge.unloadAll()
+      releaseStateStores()
     }
     // the memory sink registers its table in the session that ran the
     // query — the child's catalog

@@ -15,7 +15,7 @@ FAM[q]=q1_pricing_summary,q3_shipping_priority,q5_local_supplier,q_top_customer_
 FAM[tx]=tx_lm_perplexity,tx_token_count,tx_bpe_tokens,tx_pack_sequences,tx_quality_score,tx_lang_id,tx_fingerprint,tx_ngram_freq,tx_pii_scrub,tx_train_split,tx_repetition,tx_contamination,tx_quality_filter,tx_stratified_sample
 FAM[dd]=dd_exact,dd_ngram_jaccard,dd_minhash_lsh,dd_simhash,dd_cluster,dd_incremental,dd_cluster_incr,dd_keep_list
 FAM[ddemb]=dd_embedding,dd_embedding_lsh
-FAM[ss]=ss_brute_topk,ss_lsh_topk,ss_ivf_topk,st_ann_serve
+FAM[ss]=ss_brute_topk,ss_lsh_topk,ss_ivf_topk,st_ann_serve,st_ivf_serve
 FAM[mm]=mm_meta_extract,mm_frame_sample,mm_resize_plan,mm_decode_features,mm_header_decode
 FAM[st]=st_asof_serve,st_windowed_counts,st_stream_dedup,st_incremental_dedup,st_ttl_dedup,st_stream_join,st_sliding_counts,st_session_window,st_session_final,st_dated_sink,st_reconnect_backoff,st_recover_buffered,st_sessionize,st_positions_parse
 FAM[ag]=ag_approx_distinct,ag_approx_topk,ag_approx_quantile
