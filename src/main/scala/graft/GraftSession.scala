@@ -147,11 +147,14 @@ object GraftSession {
         d.getName match {
           case s if s.startsWith("pid-") =>
             val pid = s.stripPrefix("pid-")
-            // Try-parse: an all-digit suffix wider than Long.MaxValue
-            // must be skipped, not crash session startup
-            val dead = scala.util.Try(pid.toLong).toOption.exists(p =>
-              p != live && !java.nio.file.Files.isDirectory(
-                java.nio.file.Paths.get("/proc", pid)))
+            // isDigit keeps the original guard (signed suffixes like
+            // "pid--123" stay left-for-their-owner, never reclaimed);
+            // Try adds overflow tolerance — an all-digit suffix wider
+            // than Long.MaxValue is skipped, not a startup crash
+            val dead = pid.forall(_.isDigit) &&
+              scala.util.Try(pid.toLong).toOption.exists(p =>
+                p != live && !java.nio.file.Files.isDirectory(
+                  java.nio.file.Paths.get("/proc", pid)))
             if (dead) deleteRecursive(d)
           case _ => () // pre-layout flat scratch: left for its owner
         }

@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Recursive delete that CLOSES each directory stream (a bare
+    * Files.list leaks the handle until GC — the StreamOps.listDir
+    * lesson; this main keeps running through ~100 more dumps after a
+    * withheld one). */
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) deleteDir(it.next())
+      } finally st.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +56,17 @@ object Verify {
       else {
         val df = spark.read.parquet(path)
         val present = df.columns.filter(auditCols.contains)
+        // a FLOORED query whose audit column vanished (refactor drops
+        // the recall column) must fail the gate, not silently skip the
+        // floor check — withhold the dump exactly like a violation
+        SparkEntry.auditFloors.get(name).foreach { case (colName, _, _) =>
+          if (!df.columns.contains(colName)) {
+            System.err.println(
+              s"[verify] $name AUDIT COLUMN MISSING: '$colName' not in " +
+                s"dump schema — withholding dump so the rows gate fails")
+            deleteDir(Paths.get(path))
+          }
+        }
         if (present.isEmpty) None
         else {
           import org.apache.spark.sql.functions.{max, min}
@@ -70,12 +96,7 @@ object Verify {
               s"[verify] $name AUDIT FLOOR VIOLATION: $c=$x $rel " +
                 s"advertised ${if (isMin) "floor" else "ceiling"} $bound" +
                 " — withholding dump so the rows gate fails visibly")
-            def rm(p: java.nio.file.Path): Unit = {
-              if (Files.isDirectory(p))
-                Files.list(p).forEach(rm(_))
-              Files.deleteIfExists(p); ()
-            }
-            rm(Paths.get(path))
+            deleteDir(Paths.get(path))
           }
           val kv = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
             s""""$f": ${row.get(i)}"""

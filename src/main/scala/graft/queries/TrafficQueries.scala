@@ -480,10 +480,12 @@ object TrafficQueries {
     // still exercises with 2. The writeFiles divisor stays /4: the
     // /2 variant (16 files/batch) re-measured WORSE (2.83 s) — commit
     // overhead beats the extra probe parallelism even at 2x batch rows.
-    // 8-file stage drained 4 files/batch: same 2 batches, but each
-    // batch's scan plans 4 parallel tasks, so the per-batch position
-    // parse + probe runs 4-way WITHOUT an in-batch exchange (the
-    // Par.spread alternative measured worse — see eventsStreamSlicedWide)
+    // 16-file stage drained 8 files/batch: same 2 batches, but each
+    // batch's scan plans 8 parallel tasks, so the per-batch position
+    // parse + probe runs 8-way WITHOUT an in-batch exchange (the
+    // Par.spread alternative measured worse — see eventsStreamSlicedWide;
+    // the A/B ladder was 8/4: 2.14 s, 16/8: 1.91 s, 32/16: 2.11 s at
+    // sf1 — 16/8 is the listing/commit-vs-parallelism sweet spot)
     val stream = graft.streaming.StreamOps.eventsStreamSlicedWide(s, dir, 16, 8)
     try {
       // warm the serving plan before accepting traffic: one probe row

@@ -455,8 +455,16 @@ object StreamOps {
   private val CheckpointRoot: java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val shm = Paths.get("/dev/shm")
+    // tmpfs preference gated on the same usable-space floor as
+    // GraftSession.defaultLocalDir: since r18 this root also hosts
+    // pid-scoped DATA side outputs (scratchPath — dated sinks, recover
+    // clones), and data on a near-full tmpfs is an ENOSPC stream
+    // failure plus memory pressure, not a speedup. Dead-pid reclaim
+    // below bounds the resident footprint across JVM generations.
+    val floorBytes = 4L * 1024 * 1024 * 1024
     val base =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm.resolve("graft-ckpt")
+      if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace > floorBytes) shm.resolve("graft-ckpt")
       else Paths.get(sys.props("java.io.tmpdir"), "graft-ckpt")
     Files.createDirectories(base)
     // ONE SUBDIR PER JVM: sink-/recover- paths are keyed by query name,
@@ -473,9 +481,11 @@ object StreamOps {
       val n = d.getName
       if (n.startsWith("pid-")) {
         val pid = n.stripPrefix("pid-")
-        // Try-parse: an all-digit suffix wider than Long.MaxValue must
-        // be skipped (stray dir name), not crash root initialization
-        if (scala.util.Try(pid.toLong).toOption.exists(p =>
+        // isDigit keeps the original guard (signed suffixes are never
+        // reclaimed); Try adds overflow tolerance — an all-digit
+        // suffix wider than Long.MaxValue is skipped, not a crash
+        if (pid.forall(_.isDigit) &&
+            scala.util.Try(pid.toLong).toOption.exists(p =>
               p != live && !Files.isDirectory(Paths.get("/proc", pid))))
           deleteRecursive(d.toPath)
       }
@@ -671,20 +681,11 @@ object StreamOps {
     // with a full stack, which lands in bench/driver stderr and reads
     // as an unexplained crash in the artifact tail (the r17 "stack in
     // a clean artifact" finding was this class of noise). Silence the
-    // stream-execution loggers for the planted run only; the real
-    // failure still reaches the caller as PlantedStreamFailure.
+    // stream-execution loggers for the planted run only (refcounted —
+    // see PlantedLogSilence); the real failure still reaches the
+    // caller as PlantedStreamFailure.
     val silenced = failAtBatch.isDefined
-    val execLoggers = Seq(
-      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-      "org.apache.spark.sql.execution.streaming.runtime.StreamExecution")
-    val prior: Seq[(String, org.apache.logging.log4j.Level)] =
-      if (!silenced) Nil
-      else execLoggers.map { l =>
-        val lv = org.apache.logging.log4j.LogManager.getLogger(l).getLevel
-        org.apache.logging.log4j.core.config.Configurator.setLevel(
-          l, org.apache.logging.log4j.Level.OFF)
-        (l, lv)
-      }
+    if (silenced) PlantedLogSilence.enter()
     try {
       val q = df.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -730,10 +731,43 @@ object StreamOps {
       // catch the SAME exception type
       case e: Throwable if causedByPlanted(e) => throw rootPlanted(e)
     } finally {
-      prior.foreach { case (l, lv) =>
-        org.apache.logging.log4j.core.config.Configurator.setLevel(l, lv)
-      }
+      if (silenced) PlantedLogSilence.exit()
       releaseStateStores()
+    }
+  }
+
+  /** Refcounted silencing of the stream-execution loggers around a
+    * PLANTED-failure replay. Log4j levels are process-global, so a
+    * naive save/restore races when two planted replays overlap (the
+    * Stage.value memo builds OUTSIDE its lock, so Bench's warmup pool
+    * can run the planted stage twice concurrently): the second caller
+    * would snapshot OFF as the "prior" level and restore OFF
+    * permanently, muting real stream-error logging for the JVM's
+    * remaining life. The counter makes the first enter capture+OFF
+    * and only the last exit restore. */
+  private object PlantedLogSilence {
+    private val loggers = Seq(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.runtime.StreamExecution")
+    private var depth = 0
+    private var prior: Seq[(String, org.apache.logging.log4j.Level)] = Nil
+    def enter(): Unit = synchronized {
+      if (depth == 0) {
+        prior = loggers.map { l =>
+          (l, org.apache.logging.log4j.LogManager.getLogger(l).getLevel)
+        }
+        loggers.foreach(l =>
+          org.apache.logging.log4j.core.config.Configurator.setLevel(
+            l, org.apache.logging.log4j.Level.OFF))
+      }
+      depth += 1
+    }
+    def exit(): Unit = synchronized {
+      depth -= 1
+      if (depth == 0)
+        prior.foreach { case (l, lv) =>
+          org.apache.logging.log4j.core.config.Configurator.setLevel(l, lv)
+        }
     }
   }
 

@@ -74,7 +74,10 @@ object LmSkewProbe {
                 i: org.apache.spark.sql.Column) = {
       val u = (pmod(xxhash64(docId, i), lit(1000000L)).cast("double") + 0.5) /
         lit(1000000.0)
-      val rank = least(greatest(ceil(exp(u * lit(lnV))).cast("int"), lit(1)),
+      // floor, not ceil: exp(u·lnV) > 1 for all u > 0, so ceil never
+      // yields rank 1 and the hottest word would go UNSAMPLED (r18
+      // review finding); floor gives P(rank 1) = ln2/lnV as documented
+      val rank = least(greatest(floor(exp(u * lit(lnV))).cast("int"), lit(1)),
         lit(v))
       element_at(vocabLit, rank)
     }

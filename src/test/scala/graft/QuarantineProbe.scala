@@ -16,17 +16,21 @@ object QuarantineProbe {
     spark.sparkContext.setLogLevel("WARN")
     val pattern = "^42\\[\"(\\w+)\",(.*)\\]\\s*$"
     val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
-    def base = {
-      val goodFrame = concat(
-        lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
-        lit(",\"t\":\""), col("event_type"), lit("\"}]"))
-      val frame = when(col("event_id") % 7 === 0,
-        concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
-        .otherwise(goodFrame)
-      graft.operators.Par.spread(
-        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")))
-        .select(col("event_id"), frame.as("frame"))
-    }
+    // ONE frame-synthesis expression shared by every variant: the
+    // probe's point is comparing identical shapes, so the frame format
+    // must be impossible to diverge between them
+    val goodFrame = concat(
+      lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
+      lit(",\"t\":\""), col("event_type"), lit("\"}]"))
+    val frameExpr = when(col("event_id") % 7 === 0,
+      concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
+      .otherwise(goodFrame)
+    def rawFrames = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .select(col("event_id"), frameExpr.as("frame"))
+    def base = graft.operators.Par.spread(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")))
+      .select(col("event_id"), frameExpr.as("frame"))
     def finish(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("ok", col("p.id").isNotNull)
       .groupBy("evt_name")
@@ -116,23 +120,15 @@ object QuarantineProbe {
     println("QPROBE G==A: " + (a == vG.collect().map(_.toString).sorted.toSeq))
     // H: the registered G shape WITHOUT the Par.spread pre-shuffle —
     // the scan's own splits feed SocketIoFrame directly (r18: is the
-    // fan-out shuffle still paying for itself on a 10-shard source?)
-    def baseNoSpread = {
-      val goodFrame = concat(
-        lit("42[\"position\",{\"id\":"), col("user_id").cast("string"),
-        lit(",\"t\":\""), col("event_type"), lit("\"}]"))
-      val frame = when(col("event_id") % 7 === 0,
-        concat(lit("42[\"position\",{\"id\":"), col("user_id").cast("string")))
-        .otherwise(goodFrame)
-      Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .select(col("event_id"), frame.as("frame"))
-    }
-    def vH = finish2(baseNoSpread
+    // fan-out shuffle still paying for itself on a 10-shard source?).
+    // Shares vG's body via gShape so the H-vs-G A/B compares provably
+    // identical shapes modulo the spread wrapper.
+    def gShape(src: org.apache.spark.sql.DataFrame) = finish2(src
       .select(col("frame"), graft.plans.SocketIoFrame(col("frame")).as("f"))
       .select(col("frame"),
         coalesce(col("f.evt_name"), lit("")).as("evt_name"),
         get_json_object(col("f.payload"), "$.id").isNotNull.as("ok")))
+    def vH = gShape(rawFrames)
     // C0: bare scan + count floor (no frame build, no parse, no spread)
     def vC0 = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
