@@ -37,31 +37,63 @@ object StreamOps {
   /** The file stream source requires a DIRECTORY; the testdata table is
     * a single parquet file, so stage a symlink to it under a scratch
     * directory keyed by the source path (idempotent). */
+  /** Stage key = sanitized dir name + full-path hash: two dirs that
+    * sanitize identically must not share (and silently reuse) a stage.
+    * ONE definition for the symlink stage and the sliced stages. */
+  private def stageKey(dir: String, src: java.nio.file.Path): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
+      Integer.toHexString(src.toString.hashCode)
+
+  /** Normalize a streamed events `ts` to engine-canonical Long nanos —
+    * the streaming twin of Tables.normalizeTs's vintage contract, ONE
+    * definition for both events readers (the contract changed twice
+    * already; a third change must not have to find N copies). */
+  private def normalizeEventsTs(df: DataFrame,
+                                tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
-    // stage key = sanitized name + full-path hash: two dirs that
-    // sanitize identically must not share (and silently reuse) a stage
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
-      Integer.toHexString(src.toString.hashCode)
-    val stage = Paths.get("/tmp/graft-stream", key, "events")
+    val stage = Paths.get("/tmp/graft-stream", stageKey(dir, src), "events")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    // deleteIfExists sees dangling links (Files.exists follows them and
-    // would report false, making createSymbolicLink throw forever)
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, src)
+    // IDEMPOTENT create, never delete-then-recreate: an unconditional
+    // deleteIfExists raced both the in-JVM warmup pool (second thread's
+    // createSymbolicLink throws FileAlreadyExists) and a CONCURRENT
+    // graft JVM whose in-flight FileStreamSource could list the stage
+    // in the deletion window and drain an EMPTY backlog (r18 review
+    // finding). A correct link is left untouched; only a missing or
+    // wrong-target link (dangling ones included — readSymbolicLink
+    // sees them where Files.exists follows-and-lies) is replaced, under
+    // the same per-stage lock stageSlices uses; a cross-process
+    // creation race resolves by verifying the winner's target.
+    val lock = stageLocks.computeIfAbsent(link.toString, _ => new Object)
+    lock.synchronized {
+      val correct = Files.isSymbolicLink(link) &&
+        Files.readSymbolicLink(link) == src
+      if (!correct) {
+        Files.deleteIfExists(link)
+        try Files.createSymbolicLink(link, src)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            require(Files.isSymbolicLink(link) &&
+              Files.readSymbolicLink(link) == src,
+              s"stage link $link exists with a different target")
+        }
+      }
+    }
     // one-time footer peek for the ts vintage (Long nanos vs TIMESTAMP);
     // cached per path like any catalog schema — re-inferring per replay
     // run paid a footer + file-index build on every bench repeat
     val tsType = Tables.schemaOf(s, src.toString)
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
-    val raw = s.readStream.schema(eventsSchema(tsType)).parquet(stage.toString)
-    tsType match {
-      case TimestampNTZType | TimestampType =>
-        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
-      case _ => raw
-    }
+    normalizeEventsTs(
+      s.readStream.schema(eventsSchema(tsType)).parquet(stage.toString), tsType)
   }
 
   /** [[eventsStream]] over an N-file staged copy of the events table,
@@ -137,26 +169,37 @@ object StreamOps {
                           sortCol: String, slices: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/$table.parquet").toAbsolutePath
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
-      Integer.toHexString(src.toString.hashCode)
-    val stage = Paths.get("/tmp/graft-stream", key, s"$table-x$slices")
+    val stage =
+      Paths.get("/tmp/graft-stream", stageKey(dir, src), s"$table-x$slices")
     val lock = stageLocks.computeIfAbsent(stage.toString, _ => new Object)
     lock.synchronized {
       if (!Files.exists(stage.resolve("_SUCCESS"))) {
-        val tmp = stage.resolveSibling(
-          stage.getFileName.toString + ".tmp-" +
-            java.lang.Long.toHexString(System.nanoTime()))
-        s.read.parquet(src.toString).repartitionByRange(slices, col(sortCol))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // re-check after the write: a concurrent PROCESS may have
-        // published the stage while this one wrote its temp copy — the
-        // loser discards its attempt rather than clobbering the winner
-        if (!Files.exists(stage.resolve("_SUCCESS"))) {
-          deleteRecursive(stage) // stale partial dir from a crashed writer
-          try Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        }
-        if (Files.exists(tmp)) deleteRecursive(tmp)
+        // CROSS-PROCESS exclusion via an OS advisory lock: the old
+        // check-then-delete-then-move had a TOCTOU window where a
+        // loser's deleteRecursive(stage) could destroy a stage the
+        // winner had JUST published and already started streaming from
+        // (r18 review finding). With the flock held, check + stale-dir
+        // clear + atomic publish are a critical section against other
+        // graft JVMs too; a waiter re-checks _SUCCESS after acquiring
+        // and reuses the winner's stage instead of rebuilding.
+        val lockFile = stage.resolveSibling(
+          stage.getFileName.toString + ".lock")
+        val ch = java.nio.channels.FileChannel.open(lockFile,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val flock = ch.lock()
+        try {
+          if (!Files.exists(stage.resolve("_SUCCESS"))) {
+            val tmp = stage.resolveSibling(
+              stage.getFileName.toString + ".tmp-" +
+                java.lang.Long.toHexString(System.nanoTime()))
+            s.read.parquet(src.toString).repartitionByRange(slices, col(sortCol))
+              .write.mode("overwrite").parquet(tmp.toString)
+            deleteRecursive(stage) // stale partial dir from a crashed writer
+            Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
+            if (Files.exists(tmp)) deleteRecursive(tmp)
+          }
+        } finally { flock.release(); ch.close() }
       }
       val t0 = Files.getLastModifiedTime(stage.resolve("_SUCCESS")).toMillis
       val parts = listDir(stage)
@@ -192,12 +235,7 @@ object StreamOps {
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val rdr = s.readStream.schema(eventsSchema(tsType))
     filesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n.toString))
-    val raw = rdr.parquet(stage.toString)
-    tsType match {
-      case TimestampNTZType | TimestampType =>
-        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
-      case _ => raw
-    }
+    normalizeEventsTs(rdr.parquet(stage.toString), tsType)
   }
 
   /** Fans a replayed stream out to the session's shuffle parallelism
@@ -205,12 +243,16 @@ object StreamOps {
     * counterpart of Par.spread: a micro-batch inherits its source's
     * split count, so a single-file backlog replay runs the whole parse
     * on ONE core without this (measured: st_positions_parse 2.5 ->
-    * 1.5 s at sf0.1). The count is read from the session conf at plan
-    * BUILD time, before runToMemory's state-partition override — the
-    * parse stage is stateless and wants full parallelism; only
-    * state-store commits want the smaller count. */
-  def spreadStream(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    * 1.5 s at sf0.1). CAUTION: the count comes from `df`'s OWN session
+    * conf — inside a replay runner's `build(ss)` closure that session is
+    * the replay child whose shuffle partitions are already CLAMPED to
+    * the state-store count, so spreading there fans out to ~4, not the
+    * parent's 32 (the r18 review caught the old doc claiming the
+    * opposite). Call it on a stream built from the PARENT session, or
+    * pass the parent's parallelism explicitly via `target`. */
+  def spreadStream(df: DataFrame, target: Option[Int] = None): DataFrame =
+    df.repartition(target.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
 
   /** Tumbling hourly counts per event_type with a 1 h watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -415,8 +457,12 @@ object StreamOps {
       val ps = q.recentProgress.toSeq
       val ds = ps.map(_.batchDuration).sorted
       if (ds.nonEmpty) {
+        // nearest-rank: ceil(p·n)−1, not floor(p·n) — the floor form
+        // overstated by one rank (p95 of ≤20 batches returned the MAX;
+        // p50 of 4 returned the upper mid — r18 review finding)
         def pct(p: Double): Long =
-          ds(math.min(ds.size - 1, (p * ds.size).toInt))
+          ds(math.max(0, math.min(ds.size - 1,
+            math.ceil(p * ds.size).toInt - 1)))
         m.put(name, BatchStats(ds.size, pct(0.50), pct(0.95), ds.last))
         // per-batch phase breakdown, kept ONLY for diagnostics probes
         // (Scratch) — never serialized into the bench artifact
@@ -673,7 +719,24 @@ object StreamOps {
       deleteRecursive(Paths.get(checkpointDir))
     }
     Files.createDirectories(root)
-    if (!Files.exists(marker)) Files.createFile(marker)
+    // NEVER plant the marker into a dir this writer doesn't own: on
+    // the non-fresh (recovery) path a miswired outDir (testdata, a
+    // shared dir) would get _GRAFT_DATED_ZONE created inside it, which
+    // ARMS a later runToDated/fresh clear to wipe it wholesale (r18
+    // review finding). The marker may only appear in an empty dir or
+    // one already shaped like a dated zone (the runToDated guard).
+    if (!Files.exists(marker)) {
+      val entries = listDir(root)
+      val looksDated = entries.forall { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".") ||
+          (n.startsWith("date_key=") && Files.isDirectory(p))
+      }
+      require(entries.isEmpty || looksDated,
+        s"runToDatedRecoverable: refusing to adopt '$outDir' — non-empty, " +
+          s"unmarked and not shaped like a dated landing zone")
+      Files.createFile(marker)
+    }
     val commits = root.resolve("_commits")
     Files.createDirectories(commits)
     // A PLANTED failure is this replay's fixture, not an incident:
@@ -905,9 +968,17 @@ object StreamOps {
     * dedup operators — each batch is a contiguous id range, like a
     * crawl landing zone filling in acquisition order. Same staged-slice
     * machinery (and deterministic drain order) as the events replays. */
-  def documentsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
-    val stage = stageSlices(s, dir, "documents", "doc_id", slices)
-    val schema = StructType(Tables.schemaOf(s, s"$dir/documents.parquet"))
+  def documentsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame =
+    tableStreamSliced(s, dir, "documents", "doc_id", slices)
+
+  /** A table replayed as a sortCol-RANGED backlog, one file per
+    * micro-batch, with the table's own footer schema — the shared body
+    * of the documents/embeddings sliced replays (one definition, not
+    * two copies to keep in lockstep). */
+  private def tableStreamSliced(s: SparkSession, dir: String, table: String,
+                                sortCol: String, slices: Int): DataFrame = {
+    val stage = stageSlices(s, dir, table, sortCol, slices)
+    val schema = StructType(Tables.schemaOf(s, s"$dir/$table.parquet"))
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -993,13 +1064,8 @@ object StreamOps {
   /** The embeddings table replayed as a vec-id-RANGED backlog, one
     * file per micro-batch — the arriving-queries harness for streaming
     * similarity serving. */
-  def embeddingsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame = {
-    val stage = stageSlices(s, dir, "embeddings", "vec_id", slices)
-    val schema = StructType(Tables.schemaOf(s, s"$dir/embeddings.parquet"))
-    s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-  }
+  def embeddingsStreamSliced(s: SparkSession, dir: String, slices: Int): DataFrame =
+    tableStreamSliced(s, dir, "embeddings", "vec_id", slices)
 
   /** Replays a STATELESS stream and lands `f(batch)` as per-batch
     * parquet deltas (deterministic per-batch dirs — foreachBatch is
