@@ -177,6 +177,16 @@ object Dedup {
     * dedup with a plain distinct wherever their deliverable lives —
     * the small-deliverable queries fuse it into their one-partition
     * sort and finish with a single exchange. */
+  /** AllPairs prefix index: the first sz − ceil(sz·t) + 1 entries of a
+    * corpus-wide-consistently-sorted shingle array (greatest(1, ...)
+    * keeps single-shingle docs indexed — their prefix IS the whole
+    * set). ONE definition: this formula is the recall proof obligation
+    * of every prefix-filtered jaccard variant; a change must not have
+    * to find three copies (r18 review finding). */
+  private def prefixExplode(threshold: Double): Column =
+    explode(slice(col("hs"), lit(1), greatest(lit(1),
+      (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg")
+
   def jaccardPairsPrefixRaw(hsh: DataFrame, threshold: Double): DataFrame = {
     // the global order must be consistent corpus-wide: sort each
     // packed array once and slice its head. greatest(1, ...) keeps
@@ -184,8 +194,7 @@ object Dedup {
     val pre = hsh
       .select(col("__id"), col("sz"), array_sort(col("hs")).as("hs"))
       .select(col("__id"), col("sz"), col("hs"),
-        explode(slice(col("hs"), lit(1), greatest(lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg"))
+        prefixExplode(threshold))
     val a = pre.select(col("__id").as("a_id"), col("sz").as("a_sz"),
       col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
     val b = pre.select(col("__id").as("b_id"), col("sz").as("b_sz"),
@@ -232,8 +241,7 @@ object Dedup {
           array().cast("array<long>")).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
     val pre = hs.select(col("__id"), col("sz"), col("hs"),
-      explode(slice(col("hs"), lit(1), greatest(lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg"))
+      prefixExplode(threshold))
     val ex = pre.repartition(col("sg"))
     val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"),
       col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
@@ -272,8 +280,7 @@ object Dedup {
     val hs = hsh.select(col("__id"), col("sz"), array_sort(col("hs")).as("hs"))
       .localCheckpoint(false)
     val pre = hs.select(col("__id"), col("sz"),
-      explode(slice(col("hs"), lit(1), greatest(lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))).as("sg"))
+      prefixExplode(threshold))
     val cand = pre.select(col("__id").as("a_id"), col("sz").as("a_sz"), col("sg"))
       .hint("shuffle_hash")
       .join(pre.select(col("__id").as("b_id"), col("sz").as("b_sz"), col("sg")),
@@ -438,6 +445,12 @@ object Dedup {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+      // zero-norm guard: a contentless (all-zero) embedding gives
+      // cos = 0/0 = NaN, and Spark orders NaN LARGEST, so NaN >=
+      // threshold is TRUE — every pair touching the zero vector would
+      // pass as a spurious "duplicate" (the text operators' sz > 0
+      // guard, same failure mode)
+      .filter(col("nrm") > 0)
     // Corpus-size guard: the quadratic baseline REFUSES unbounded input
     // at execution time instead of silently planning a corpus-square
     // product (at 100x scale that is 10,000x the work — use
@@ -505,6 +518,11 @@ object Dedup {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
+      // zero-norm guard: see embeddingPairs — all-zero vectors share
+      // the all-ones hyperplane signature (s >= 0 sets every bit), so
+      // they'd bucket together in EVERY band and then "verify" with
+      // cos = NaN >= threshold
+      .filter(col("nrm") > 0)
     // per-band values computed DIRECTLY over the band's global plane
     // window (no ≤63-bit packed-signature ceiling — the r12 48-bit
     // form capped the whole scheme at 16 values/band, and at 20k+
@@ -598,6 +616,15 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // the convergence probe's decimal label-sum needs NUMERIC ids: a
+    // string id would crash its cast mid-loop under ANSI or (ANSI off)
+    // null the sum and fake round-1 convergence — fail LOUDLY at plan
+    // build instead, per this operator's throw-don't-be-wrong contract
+    require(vertices.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"connectedComponents needs a numeric id column; '$idCol' is " +
+        s"${vertices.schema(idCol).dataType.simpleString} — hash or rank " +
+        "string ids to longs first (RankOps.withGlobalRank)")
     // the edge set is checkpointed PRE-PARTITIONED on src: every round
     // joins labels (already id-partitioned by the previous round's
     // groupBy) against it, so after the one staging shuffle no round
@@ -702,8 +729,12 @@ object Dedup {
       .localCheckpoint(eager = false)
     val touched = touchedVertices(prev, "id", "label", pairs, "pa", "pb")
       .localCheckpoint(eager = false)
+    // checkpointed for the same two-consumer reason as pairs/touched:
+    // batchVerts feeds cVerts AND the relabeled union — unpinned, the
+    // newVertices scan + anti-join against prev executed twice
     val batchVerts = newVertices.select(col(newIdCol).as("id"))
       .join(prev, Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
     // contract: endpoint → its prior cluster label (old endpoints are
     // in `touched` by construction; batch endpoints map to themselves)
     val cEdges = pairs

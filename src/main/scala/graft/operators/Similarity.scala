@@ -92,6 +92,20 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** Element-wise per-cluster mean over a `cluster` column, re-packed
+    * as an array and ROUNDED to 6 dp: raw avg() merges partial sums in
+    * shuffle-fetch order, and unrounded ulps can flip which centroids
+    * a query probes between runs (the kmeansCentroids determinism fix;
+    * one definition now serves both the trained quantizer and the
+    * in-plan ivfTopK overload — r18 review finding). */
+  private def clusterMean(d: DataFrame, vecCol: String,
+                          out: String): DataFrame =
+    d.select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg("x").as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => round(s.getField("m"), 6)).as(out))
+
   /** IVF-style ANN top-k: coarse centroids (mean vector per cluster
     * column), each query probes its nprobe nearest centroids, and only
     * those clusters' vectors are scanned. The cluster column plays the
@@ -101,12 +115,7 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     val d = data.select(col(idCol).as("did"), toDouble(col(vecCol)).as("demb"),
       col(clusterCol).as("cluster"))
-    // element-wise mean per cluster: explode positions once, re-pack
-    val cent = d.select(col("cluster"), posexplode(col("demb")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos").agg(avg("x").as("m"))
-      .groupBy("cluster")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cemb"))
+    val cent = clusterMean(d, "demb", "cemb")
     ivfTopKWithCentroids(data, queries, idCol, vecCol, clusterCol,
       cent, "cluster", "cemb", k, nprobe)
   }
@@ -207,12 +216,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val asg = vn.crossJoin(broadcast(centArray(cent)))
         .select(col("__u"), bestCluster(col("__u"), col("__cents")).as("cluster"))
-      cent = asg
-        .select(col("cluster"), posexplode(col("__u")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => round(s.getField("m"), 6)).as("__r"))
+      cent = clusterMean(asg, "__u", "__r")
         .withColumn("cemb", transform(col("__r"), x => x / normPre(col("__r"))))
         .select("cluster", "cemb")
         .localCheckpoint()

@@ -80,8 +80,10 @@ class SimilaritySpec extends SparkSpec {
           .as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("m"))
       .groupBy("label")
+      // 6-dp rounded like the operator's own clusterMean — the handed-in
+      // frame must BE the per-cluster mean as the operator defines it
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cvec"))
+        s => round(s.getField("m"), 6)).as("cvec"))
     for (np <- Seq(1, 2)) {
       val inPlan = ranks(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
         clusterCol = "label", k = 5, nprobe = np))
