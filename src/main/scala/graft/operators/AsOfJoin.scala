@@ -63,6 +63,16 @@ object AsOfJoin {
     // twice in taggedLeft and corrupt the unionByName — fail fast.
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    // reserved internals: a left frame already carrying __tb (e.g. an
+    // undropped TimeBuckets column — the shared bucketing convention)
+    // would be silently OVERWRITTEN by the bucketed path's withColumn
+    // and the final select would return bucket ids as the caller's
+    // data; __side/__vals at least fail with a duplicate-column error,
+    // but fail fast uniformly (r18 review finding)
+    val reservedHit = Seq("__tb", "__side", "__vals").filter(leftCols.contains)
+    require(reservedHit.isEmpty,
+      s"left columns ${reservedHit.mkString(",")} collide with AsOfJoin " +
+        "internals; drop or rename them first")
     val b = if (buckets > 0) buckets else {
       val bytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
       val parts = BigInt(left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
@@ -199,6 +209,16 @@ object AsOfJoin {
     val leftCols = left.columns
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns; rename first")
+    // reserved internals: a left frame already carrying __tb (e.g. an
+    // undropped TimeBuckets column — the shared bucketing convention)
+    // would be silently OVERWRITTEN by the bucketed path's withColumn
+    // and the final select would return bucket ids as the caller's
+    // data; __side/__vals at least fail with a duplicate-column error,
+    // but fail fast uniformly (r18 review finding)
+    val reservedHit = Seq("__tb", "__side", "__vals").filter(leftCols.contains)
+    require(reservedHit.isEmpty,
+      s"left columns ${reservedHit.mkString(",")} collide with AsOfJoin " +
+        "internals; drop or rename them first")
     import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
     // the two sides' time columns are normalized to longs INDEPENDENTLY
     // below; types on DIFFERENT epoch scales (DateType days vs
@@ -216,16 +236,9 @@ object AsOfJoin {
       s"asof time column '$timeCol' epoch-scale mismatch: left " +
         s"${left.schema(timeCol).dataType} vs right ${right.schema(timeCol).dataType}; " +
         "cast one side first")
-    // monotone LONG image of the time column on both sides — binary
-    // search needs one orderable fixed-width type; temporal types go
-    // through their epoch integers (same normalization as the bucketed
-    // path's bucket key)
-    def asLong(c: Column, dt: DataType): Column = dt match {
-      case TimestampType => unix_micros(c)
-      case TimestampNTZType => unix_micros(c.cast(TimestampType))
-      case DateType => unix_date(c).cast("long")
-      case _ => c.cast("long")
-    }
+    // the monotone LONG image lives in packSeries/probePacked (each
+    // normalizes its own side) — no local copy, so the normalization
+    // cannot diverge from the one that actually runs
     probePacked(left,
       packSeries(right, keyCols, timeCol, valueCols),
       keyCols, timeCol, valueCols)

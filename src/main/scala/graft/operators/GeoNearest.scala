@@ -64,7 +64,14 @@ import org.apache.spark.sql.functions._
   * id space, e.g. raw planet-OSM node ids, pre-maps ids through
   * RankOps.withGlobalRank, which is order-preserving and parallel)`,
   * and |lat| <= maxAbsLatDeg on BOTH sides — a violated latitude
-  * bound voids the exactness guarantee. Positions with no signal
+  * bound voids the exactness guarantee. LONGITUDE contract: the grid
+  * does not wrap at the antimeridian (gridX is a plain floor over
+  * lon - originLon), so a layer spanning lon ±180 can resolve a
+  * seam-adjacent position to a same-side signal while its true
+  * nearest sits across the seam — callers with ±180-crossing data
+  * must recenter longitudes (rotate the origin so the data is
+  * contiguous) before calling; city/regional layers (the reference's
+  * domain) are contiguous by construction. Positions with no signal
   * anywhere in the layer are dropped (inner-join semantics of the
   * final pass).
   */
@@ -146,14 +153,21 @@ object GeoNearest {
       round(round(dist, 6) * lit(1e6)).cast("long") *
         lit(1L << IdBits) + col("sig_idx"))
     // min(packed) as "m" (null when the LEFT join matched nothing);
-    // the position attributes are functionally dependent on event_id,
-    // so first() is deterministic and lets the unresolved branch feed
-    // the next pass without re-joining the input
-    def argmin(cand: DataFrame): DataFrame =
-      cand.groupBy("event_id").agg(min(packed).as("m"),
-        first("lat").as("lat"), first("lon").as("lon"),
-        first("coslat").as("coslat"),
-        first("gx").as("gx"), first("gy").as("gy"))
+    // lat/lon/coslat are functionally dependent on event_id in every
+    // pass, so their first() is deterministic and lets the unresolved
+    // branch feed the next pass without re-joining the input. gx/gy
+    // are dependent ONLY in pass 1 (pass 2 ring-explodes the POSITION
+    // side, so its per-event gx/gy vary) — pass 2 aggregates without
+    // them (carryGrid=false): it never uses them downstream, and
+    // carrying a nondeterministic first() invites someone to rely on
+    // it (r18 review finding)
+    def argmin(cand: DataFrame, carryGrid: Boolean = true): DataFrame = {
+      val deps = Seq(first("lat").as("lat"), first("lon").as("lon"),
+        first("coslat").as("coslat")) ++
+        (if (carryGrid) Seq(first("gx").as("gx"), first("gy").as("gy"))
+         else Nil)
+      cand.groupBy("event_id").agg(min(packed).as("m"), deps: _*)
+    }
     def distKmOf(m: Column): Column =
       shiftrightunsigned(m, IdBits).cast("double") / 1e6
     def isResolved(r: Int): Column =
@@ -215,7 +229,7 @@ object GeoNearest {
         col("sgx").as("jgx"), col("sgy").as("jgy")),
       col("gx") === col("jgx") && col("gy") === col("jgy") &&
         cheapNear(widenRing),
-      "left_outer").drop("jgx", "jgy"))
+      "left_outer").drop("jgx", "jgy"), carryGrid = false)
     val resolved2 = m2.filter(isResolved(widenRing))
     val un2 = m2.filter(!isResolved(widenRing))
 
@@ -235,7 +249,11 @@ object GeoNearest {
 
     // sig_idx IS signal_id, so unpacking recovers it directly — no
     // mapping join back through the layer
-    resolved1.unionByName(resolved2)
+    // project both branches to the two columns the unpack needs before
+    // the union (their carried attributes differ: pass 1 keeps gx/gy,
+    // pass 2 doesn't)
+    resolved1.select("event_id", "m")
+      .unionByName(resolved2.select("event_id", "m"))
       .select(col("event_id"),
         col("m").bitwiseAND(lit(maxId)).as("signal_id"),
         distKmOf(col("m")).as("dist_km"))

@@ -28,7 +28,10 @@ object RankOps {
 
   val DefaultBuckets = 64
 
-  /** Adds `__grank` (1-based exact global rank by (sortCol, tieCol)).
+  /** Adds `__grank` (1-based exact global rank by (sortCol, tieCol))
+    * AND `__total` (the constant row count, riding the same broadcast
+    * offsets row — [[exactNtile]] consumes it and drops it; any other
+    * caller should `.drop("__total")` if the extra column matters).
     *
     * Buckets are UNIFORM-WIDTH between the exact min and max — not
     * approx quantiles — because the bucketed frame is evaluated by TWO
@@ -40,8 +43,12 @@ object RankOps {
     * SIZES (a perf concern AQE absorbs), never correctness. */
   def withGlobalRank(df: DataFrame, sortCol: String, tieCol: String,
                      buckets: Int = DefaultBuckets): DataFrame = {
-    val bounds = df.agg(min(col(sortCol)).cast("double").as("__lo"),
-      max(col(sortCol)).cast("double").as("__hi"))
+    // nan-free bounds: min/max skip nulls, so masking NaN to null
+    // keeps the finite spread even when NaN rows exist
+    val nonNan = when(isnan(col(sortCol).cast("double")), lit(null))
+      .otherwise(col(sortCol))
+    val bounds = df.agg(min(nonNan).cast("double").as("__lo"),
+      max(nonNan).cast("double").as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__w", (col("__hi") - col("__lo")) / buckets)
       // null sort values get their own lowest bucket (-1): ASC ordering
@@ -49,12 +56,19 @@ object RankOps {
       // otherwise yield a null bucket that silently drops the row at
       // the offsets join. The null test must come first — with an
       // all-null column the min/max bounds are null too.
+      // NaN guard: one NaN sort value poisons __hi (max returns NaN —
+      // Spark orders NaN greatest) and floor(NaN) is bucket 0, silently
+      // collapsing EVERY row into one bucket — the unpartitioned-sort
+      // scale-killer this operator exists to avoid (r18 review). NaN
+      // rows get the LAST bucket (they sort greatest) and the bounds
+      // exclude them, so finite rows keep their spread.
       .withColumn("__bucket",
         when(col(sortCol).isNull, lit(-1)).otherwise(
-          when(col("__w") <= 0, lit(0)).otherwise(
-            least(greatest(
-              floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
-              lit(0)), lit(buckets - 1)))))
+          when(isnan(col(sortCol).cast("double")), lit(buckets - 1)).otherwise(
+            when(col("__w") <= 0 || isnan(col("__w")), lit(0)).otherwise(
+              least(greatest(
+                floor((col(sortCol) - col("__lo")) / col("__w")).cast("int"),
+                lit(0)), lit(buckets - 1))))))
       .drop("__lo", "__hi", "__w")
     // The bucketed frame feeds two branches. They deliberately do NOT
     // share a checkpoint or exchange: the counts branch map-side

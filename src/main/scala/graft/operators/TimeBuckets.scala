@@ -95,10 +95,12 @@ object TimeBuckets {
     * threshold. The only pair a bucket cannot form is (last row of the
     * previous bucket, first row of this one); that predecessor is
     * recovered from a map-side-combined per-bucket aggregate carrying
-    * the previous nonempty bucket's last row as ONE struct — in-bucket
-    * lag nulls appear only on the bucket's first row, so the per-column
-    * coalesce with the carry cannot tear. Row-identical to the single
-    * window at every B (spec-asserted); `key` must be non-null. */
+    * the previous nonempty bucket's last row as ONE struct; a lagged
+    * constant (__hasprev) marks the bucket's first row, so the carry
+    * substitutes exactly there — never for a legitimately-null
+    * mid-bucket lag value — and cannot tear (one struct). Row-identical
+    * to the single window at every B (spec-asserted, including null
+    * lag values); `key` must be non-null. */
   def lag1(df: DataFrame, key: String, tsCol: String, tieCol: String,
            lagCols: Seq[String], buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -118,19 +120,36 @@ object TimeBuckets {
           struct(col(tsCol), col(tieCol))).as("__last"))
         .withColumn("__carry", lag("__last", 1).over(kw))
         .select(col(key), col("__tb"), col("__carry"))
-      val lagged = lagCols.zip(prevNames).foldLeft(tb) { case (d, (c, p)) =>
-        d.withColumn("__l_" + p, lag(c, 1).over(w))
+      // __hasprev (a lagged constant) distinguishes "first row of the
+      // bucket" from "predecessor's lagged VALUE is null": a bare
+      // per-column coalesce substituted the cross-bucket carry for a
+      // legitimately-null mid-bucket lag value, diverging from the
+      // single-window plan on frames with null lagCols (r18 review;
+      // in-tree callers lag non-null columns, but the operator's
+      // B-invariance contract must hold for any frame)
+      val lagged = lagCols.zip(prevNames).foldLeft(
+        tb.withColumn("__hasprev", lag(lit(1), 1).over(w))) {
+        case (d, (c, p)) => d.withColumn("__l_" + p, lag(c, 1).over(w))
       }
       lagged.join(carry, Seq(key, "__tb"))
         .select(df.columns.map(col) ++ lagCols.zip(prevNames).map {
-          case (c, p) => coalesce(col("__l_" + p), col(s"__carry.$c")).as(p)
+          case (c, p) => when(col("__hasprev").isNull, col(s"__carry.$c"))
+            .otherwise(col("__l_" + p)).as(p)
         }: _*)
     }
   }
 
   /** Appends `__tb` in [0, b): equal-width buckets of the NUMERIC time
     * column, bounds riding the plan as a broadcast 1-row aggregate (no
-    * driver collect — same shape as AsOfJoin's bucketed path). Bucketing
+    * driver collect — same shape as AsOfJoin's bucketed path).
+    *
+    * SIBLINGS: AsOfJoin.backward carries its own copy (adds
+    * temporal-type normalization) and RankOps.withGlobalRank another
+    * (adds null→-1 and NaN→last-bucket routing for VALUE columns —
+    * time columns here are non-null non-NaN by the callers' contract).
+    * A fix to the shared floor arithmetic must visit all three; they
+    * differ deliberately in edge handling, which is why they are not
+    * one function. Bucketing
     * is monotone in the time column, so same time => same bucket and
     * every bucket's rows are contiguous in the per-key order; the
     * degenerate bounds (empty input, single timestamp) collapse to one

@@ -106,6 +106,26 @@ class WindowDecompSpec extends SparkSpec {
     }
   }
 
+  test("lag1 with NULL lag values mid-bucket: bucketed identical, B=2..64") {
+    // a legitimately-null lagged VALUE must lag through as null — the
+    // pre-r18 per-column coalesce substituted the cross-bucket carry
+    // for it, diverging from the single window (caught by review; this
+    // fixture nulls a value column on every 3rd row so nulls land both
+    // mid-bucket and on bucket seams)
+    val pos = posFixture()
+      .withColumn("v", when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(col("ts_s")))
+      .select("event_id", "vehicle_id", "ts_us", "v")
+    val single = sortedRows(TimeBuckets.lag1(pos, "vehicle_id", "ts_us",
+      "event_id", Seq("v"), buckets = 1))
+    assert(single.exists(_.contains("null")), "fixture must carry null lags")
+    Buckets.foreach { b =>
+      val out = sortedRows(TimeBuckets.lag1(pos, "vehicle_id", "ts_us",
+        "event_id", Seq("v"), buckets = b))
+      assert(out === single, s"buckets=$b diverged on null lag values")
+    }
+  }
+
   test("sessionize: column order and schema unchanged by the bucketed path") {
     val pos = posFixture()
     assert(SpeedOps.sessionize(pos, "vehicle_id", 120.0, buckets = 4)
