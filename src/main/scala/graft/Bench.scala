@@ -105,6 +105,9 @@ object Bench {
             graft.streaming.StreamOps.SuppressStoreUnload.set(true)
             try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
+            // the pool is warmup-only today, but a leaked true on a
+            // reused thread would silently skip measured-loop unloads
+            finally graft.streaming.StreamOps.SuppressStoreUnload.remove()
           }
         })
       }
@@ -210,9 +213,22 @@ object Bench {
     // blessed windows — they publish the canary but skip the re-roll.
     val canary = results.collectFirst {
       case (CanaryQuery, v, _, _) if v >= 0 => v }.getOrElse(-1.0)
-    if (only.isEmpty && canary > CanaryThresholdSec && attempt < 3) {
+    // Re-roll budget: 2 of the last 3 driver rounds burned all 3
+    // attempts back-to-back inside the SAME slow host phase (phases
+    // last minutes; three consecutive ~60 s windows never escape one).
+    // One more attempt plus an escalating sleep before re-rolls >= 2
+    // spreads the attempts across phase boundaries at a bounded cost
+    // (worst case +90 s over the old budget).
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CANARY_ATTEMPTS", "4").toInt
+    if (only.isEmpty && canary > CanaryThresholdSec && attempt < maxAttempts) {
       System.err.println(f"[bench] canary $CanaryQuery read $canary%.3f s (> " +
         f"$CanaryThresholdSec%.2f): damaged JVM window, attempt $attempt — re-rolling")
+      if (attempt >= 2) {
+        val napSec = 30L * (attempt - 1)
+        System.err.println(s"[bench] sleeping ${napSec}s before re-roll " +
+          "to escape the host phase")
+        Thread.sleep(napSec * 1000L)
+      }
       reexec(attempt) match {
         case Some(code) => spark.stop(); sys.exit(code)
         case None => System.err.println(
@@ -253,6 +269,81 @@ object Bench {
         "\"" + k + "\":{\"n\":" + v.n + ",\"p50_ms\":" + v.p50Ms +
           ",\"p95_ms\":" + v.p95Ms + ",\"max_ms\":" + v.maxMs + "}"
       }.mkString("{", ",", "}")
+    // ---- same-window DuckDB sentinel ----------------------------------
+    // MEASUREMENT HARNESS ONLY (not engine code): time a small fixed set
+    // of oracle queries in the driver-side python duckdb IN THIS SAME
+    // window, so a window the canary stamps damaged still yields a
+    // same-phase spark/duckdb ratio instead of an uninterpretable
+    // headline (r18 verdict item 2 — 2 of 3 driver windows landed
+    // damaged; cross-phase comparisons are meaningless at ±15-40% host
+    // drift). Degrades to absent fields when python3/duckdb is missing —
+    // the library itself depends on nothing here. Sentinel keys avoid
+    // the events table so no TIMESTAMP(NANOS) view normalization is
+    // needed; min-of-3 per query mirrors tools/baseline.py's discipline.
+    val sentinelKeys = Seq("q1_pricing_summary", "q5_local_supplier",
+      "q_rollup", "dd_exact", "tx_token_count")
+    val sentinel: Option[Map[String, Double]] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_NO_SENTINEL").contains("1")) None
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val spec = om.createObjectNode()
+        spec.put("sf", sfDir)
+        val tn = spec.putArray("tables")
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings").foreach(tn.add)
+        val qn = spec.putObject("queries")
+        sentinelKeys.foreach(k => SparkEntry.oracleSql.get(k).foreach(qn.put(k, _)))
+        val py =
+          """import duckdb, time, json, sys
+            |spec = json.load(sys.stdin)
+            |con = duckdb.connect()
+            |for t in spec["tables"]:
+            |    con.execute("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+            |                % (t, spec["sf"], t))
+            |out = {}
+            |for name, sql in spec["queries"].items():
+            |    best = None
+            |    for _ in range(3):
+            |        t0 = time.perf_counter()
+            |        con.sql(sql).fetchall()
+            |        dt = time.perf_counter() - t0
+            |        best = dt if best is None or dt < best else best
+            |    out[name] = best
+            |print(json.dumps(out))
+            |""".stripMargin
+        val pb = new ProcessBuilder(java.util.Arrays.asList("python3", "-c", py))
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        proc.getOutputStream.write(om.writeValueAsBytes(spec))
+        proc.getOutputStream.close()
+        val outBytes = proc.getInputStream.readAllBytes()
+        if (!proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+          proc.destroyForcibly(); None
+        } else if (proc.exitValue() != 0) None
+        else {
+          val node = om.readTree(outBytes)
+          import scala.jdk.CollectionConverters._
+          Some(node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duckdb sentinel unavailable: $e"); None
+      }
+    // ratio over the sentinel keys measured by BOTH engines in this
+    // window: same phase on both sides by construction
+    val sentinelJson = sentinel.filter(_.nonEmpty).flatMap { m =>
+      val sparkSide = sentinelKeys.flatMap(k => results.collectFirst {
+        case (`k`, v, _, _) if v >= 0 => k -> v })
+      val common = sparkSide.filter { case (k, _) => m.contains(k) }
+      if (common.isEmpty) None else {
+        val sSum = common.map(_._2).sum
+        val dSum = common.map { case (k, _) => m(k) }.sum
+        val qs = common.map { case (k, _) => "\"" + k + "\":" + f3(m(k)) }
+          .mkString("{", ",", "}")
+        Some(s""","sentinel_duckdb":$qs,"sentinel_spark_sec":${f3(sSum)},""" +
+          s""""sentinel_duckdb_sec":${f3(dSum)},"same_window_ratio":${f3(sSum / dSum)}""")
+      }
+    }.getOrElse("")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     // A window published past the re-roll budget must never be COMPARED
     // as if it were a fast-state window: when this run is damaged, the
@@ -286,7 +377,7 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     val blessedJson = blessedRef.map(r => s""","blessed_ref":$r""").getOrElse("")
-    val full = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"canary_attempts":$attempt,"damaged":$damaged$blessedJson,"spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"stream_batches":$sb,"queries":$qs,"value":${f3(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"canary_attempts":$attempt,"damaged":$damaged$blessedJson$sentinelJson,"spread":$sp,"errors":$errJson,"warmup_only":$warmupOnly,"requeued":$requeuedJson,"requeued_premin":$preminJson,"stream_batches":$sb,"queries":$qs,"value":${f3(total)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
@@ -307,9 +398,17 @@ object Bench {
     // error DETAILS are bounded (first 2) so a broken run cannot push
     // the line back over the capture window; the count is always exact
     val errHead = errors.take(2).map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    // the same-window ratio rides the compact stdout line too (short —
+    // one number), so the driver's capture carries it even if the full
+    // artifact is not read
+    val swrShort = sentinelJson match {
+      case s if s.contains("same_window_ratio") =>
+        "," + s.substring(s.indexOf("\"same_window_ratio\""))
+      case _ => ""
+    }
     def line(withQueries: Boolean): String = {
       val q = if (withQueries) s""","enc":"qms=ms, sorted-name order","qms":$qms""" else ""
-      s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"damaged":$damaged,"nerr":${errors.size},"errors":$errHead,"full":"$outFile","value":${f3(total)}$q}"""
+      s"""{"metric":"total","unit":"sec","repeats":$repeats,"sf":"$sfDir","canary":${f3(canary)},"damaged":$damaged$swrShort,"nerr":${errors.size},"errors":$errHead,"full":"$outFile","value":${f3(total)}$q}"""
     }
     // belt and braces: if a pathological error string still overflows
     // the budget, drop to the summary-only form rather than emit a line

@@ -58,16 +58,23 @@ object Verify {
         val present = df.columns.filter(auditCols.contains)
         // a FLOORED query whose audit column vanished (refactor drops
         // the recall column) must fail the gate, not silently skip the
-        // floor check — withhold the dump exactly like a violation
-        SparkEntry.auditFloors.get(name).foreach { case (colName, _, _) =>
-          if (!df.columns.contains(colName)) {
-            System.err.println(
-              s"[verify] $name AUDIT COLUMN MISSING: '$colName' not in " +
-                s"dump schema — withholding dump so the rows gate fails")
-            deleteDir(Paths.get(path))
+        // floor check — withhold the dump exactly like a violation.
+        // Short-circuit to None afterwards: the dump files are gone, so
+        // falling through to df.agg below would scan deleted files and
+        // abort the whole Verify run (r18 advice, medium).
+        val missingFloorCol =
+          SparkEntry.auditFloors.get(name).exists { case (colName, _, _) =>
+            !df.columns.contains(colName)
           }
+        if (missingFloorCol) {
+          val colName = SparkEntry.auditFloors(name)._1
+          System.err.println(
+            s"[verify] $name AUDIT COLUMN MISSING: '$colName' not in " +
+              s"dump schema — withholding dump so the rows gate fails")
+          deleteDir(Paths.get(path))
+          None
         }
-        if (present.isEmpty) None
+        else if (present.isEmpty) None
         else {
           import org.apache.spark.sql.functions.{max, min}
           val aggs = present.flatMap(c =>

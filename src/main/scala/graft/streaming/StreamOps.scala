@@ -184,6 +184,11 @@ object StreamOps {
         // and reuses the winner's stage instead of rebuilding.
         val lockFile = stage.resolveSibling(
           stage.getFileName.toString + ".lock")
+        // the lock file lives under /tmp/graft-stream/<key>/, which no
+        // prior step creates for tables other than events — on a fresh
+        // host the open below would throw NoSuchFileException before
+        // the Spark write ever runs (r18 advice, high)
+        Files.createDirectories(stage.getParent)
         val ch = java.nio.channels.FileChannel.open(lockFile,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)

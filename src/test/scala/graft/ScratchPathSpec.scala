@@ -29,9 +29,16 @@ class ScratchPathSpec extends AnyFunSuite {
       "streaming/StreamOps.scala", // /tmp/graft-stream staged caches
       "GraftSession.scala"         // spark.sql.warehouse.dir
     )
-    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    // anchor on user.dir (sbt sets it to the project root) instead of
+    // assuming a bare relative path resolves; fail loudly if the tree
+    // is not where the fork put us rather than silently walking nothing
+    val root = java.nio.file.Paths.get(
+      sys.props("user.dir"), "src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"lint source root not found at $root — test JVM cwd moved?")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    java.nio.file.Files.walk(root).forEach { p =>
+    val walk = java.nio.file.Files.walk(root)
+    try walk.forEach { p =>
       val rel = root.relativize(p).toString
       if (rel.endsWith(".scala") && !allowed.contains(rel)) {
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -40,7 +47,7 @@ class ScratchPathSpec extends AnyFunSuite {
             offenders += s"$rel:${i + 1}"
         }
       }
-    }
+    } finally walk.close()
     assert(offenders.isEmpty,
       s"flat /tmp/graft paths outside the allowed staged caches: " +
         offenders.mkString(", "))
