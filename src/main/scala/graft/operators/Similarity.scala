@@ -69,6 +69,26 @@ object Similarity {
   def lshTopK(data: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
               nBits: Int = 30, bands: Int = 10): DataFrame = {
+    val d0 = withNorm(data, idCol, vecCol, "d")
+    val q0 = withNorm(queries, idCol, vecCol, "q")
+    val cand = lshCandidateIds(d0, q0, dim, nBits, bands)
+      .join(d0, "did").join(broadcast(q0), "qid")
+    topK(cand, k)
+  }
+
+  /** The LSH candidate-pair set (qid, did) alone — the stage whose
+    * cardinality IS the honest cost of the index (candidate fraction =
+    * |pairs| / (|Q|·(N-1))); exposed so audits can measure fraction
+    * next to recall instead of inferring it (SURVEY §14's isotropic
+    * 0.73 vs the clustered regime). Same plan [[lshTopK]] executes. */
+  def lshCandidates(data: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, dim: Int,
+                    nBits: Int = 30, bands: Int = 10): DataFrame =
+    lshCandidateIds(withNorm(data, idCol, vecCol, "d"),
+      withNorm(queries, idCol, vecCol, "q"), dim, nBits, bands)
+
+  private def lshCandidateIds(d0: DataFrame, q0: DataFrame, dim: Int,
+                              nBits: Int, bands: Int): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val r = nBits / bands
     val mask = (1L << r) - 1
@@ -83,13 +103,9 @@ object Similarity {
       df.withColumn("__b", explode(bandCol(hyperplaneSigPre(col(s"${prefix}emb"), nBits, dim))))
         .select(col(s"${prefix}id"),
           col("__b.band").as("band"), col("__b.v").as("v"))
-    val d0 = withNorm(data, idCol, vecCol, "d")
-    val q0 = withNorm(queries, idCol, vecCol, "q")
-    val candIds = banded(d0, "d").join(broadcast(banded(q0, "q")), Seq("band", "v"))
+    banded(d0, "d").join(broadcast(banded(q0, "q")), Seq("band", "v"))
       .filter(col("did") =!= col("qid"))
       .select("qid", "did").distinct()
-    val cand = candIds.join(d0, "did").join(broadcast(q0), "qid")
-    topK(cand, k)
   }
 
   /** Element-wise per-cluster mean over a `cluster` column, re-packed
@@ -142,16 +158,35 @@ object Similarity {
       toDouble(col(centVecCol)).as("cemb"))
       .withColumn("cnrm", normPre(col("cemb")))
     val q = withNorm(queries, idCol, vecCol, "q")
-    val probeW = Window.partitionBy("qid").orderBy(
-      (dotPre(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm"))).desc,
-      col("cluster").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select("qid", "qemb", "qnrm", "cluster")
+    val probes = probeCells(q, cent, nprobe)
     val cand = d.join(broadcast(probes), Seq("cluster"))
       .filter(col("did") =!= col("qid"))
     topK(cand, k)
+  }
+
+  /** Which coarse cells each query probes — exposed as (qid, cluster)
+    * so audits can weigh probed-cell mass (IVF's candidate fraction)
+    * next to recall. [[probeCells]] is the exact stage
+    * [[ivfTopKWithCentroids]] runs. */
+  def ivfProbes(queries: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centClusterCol: String,
+                centVecCol: String, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(centClusterCol).as("cluster"),
+      toDouble(col(centVecCol)).as("cemb"))
+      .withColumn("cnrm", normPre(col("cemb")))
+    probeCells(withNorm(queries, idCol, vecCol, "q"), cent, nprobe)
+      .select("qid", "cluster")
+  }
+
+  private def probeCells(q: DataFrame, cent: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy("qid").orderBy(
+      (dotPre(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm"))).desc,
+      col("cluster").asc)
+    q.crossJoin(broadcast(cent))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "qemb", "qnrm", "cluster")
   }
 
   /** Fold over a one-row centroid array picking the max-dot cluster —

@@ -489,7 +489,21 @@ object TextQueries {
     val big = train.select(explode(wordShingles(col("text"), 2)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c2"))
     val vsz = uni.agg(count(lit(1)).as("vsz"))
-    val eb = d.filter(col("split") === "val")
+    lmScore(d.filter(col("split") === "val").select("doc_id", "text"),
+      uni, big, vsz)
+      // per-eval-doc deliverable: one-partition sort (q5 coalesce note)
+      .coalesce(1).sortWithinPartitions("doc_id")
+  }
+
+  /** The shared bigram-LM scoring tail (one definition for the batch
+    * query and the serving shape): left-join each eval bigram against
+    * the count tables, Laplace-smooth, round to integer micro-nats,
+    * and aggregate per doc. Count-table joins stay merge-hinted — the
+    * tables grow with the train corpus (never broadcast a vocabulary);
+    * only the one-row vsz frame rides a broadcast. */
+  private def lmScore(evalDocs: DataFrame, uni: DataFrame, big: DataFrame,
+                      vsz: DataFrame): DataFrame = {
+    val eb = evalDocs
       .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("b"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
     val scored = eb
@@ -506,7 +520,51 @@ object TextQueries {
         round(-col("__s").cast("double") / (col("n_bigrams") * lit(1e6)), 4)
           .as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 2))
-      // per-eval-doc deliverable: one-partition sort (q5 coalesce note)
+  }
+
+  // ---- tx_lm_serve ---------------------------------------------------------
+
+  /** The SERVING shape of the LM quality filter (the ss_ivf_topk
+    * staged-index discipline applied to tx_lm_perplexity, whose 3.9x
+    * sf1 residual is re-TRAINING the bigram LM inside every query —
+    * SCALE.md round-18 three-shape A/B): the Laplace count tables are
+    * the published model artifact, staged once per (session, dir) as
+    * hash-partitioned localCheckpoints, and eval documents arrive as a
+    * doc-id-ranged micro-batch backlog scored per batch against the
+    * STATIC counts. Per-batch cost is O(|batch bigrams|) plus one
+    * small exchange into the staged tables' partitioning — never a
+    * rescan of the train corpus; at 100 TB the counts are a bucketed
+    * table built by the training pipeline and each serving batch joins
+    * against it unchanged. A doc's score depends only on the static
+    * counts, so the drained union is slicing-independent and equals
+    * batch tx_lm_perplexity — the same DuckDB oracle hash-pins it. */
+  def txLmServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stage
+    def train = docsSpread(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(trainSplit(col("doc_id")) === "train")
+    val uni = Stage.frame(s, dir, "lm_uni") {
+      train.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+    }
+    val big = Stage.frame(s, dir, "lm_big") {
+      train.select(explode(wordShingles(col("text"), 2)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c2"))
+    }
+    val vsz = Stage.frame(s, dir, "lm_vsz") {
+      uni.agg(count(lit(1)).as("vsz"))
+    }
+    // 2 ranged slices — the r18 serving-family convention (stateless
+    // probe against a static artifact; extra batches only pay the
+    // engine floor)
+    val evalStream = graft.streaming.StreamOps
+      .documentsStreamSliced(s, dir, 2)
+      .filter(trainSplit(col("doc_id")) === "val")
+      .select("doc_id", "text")
+    graft.streaming.StreamOps
+      .runBatchTransforms(s, evalStream, "tx_lm_serve") { b =>
+        lmScore(b, uni, big, vsz)
+      }
       .coalesce(1).sortWithinPartitions("doc_id")
   }
 
@@ -628,7 +686,8 @@ object TextQueries {
     "tx_contamination" -> (txContamination _),
     "tx_quality_filter" -> (txQualityFilter _),
     "tx_stratified_sample" -> (txStratifiedSample _),
-    "tx_lm_perplexity" -> (txLmPerplexity _))
+    "tx_lm_perplexity" -> (txLmPerplexity _),
+    "tx_lm_serve" -> (txLmServe _))
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
@@ -644,5 +703,6 @@ object TextQueries {
     "tx_contamination" -> txContaminationSql,
     "tx_quality_filter" -> txQualityFilterSql,
     "tx_stratified_sample" -> txStratifiedSampleSql,
-    "tx_lm_perplexity" -> txLmPerplexitySql)
+    "tx_lm_perplexity" -> txLmPerplexitySql,
+    "tx_lm_serve" -> txLmPerplexitySql)
 }

@@ -178,6 +178,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(served === batch)
   }
 
+  test("streaming LM serving equals the batch perplexity scoring") {
+    // tx_lm_serve scores arriving eval docs against count tables staged
+    // once; a doc's score depends only on the static counts, so the
+    // drained union must equal batch tx_lm_perplexity exactly
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TextQueries.txLmPerplexity(spark, sf)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val served = graft.queries.TextQueries.txLmServe(spark, sf)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(served === batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val tsUs = graft.sources.PositionView.TsUsSql
