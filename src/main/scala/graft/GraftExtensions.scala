@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpePieceCount, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, ImageHeaderDecode, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, RayCastContains, RingArea, SimHash64, SortedIntersectCount, PunctCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
+import graft.plans.{ArrayDot, ArrayXxHash64, BinaryGpsDecode, BpePieceCount, BpeTokenCount, ByteStats, ConvexContains, GeoRangeRule, HaversineDist, ImageHeaderDecode, MinHashSig, NormalizeText, OsmNodeParse, OsmRelationParse, OsmWayParse, PrefixSkipHot, RayCastContains, RingArea, SimHash64, SortedIntersectCount, PunctCount, SortedShingleHashes, TopKPairs, WordShingles, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,13 @@ object GraftExtensions {
     val v = e.eval()
     require(v != null, s"$what must be a non-null literal")
     v.asInstanceOf[Boolean]
+  }
+  private def litLongArray(e: Expression, what: String): Seq[Long] = {
+    require(e.foldable, s"$what must be an array literal")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null array literal")
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
   }
 
   /** (identifier, info, builder) triples — shared by the extension
@@ -121,6 +128,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(exprs =>
         SortedIntersectCount(exprs.head, exprs(1)))),
+    (FunctionIdentifier("prefix_skip_hot"),
+      new ExpressionInfo(classOf[PrefixSkipHot].getName, "prefix_skip_hot"),
+      arity("prefix_skip_hot", 3)(exprs =>
+        PrefixSkipHot(exprs(0), exprs(1),
+          litLongArray(exprs(2), "prefix_skip_hot hot list")))),
     (FunctionIdentifier("byte_stats"),
       new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
       arity("byte_stats", 1)(exprs => ByteStats(exprs.head))),

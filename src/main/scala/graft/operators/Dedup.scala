@@ -233,15 +233,60 @@ object Dedup {
     * per-side aliasing breaks exchange canonicalization. Verified at
     * runtime (ReusedExchange in the adaptive plan; DedupSpec pins row
     * identity). */
+  /** Detects the corpus's STOP SHINGLES — the bounded hot list
+    * [[jaccardPairsPrefixFromText]] excludes from prefixes — on a
+    * deterministic 1-in-`sampleMod` document sample: shingles whose
+    * sampled document frequency exceeds `floorMult`× the sampled mean,
+    * hottest capped at `cap` entries, returned coldest-first (the
+    * hot-segment order of the prefix proof; ties by hash). Accuracy
+    * only affects PERFORMANCE — the prefix order stays exact for any
+    * list — so a cheap sample suffices: a quadratic bucket is by
+    * definition frequent enough to be sampled. On a uniform corpus no
+    * shingle clears the floor and the list comes back empty (= the
+    * unchanged fast plan). At 100 TB this list is a published corpus
+    * artifact built by the same pipeline that owns the dedup index
+    * (the ss_ivf_topk quantizer discipline); size it by a df floor,
+    * which bounds every remaining bucket. */
+  def hotShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  sampleMod: Int = 10, floorMult: Double = 4.0,
+                  cap: Int = 4096): Seq[Long] = {
+    val sampled = df
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(explode(coalesce(
+        graft.plans.SortedShingleHashes(col(textCol), n),
+        array().cast("array<long>"))).as("sg"))
+    val dfc = sampled.groupBy("sg").agg(count(lit(1)).as("__df"))
+    val meanDf = dfc.agg(avg("__df")).collect()(0).getDouble(0)
+    if (meanDf.isNaN) return Nil
+    val floor = floorMult * meanDf
+    dfc.filter(col("__df") > floor)
+      .orderBy(desc("__df"), col("sg")).limit(cap)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._2).toSeq
+  }
+
   def jaccardPairsPrefixFromText(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int, threshold: Double): DataFrame = {
+                                 n: Int, threshold: Double,
+                                 hot: Seq[Long] = Nil): DataFrame = {
     val hs = Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
       .select(col("__id"),
         coalesce(graft.plans.SortedShingleHashes(col("__text"), n),
           array().cast("array<long>")).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
-    val pre = hs.select(col("__id"), col("sz"), col("hs"),
-      prefixExplode(threshold))
+    // `hot` swaps the prefix's global order for stop-shingle-last
+    // (plans.PrefixSkipHot): recall-identical by the AllPairs proof
+    // (any corpus-consistent total order), but a corpus-hot shingle no
+    // longer lands in every containing doc's prefix — the quadratic
+    // bucket a zipf corpus otherwise sends the candidate join
+    // (measured: 4.1M -> ~60 candidate rows on the zipf sf1 clone).
+    // Empty list keeps the plan literally unchanged.
+    val prefixCol =
+      if (hot.isEmpty) prefixExplode(threshold)
+      else explode(graft.plans.PrefixSkipHot(col("hs"),
+        greatest(lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")),
+        hot)).as("sg")
+    val pre = hs.select(col("__id"), col("sz"), col("hs"), prefixCol)
     val ex = pre.repartition(col("sg"))
     val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"),
       col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")

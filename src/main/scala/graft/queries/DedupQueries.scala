@@ -64,11 +64,22 @@ object DedupQueries {
     * take ONE exchange to a single partition where the distinct and
     * the deterministic sort run locally — the sortSmall policy fused
     * with the pair dedup, for a 3-stage plan end to end. */
-  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // stop-shingle list staged once per (session, dir) — a published
+    // corpus artifact like the IVF quantizer, detected on a 10% doc
+    // sample. EMPTY on this uniform-worded corpus (the plan below is
+    // then literally the r18 plan); on a zipf corpus it excludes the
+    // quadratic prefix buckets (TextSkewProbe: 2.23x -> in-band, with
+    // candidate rows 4.1M -> ~60). Exactness is order-independent, so
+    // the same DuckDB oracle hash-pins both regimes.
+    val hot = graft.operators.Stage.value(s, dir, "dd_hot_shingles") {
+      Dedup.hotShingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)
+    }
     Dedup.jaccardPairsPrefixFromText(Tables.documents(s, dir),
-      "doc_id", "text", ShingleN, JaccardThreshold)
+      "doc_id", "text", ShingleN, JaccardThreshold, hot)
       .repartition(1).dropDuplicates()
       .sortWithinPartitions("a_id", "b_id")
+  }
 
   val ddNgramJaccardSql: String = """
     |WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -34,10 +34,14 @@ object GenScale {
 
   def generate(spark: org.apache.spark.sql.SparkSession,
                src: String, dst: String, copies: Int): Unit = {
-    // embedding rotation shifts by the replica index — beyond the
-    // dimensionality the slice arithmetic would go negative
-    require(copies >= 1 && copies <= 64,
-      s"copies=$copies must be in [1, 64] (embedding rotation bound)")
+    // replicas 0-63 use pure rotation (byte-identical to the original
+    // sf1 recipe); 64+ compose the rotation with a hash-seeded ±1
+    // sign-flip (also orthogonal, so within-shard cosines stay exactly
+    // preserved) — without it replica i and i-64 would share a
+    // rotation and every vector would meet an exact cross-shard clone,
+    // quadratically corrupting the dedup/ANN families at sf10
+    require(copies >= 1 && copies <= 128,
+      s"copies=$copies must be in [1, 128] (embedding transform bound)")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Column, DataFrame}
     import scala.jdk.CollectionConverters._
@@ -105,10 +109,19 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings") { (df, i) =>
+      val r = i % 64
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
       val emb =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 64 - i),
-          slice(col("embedding"), 1, i))
+        if (i < 64) rot
+        else {
+          val m = GenClustered.mix64(i.toLong)
+          val flips = lit(Array.tabulate(64)(d =>
+            if (((m >>> d) & 1L) == 1L) -1.0f else 1.0f))
+          zip_with(rot, flips, (x, f) => x * f)
+        }
       df.withColumn("vec_id", shift("vec_id", M, i))
         .withColumn("embedding", emb)
     }
