@@ -213,62 +213,6 @@ object Bench {
     // blessed windows — they publish the canary but skip the re-roll.
     val canary = results.collectFirst {
       case (CanaryQuery, v, _, _) if v >= 0 => v }.getOrElse(-1.0)
-    // Re-roll budget: 2 of the last 3 driver rounds burned all 3
-    // attempts back-to-back inside the SAME slow host phase (phases
-    // last minutes; three consecutive ~60 s windows never escape one).
-    // One more attempt plus an escalating sleep before re-rolls >= 2
-    // spreads the attempts across phase boundaries at a bounded cost
-    // (worst case +90 s over the old budget).
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CANARY_ATTEMPTS", "4").toInt
-    if (only.isEmpty && canary > CanaryThresholdSec && attempt < maxAttempts) {
-      System.err.println(f"[bench] canary $CanaryQuery read $canary%.3f s (> " +
-        f"$CanaryThresholdSec%.2f): damaged JVM window, attempt $attempt — re-rolling")
-      if (attempt >= 2) {
-        val napSec = 30L * (attempt - 1)
-        System.err.println(s"[bench] sleeping ${napSec}s before re-roll " +
-          "to escape the host phase")
-        Thread.sleep(napSec * 1000L)
-      }
-      reexec(attempt) match {
-        case Some(code) => spark.stop(); sys.exit(code)
-        case None => System.err.println(
-          "[bench] cannot re-exec under this launcher; publishing damaged window")
-      }
-    }
-    // The gate is no longer advisory past the re-roll budget: a window
-    // that still reads damaged is STAMPED damaged in both artifact and
-    // stdout line, and under SPARK_GRAFT_CANARY_STRICT=1 (the blessed
-    // BASELINE/BENCH_LOCAL regeneration path) the run additionally
-    // exits non-zero so no re-bless script can commit a slow-state
-    // artifact as the headline. The default (driver per-round) path
-    // still publishes — the driver needs an artifact every round, and
-    // the damaged flag is the honest label on it.
-    val damaged = only.isEmpty && canary > CanaryThresholdSec
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    // spread = max-min across steady-state passes: a large spread flags a
-    // measurement the driver should distrust before calling it a regression
-    val sp = results.map { case (k, _, s, _) => "\"" + k + "\":" + f3(s) }
-      .mkString("{", ",", "}")
-    val warmupOnly = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val requeuedJson = requeued.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val preminJson = requeued.map(n => "\"" + n + "\":" + f3(premin(n)))
-      .mkString("{", ",", "}")
-    // FULL artifact (spread map included) goes to disk: stdout between
-    // here and the driver's BENCH_r* capture gets tail-truncated (round
-    // 6 lost the minima; round 10's capture cut the first 14 query
-    // entries out of the single long line and json-parsed to null)
-    // per-micro-batch latency of the streaming replays (serving
-    // contract: batch latency, not drain throughput), keyed by harness
-    // run name — recorded by StreamOps.ReplayMetrics on the LAST run
-    val sb = graft.streaming.StreamOps.ReplayMetrics.snapshot.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        "\"" + k + "\":{\"n\":" + v.n + ",\"p50_ms\":" + v.p50Ms +
-          ",\"p95_ms\":" + v.p95Ms + ",\"max_ms\":" + v.maxMs + "}"
-      }.mkString("{", ",", "}")
     // ---- same-window DuckDB sentinel ----------------------------------
     // MEASUREMENT HARNESS ONLY (not engine code): time a small fixed set
     // of oracle queries in the driver-side python duckdb IN THIS SAME
@@ -331,19 +275,95 @@ object Bench {
       }
     // ratio over the sentinel keys measured by BOTH engines in this
     // window: same phase on both sides by construction
-    val sentinelJson = sentinel.filter(_.nonEmpty).flatMap { m =>
-      val sparkSide = sentinelKeys.flatMap(k => results.collectFirst {
-        case (`k`, v, _, _) if v >= 0 => k -> v })
-      val common = sparkSide.filter { case (k, _) => m.contains(k) }
-      if (common.isEmpty) None else {
-        val sSum = common.map(_._2).sum
-        val dSum = common.map { case (k, _) => m(k) }.sum
-        val qs = common.map { case (k, _) => "\"" + k + "\":" + f3(m(k)) }
-          .mkString("{", ",", "}")
-        Some(s""","sentinel_duckdb":$qs,"sentinel_spark_sec":${f3(sSum)},""" +
-          s""""sentinel_duckdb_sec":${f3(dSum)},"same_window_ratio":${f3(sSum / dSum)}""")
+    val sentinelPair: Option[(String, Double)] =
+      sentinel.filter(_.nonEmpty).flatMap { m =>
+        val sparkSide = sentinelKeys.flatMap(k => results.collectFirst {
+          case (`k`, v, _, _) if v >= 0 => k -> v })
+        val common = sparkSide.filter { case (k, _) => m.contains(k) }
+        if (common.isEmpty) None else {
+          val sSum = common.map(_._2).sum
+          val dSum = common.map { case (k, _) => m(k) }.sum
+          val qs = common.map { case (k, _) => "\"" + k + "\":" + f3(m(k)) }
+            .mkString("{", ",", "}")
+          Some((s""","sentinel_duckdb":$qs,"sentinel_spark_sec":${f3(sSum)},""" +
+            s""""sentinel_duckdb_sec":${f3(dSum)},"same_window_ratio":${f3(sSum / dSum)}""",
+            sSum / dSum))
+        }
       }
-    }.getOrElse("")
+    val sentinelJson = sentinelPair.map(_._1).getOrElse("")
+    // The sentinel ratio is itself a damage gate: the r19 re-bless
+    // caught a window whose canary read 0.175 (inside the 0.25 gate)
+    // while every query carried a flat ~+0.1 s tax (total 47.9 s vs
+    // 38.4 s re-rolled) — an intermediate host phase the bistable
+    // canary never samples. DuckDB was at par in that same window, so
+    // the spark/duckdb sentinel ratio separated the states cleanly:
+    // 2.47 damaged vs 1.72/2.02 blessed. Gate at 2.2 (midpoint,
+    // env-tunable); absent sentinel (no python3/duckdb) degrades to
+    // the canary-only gate.
+    val swrMax = sys.env.getOrElse("SPARK_GRAFT_SWR_MAX", "2.2").toDouble
+    val swrBad = sentinelPair.exists(_._2 > swrMax)
+    val canaryBad = canary > CanaryThresholdSec
+    // Re-roll budget: 2 of the last 3 driver rounds burned all 3
+    // attempts back-to-back inside the SAME slow host phase (phases
+    // last minutes; three consecutive ~60 s windows never escape one).
+    // One more attempt plus an escalating sleep before re-rolls >= 2
+    // spreads the attempts across phase boundaries at a bounded cost
+    // (worst case +90 s over the old budget).
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CANARY_ATTEMPTS", "4").toInt
+    if (only.isEmpty && (canaryBad || swrBad) && attempt < maxAttempts) {
+      if (canaryBad)
+        System.err.println(f"[bench] canary $CanaryQuery read $canary%.3f s (> " +
+          f"$CanaryThresholdSec%.2f): damaged JVM window, attempt $attempt — re-rolling")
+      else
+        System.err.println(f"[bench] sentinel ratio ${sentinelPair.get._2}%.3f > " +
+          f"$swrMax%.2f with canary $canary%.3f s: slow-phase window the canary " +
+          f"missed, attempt $attempt — re-rolling")
+      if (attempt >= 2) {
+        val napSec = 30L * (attempt - 1)
+        System.err.println(s"[bench] sleeping ${napSec}s before re-roll " +
+          "to escape the host phase")
+        Thread.sleep(napSec * 1000L)
+      }
+      reexec(attempt) match {
+        case Some(code) => spark.stop(); sys.exit(code)
+        case None => System.err.println(
+          "[bench] cannot re-exec under this launcher; publishing damaged window")
+      }
+    }
+    // The gate is no longer advisory past the re-roll budget: a window
+    // that still reads damaged is STAMPED damaged in both artifact and
+    // stdout line, and under SPARK_GRAFT_CANARY_STRICT=1 (the blessed
+    // BASELINE/BENCH_LOCAL regeneration path) the run additionally
+    // exits non-zero so no re-bless script can commit a slow-state
+    // artifact as the headline. The default (driver per-round) path
+    // still publishes — the driver needs an artifact every round, and
+    // the damaged flag is the honest label on it.
+    val damaged = only.isEmpty && (canaryBad || swrBad)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    // spread = max-min across steady-state passes: a large spread flags a
+    // measurement the driver should distrust before calling it a regression
+    val sp = results.map { case (k, _, s, _) => "\"" + k + "\":" + f3(s) }
+      .mkString("{", ",", "}")
+    val warmupOnly = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val requeuedJson = requeued.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val preminJson = requeued.map(n => "\"" + n + "\":" + f3(premin(n)))
+      .mkString("{", ",", "}")
+    // FULL artifact (spread map included) goes to disk: stdout between
+    // here and the driver's BENCH_r* capture gets tail-truncated (round
+    // 6 lost the minima; round 10's capture cut the first 14 query
+    // entries out of the single long line and json-parsed to null)
+    // per-micro-batch latency of the streaming replays (serving
+    // contract: batch latency, not drain throughput), keyed by harness
+    // run name — recorded by StreamOps.ReplayMetrics on the LAST run
+    val sb = graft.streaming.StreamOps.ReplayMetrics.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":{\"n\":" + v.n + ",\"p50_ms\":" + v.p50Ms +
+          ",\"p95_ms\":" + v.p95Ms + ",\"max_ms\":" + v.maxMs + "}"
+      }.mkString("{", ",", "}")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     // A window published past the re-roll budget must never be COMPARED
     // as if it were a fast-state window: when this run is damaged, the

@@ -12,7 +12,7 @@ FAM[ing]=ing_compact_zone,ing_json_props,ing_csv_positions,ing_socketio_parse,in
 FAM[ta]=ta_speed_lag,ta_speed_summary,ta_route_stats,ta_top_routes,ta_latest_per_vehicle,ta_haversine,ta_hourly_activity,ta_interpolate,ta_sessionize,ta_session_stats,ta_asof_weather,ta_weather_corr,ta_speed_histogram,ta_route_labels,ta_slowest_routes,ta_fastest_routes
 FAM[geo]=geo_map_html,geo_map_export,geo_grid_density,geo_nearest_signal,geo_tag_stats,geo_point_in_poly,geo_poly_concave,geo_poly_area,geo_overpass_build,geo_osm_xml_parse,geo_osm_way_parse,geo_osm_relation_parse,geo_geojson_roundtrip,geo_range_query,geo_poly_join
 FAM[q]=q1_pricing_summary,q3_shipping_priority,q5_local_supplier,q_top_customer_per_nation,q_decile_stats,q_skew_join,q_orphan_check,q_bucket_join,q_order_fill_rate,q_rollup
-FAM[tx]=tx_lm_perplexity,tx_token_count,tx_bpe_tokens,tx_pack_sequences,tx_quality_score,tx_lang_id,tx_fingerprint,tx_ngram_freq,tx_pii_scrub,tx_train_split,tx_repetition,tx_contamination,tx_quality_filter,tx_stratified_sample
+FAM[tx]=tx_lm_perplexity,tx_lm_serve,tx_token_count,tx_bpe_tokens,tx_pack_sequences,tx_quality_score,tx_lang_id,tx_fingerprint,tx_ngram_freq,tx_pii_scrub,tx_train_split,tx_repetition,tx_contamination,tx_quality_filter,tx_stratified_sample
 FAM[dd]=dd_exact,dd_ngram_jaccard,dd_minhash_lsh,dd_simhash,dd_cluster,dd_incremental,dd_cluster_incr,dd_keep_list
 FAM[ddemb]=dd_embedding,dd_embedding_lsh
 FAM[ss]=ss_brute_topk,ss_lsh_topk,ss_ivf_topk,st_ann_serve,st_ivf_serve
