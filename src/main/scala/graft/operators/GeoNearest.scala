@@ -83,11 +83,31 @@ object GeoNearest {
     * packs to 6.8e18 < 2^63 with ~26% headroom. */
   val IdBits = 31
 
+  /** @param midRings strictly-increasing intermediate rings between
+    *   ring-1 and `widenRing`. Pass-2's ring-widening explodes each
+    *   unresolved position to (2r+1)² cells, and the r19 sf1 profile
+    *   showed the jump 1 -> 8 pays x289 explosion for survivors whose
+    *   nearest sits just past the ring-1 radius: 32.3k survivors, ALL
+    *   within safe(2), p99.9 dist 1.77 km vs safe(2) = 2.80 km —
+    *   ~100M candidate evals where ring-2's x25 needs ~9M. The default
+    *   Seq(2) resolves the dense-regime tail at x25 and leaves the
+    *   x(2·widenRing+1)² pass to genuinely sparse neighborhoods; an
+    *   empty-survivor mid pass joins ~0 rows and costs one ~20 ms
+    *   stage. Exactness is per-pass (the safe(r) lower-bound cutoff),
+    *   so any ladder is as exact as the direct jump. */
   def nearest(positions: DataFrame, signals: DataFrame,
               cellDeg: Double, originLat: Double, originLon: Double,
-              maxAbsLatDeg: Double, widenRing: Int = 8): DataFrame = {
+              maxAbsLatDeg: Double, widenRing: Int = 8,
+              midRings: Seq[Int] = Seq(2)): DataFrame = {
     require(widenRing >= 1, s"widenRing=$widenRing must be >= 1")
     require(cellDeg > 0, s"cellDeg=$cellDeg must be positive")
+    require(midRings == midRings.sorted && midRings.distinct == midRings,
+      s"midRings=$midRings must be strictly increasing")
+    // rungs outside (1, widenRing) are dropped, not rejected: the
+    // default Seq(2) must degrade to the plain two-pass shape for a
+    // caller that narrows widenRing to <= 2 (GeoNearestSpec's sparse
+    // layer tests do)
+    val mids = midRings.filter(r => r > 1 && r < widenRing)
     // the squared-degree prefilter's sin x >= x(1-x²/6) slack needs the
     // in-join separation (≤ (widenRing+1)·cellDeg per side) to stay
     // small-angle; 20° keeps the polynomial factor above 0.9949 — far
@@ -221,17 +241,33 @@ object GeoNearest {
     val resolved1 = m1.filter(isResolved(1))
     val un1 = m1.filter(!isResolved(1))
 
-    // pass 2: survivors widen; position side exploded, signals 1x1
-    val pWide = withRing(un1, widenRing,
-      Seq("event_id", "lat", "lon", "coslat"))
-    val m2 = argmin(pWide.join(
-      sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
-        col("sgx").as("jgx"), col("sgy").as("jgy")),
-      col("gx") === col("jgx") && col("gy") === col("jgy") &&
-        cheapNear(widenRing),
-      "left_outer").drop("jgx", "jgy"), carryGrid = false)
-    val resolved2 = m2.filter(isResolved(widenRing))
-    val un2 = m2.filter(!isResolved(widenRing))
+    // pass 2: survivors widen through the ring ladder (midRings, then
+    // widenRing); position side exploded, signals 1x1. Each rung's
+    // unresolved frame recomputes gx/gy from lat/lon (pass-1's un1
+    // carries them, later rungs' argmin aggregates don't — the grid
+    // key is a pure projection, so recomputing beats carrying a
+    // nondeterministic first() through every aggregate).
+    def widenPass(unresolved: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val base = unresolved
+        .select(col("event_id"), col("lat"), col("lon"), col("coslat"))
+        .withColumn("gx", GeoFunctions.gridX(col("lon"), originLon, cellDeg))
+        .withColumn("gy", GeoFunctions.gridY(col("lat"), originLat, cellDeg))
+      val pWide = withRing(base, r, Seq("event_id", "lat", "lon", "coslat"))
+      val m = argmin(pWide.join(
+        sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
+          col("sgx").as("jgx"), col("sgy").as("jgy")),
+        col("gx") === col("jgx") && col("gy") === col("jgy") &&
+          cheapNear(r),
+        "left_outer").drop("jgx", "jgy"), carryGrid = false)
+      (m.filter(isResolved(r)), m.filter(!isResolved(r)))
+    }
+    val (resolvedMid, unAfterMid) =
+      mids.foldLeft((Seq.empty[DataFrame], un1: DataFrame)) {
+        case ((acc, un), r) =>
+          val (res, next) = widenPass(un, r)
+          (acc :+ res, next)
+      }
+    val (resolved2, un2) = widenPass(unAfterMid, widenRing)
 
     // pass 3: exactness net over the whole broadcast layer. Distances
     // here are UNBOUNDED (no ring), so the packed long could overflow
@@ -252,8 +288,9 @@ object GeoNearest {
     // project both branches to the two columns the unpack needs before
     // the union (their carried attributes differ: pass 1 keeps gx/gy,
     // pass 2 doesn't)
-    resolved1.select("event_id", "m")
-      .unionByName(resolved2.select("event_id", "m"))
+    (resolvedMid :+ resolved2)
+      .foldLeft(resolved1.select("event_id", "m")) {
+        (u, r) => u.unionByName(r.select("event_id", "m")) }
       .select(col("event_id"),
         col("m").bitwiseAND(lit(maxId)).as("signal_id"),
         distKmOf(col("m")).as("dist_km"))

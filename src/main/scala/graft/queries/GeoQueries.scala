@@ -64,7 +64,14 @@ object GeoQueries {
       java.lang.Long.valueOf(Tables.events(s, dir).count())
     }.longValue()
 
-  def geoNearestSignal(s: SparkSession, dir: String): DataFrame = {
+  def geoNearestSignal(s: SparkSession, dir: String): DataFrame =
+    nearestWithMidRings(s, dir, Seq(2))
+
+  /** [[geoNearestSignal]] with the ring ladder exposed, so the
+    * GeoLadderProbe A/B can run the pre-r19 direct-jump shape
+    * (midRings = Nil) against the shipped ladder on identical inputs. */
+  def nearestWithMidRings(s: SparkSession, dir: String,
+                          midRings: Seq[Int]): DataFrame = {
     // density-adaptive grid: the signal layer GROWS with the data
     // (|events|/199 over a fixed box), so a fixed cell size makes
     // per-cell candidate pairs grow with density SQUARED — 10× data
@@ -96,7 +103,8 @@ object GeoQueries {
       cellDeg = cell,
       originLat = GeoFunctions.KyivBounds._1,
       originLon = GeoFunctions.KyivBounds._3,
-      maxAbsLatDeg = GeoFunctions.KyivBounds._2)
+      maxAbsLatDeg = GeoFunctions.KyivBounds._2,
+      midRings = midRings)
       // map back to the caller-visible id space (the oracle's ids)
       .withColumn("signal_id", col("signal_id") * 199)
       .orderBy("event_id")
