@@ -194,4 +194,37 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(probeShuffles.isEmpty,
       s"broadcast as-of must not shuffle the probe side:\n$plan")
   }
+
+  test("ag_approx_distinct: no HLL buffer crosses the pair-dedup exchange") {
+    // dedup-first shape (r19): the distinct (event_type, user_id)
+    // reduction shuffles bare keys; the 410-long partial HLL++ buffer
+    // exists only ABOVE the dedup, on distinct pairs. The mixed
+    // (countDistinct + approx) form re-plans level 1 with
+    // partial_approx_count_distinct per pair and ships the buffer
+    // through the first exchange (~3.3 KB/row) — and must stay
+    // row-identical to the shipped shape (HLL insertion idempotence).
+    val q = SparkEntry.queries("ag_approx_distinct")(spark, sf)
+    val plan = executed(q)
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    // the per-GROUP partial buffer (one row per event_type per task)
+    // legitimately crosses the final-agg exchange; the defect shape is
+    // the buffer at PAIR granularity — an exchange carrying user_id
+    // (the dedup key) next to the MS buffer columns
+    val fat = shuffles.filter { e =>
+      e.child.output.exists(_.name.startsWith("MS[")) &&
+        e.child.output.exists(_.name == "user_id")
+    }
+    assert(fat.isEmpty,
+      s"partial HLL buffer crossed the pair-level exchange:\n$plan")
+    import org.apache.spark.sql.functions._
+    val mixed = Tables.events(spark, sf).select("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+      .orderBy("event_type")
+    assert(q.collect().toSeq == mixed.collect().toSeq,
+      "dedup-first shape must be row-identical to the mixed aggregate")
+  }
 }
