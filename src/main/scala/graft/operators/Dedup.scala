@@ -265,9 +265,22 @@ object Dedup {
       .sortBy(identity).map(_._2).toSeq
   }
 
+  /** `selfJoinParts`: explicit partition count for the prefix
+    * self-join's shared exchange. The join is shuffle_hash-hinted (the
+    * measured win over sort-merge at bench scale) and an SHJ build
+    * side cannot spill — the build rows carry the full packed shingle
+    * arrays, so per-partition build bytes grow linearly with corpus
+    * while the session's shuffle-partition constant does not: the sf10
+    * rehearsal failed here with "Can't acquire … bytes to build hash
+    * relation" at the default heap (guide §3.1's documented SHJ risk).
+    * Callers above bench scale pass a corpus-derived count
+    * (DedupQueries sizes it from the staged doc count) so build sides
+    * stay bounded; None keeps the session default — the plan below the
+    * threshold is byte-identical to r18. */
   def jaccardPairsPrefixFromText(df: DataFrame, idCol: String, textCol: String,
                                  n: Int, threshold: Double,
-                                 hot: Seq[Long] = Nil): DataFrame = {
+                                 hot: Seq[Long] = Nil,
+                                 selfJoinParts: Option[Int] = None): DataFrame = {
     val hs = Par.spread(df.select(col(idCol).as("__id"), col(textCol).as("__text")))
       .select(col("__id"),
         coalesce(graft.plans.SortedShingleHashes(col("__text"), n),
@@ -287,7 +300,10 @@ object Dedup {
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")),
         hot)).as("sg")
     val pre = hs.select(col("__id"), col("sz"), col("hs"), prefixCol)
-    val ex = pre.repartition(col("sg"))
+    val ex = selfJoinParts match {
+      case Some(p) => pre.repartition(p, col("sg"))
+      case None => pre.repartition(col("sg"))
+    }
     val a = ex.select(col("__id").as("a_id"), col("sz").as("a_sz"),
       col("hs").as("hs_a"), col("sg")).hint("shuffle_hash")
     val b = ex.select(col("__id").as("b_id"), col("sz").as("b_sz"),
@@ -446,10 +462,31 @@ object Dedup {
     simhashPairsFromShingles(shingleSets(df, idCol, textCol, n),
       maxHamming, maxBucket)
 
-  /** [[simhashPairs]] over precomputed [[shingles]]. */
+  /** [[simhashPairs]] over precomputed [[shingles]].
+    *
+    * `corpusRows` (when the caller knows it — DedupQueries passes its
+    * staged doc count) arms the CAP-COLLAPSE guard: the 8-bit pigeonhole
+    * buckets average corpus/256 docs, so past maxBucket·256 rows the
+    * degenerate-bucket cap drops EVERY bucket and the candidate set —
+    * and the query output — silently empties (the sf10 rehearsal: 500k
+    * docs → mean occupancy ~1950 > 1000 → 0 rows, 0 recall, no error).
+    * A silent "no duplicates" at scale is corrupt output, so like
+    * [[embeddingPairs]]'s all-pairs bound this refuses loudly with the
+    * resize rule instead: raise maxBucket (per-bucket verify work grows
+    * with its square), shard the corpus, or move to the permuted-prefix
+    * table design (wider chunks per table, ham budget split across
+    * tables) whose bucket width scales with log N. */
   def simhashPairsFromShingles(sh: DataFrame, maxHamming: Int,
-                               maxBucket: Long = 1000): DataFrame = {
+                               maxBucket: Long = 1000,
+                               corpusRows: Option[Long] = None): DataFrame = {
     require(maxHamming <= 7, "8-chunk pigeonhole is only exact for ham <= 7")
+    corpusRows.foreach { n =>
+      require(n <= maxBucket * 256,
+        s"simhashPairs: $n docs put ~${n / 256} docs in every 8-bit chunk " +
+          s"bucket (cap $maxBucket) — the degenerate-bucket guard would drop " +
+          "every bucket and silently return ZERO pairs; raise maxBucket, " +
+          "shard the corpus, or use permuted-prefix tables sized to log N")
+    }
     val sig = sh.filter(col("sz") > 0)
       .select(col("__id"), SimHash64(col("sh")).as("sig"))
     val chunks = sig.select(col("__id"), col("sig"),
@@ -484,9 +521,14 @@ object Dedup {
     * cannot bound candidates AND keep the oracle-exact output. The LSH
     * route is registered alongside as dd_embedding_lsh with a
     * self-auditing recall column instead. */
+  /** [[embeddingPairs]]'s all-pairs refusal bound — public so audit
+    * machinery sizing a sampled base (DedupQueries.embExactPairs) uses
+    * the same constant the guard enforces. */
+  val EmbeddingPairsMaxRows: Long = 100000
+
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double,
-                     maxRows: Long = 100000): DataFrame = {
+                     maxRows: Long = EmbeddingPairsMaxRows): DataFrame = {
     val e = df.select(col(idCol).as("__id"),
       VectorFunctions.toDouble(col(vecCol)).as("emb"))
       .withColumn("nrm", VectorFunctions.normPre(col("emb")))
@@ -551,10 +593,26 @@ object Dedup {
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         nBits: Int = 100, bands: Int = 20,
-                        maxBucket: Long = 1000): DataFrame = {
+                        maxBucket: Long = 1000,
+                        corpusRows: Option[Long] = None): DataFrame = {
     require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val r = nBits / bands
     require(r <= 63, s"rows-per-band $r exceeds one long")
+    // CAP-COLLAPSE guard (see simhashPairsFromShingles): mean band-bucket
+    // occupancy is corpus/2^r, so past maxBucket·2^r rows the
+    // degenerate-bucket cap drops every bucket and the output silently
+    // empties (sf10 rehearsal: 200k vectors at r=5 → occupancy 6250 >
+    // 1000 → 0 rows, 0 recall, no error). The documented sizing rule —
+    // 2^r ≳ N/maxBucket, bands then re-sized for recall at the target
+    // threshold — is now enforced loudly instead of advisory.
+    corpusRows.foreach { n =>
+      require(n <= (maxBucket << r),
+        s"embeddingPairsLsh: $n vectors put ~${n >> r} in every " +
+          s"$r-bit band bucket (cap $maxBucket) — the degenerate-bucket " +
+          "guard would drop every bucket and silently return ZERO pairs; " +
+          "re-size the signature (2^r >= corpus/maxBucket, bands re-sized " +
+          "for recall at the threshold) or shard the corpus")
+    }
     // the survived-band okMask (shiftleft(1L, band)) and
     // FirstCollisionBand's (mask >>> j) index single-long bit
     // positions — band indexes past 63 would silently wrap modulo 64

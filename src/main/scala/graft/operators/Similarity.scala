@@ -71,8 +71,30 @@ object Similarity {
               nBits: Int = 30, bands: Int = 10): DataFrame = {
     val d0 = withNorm(data, idCol, vecCol, "d")
     val q0 = withNorm(queries, idCol, vecCol, "q")
-    val cand = lshCandidateIds(d0, q0, dim, nBits, bands)
-      .join(d0, "did").join(broadcast(q0), "qid")
+    // FUSED candidate generation + verification (r19, after the sf10
+    // rehearsal): the corpus side streams its payload through the band
+    // explode straight into the broadcast bucket probe, and the
+    // first-collision predicate (the Dedup.embeddingPairsLsh
+    // discipline, plans/FirstCollisionBand) makes every (query, doc)
+    // candidate unique BY CONSTRUCTION — the old explode → join →
+    // distinct() → re-join(d0) → re-join(q0) shape materialized a
+    // partial-aggregate hash map over |Q|·N·collision-rate candidate
+    // rows, which at sf10 (4k queries × 200k isotropic corpus ≈ 10^9
+    // pre-distinct rows) OOM'd a 48 GB heap DURING its own spill
+    // (UnsafeFixedWidthAggregationMap → sorter conversion). The fused
+    // shape needs no aggregation and no corpus exchange at all: scan →
+    // explode → broadcast probe → first-collision filter → cosine →
+    // k-bounded topK partial agg. Candidate SET and therefore rows,
+    // ranks and the recall audit are identical (SimilaritySpec pins
+    // against brute force; the candidate-uniqueness proof is
+    // FirstCollisionBand's).
+    val cand = bandedVals(d0, "d", dim, nBits, bands,
+        keep = Seq("demb", "dnrm"))
+      .join(broadcast(bandedVals(q0, "q", dim, nBits, bands,
+        keep = Seq("qemb", "qnrm"))), Seq("band", "v"))
+      .filter(col("did") =!= col("qid") &&
+        col("band") === graft.plans.FirstCollisionBand(
+          col("dvals"), col("qvals"), lit(-1L)))
     topK(cand, k)
   }
 
@@ -87,26 +109,42 @@ object Similarity {
     lshCandidateIds(withNorm(data, idCol, vecCol, "d"),
       withNorm(queries, idCol, vecCol, "q"), dim, nBits, bands)
 
-  private def lshCandidateIds(d0: DataFrame, q0: DataFrame, dim: Int,
-                              nBits: Int, bands: Int): DataFrame = {
+  /** (id, vals, band, v) band rows for the bucket probe: `vals` is the
+    * per-band value array (the signature's r-bit windows), carried so
+    * the first-collision predicate can dedup candidates in-row, plus
+    * any `keep` payload columns (the fused [[lshTopK]] carries the
+    * corpus vector through — the probe side never shuffles, so payload
+    * amplification is an in-codegen generate, not an exchange). */
+  private def bandedVals(df: DataFrame, prefix: String, dim: Int,
+                         nBits: Int, bands: Int,
+                         keep: Seq[String]): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    require(bands <= 64, s"bands=$bands exceeds the 64-bit first-collision mask")
     val r = nBits / bands
     val mask = (1L << r) - 1
-    def bandCol(sig: Column): Column = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(sig, b * r).bitwiseAND(lit(mask)).as("v"))
+    val sig = hyperplaneSigPre(col(s"${prefix}emb"), nBits, dim)
+    val vals = array((0 until bands).map { b =>
+      shiftrightunsigned(sig, b * r).bitwiseAND(lit(mask))
     }: _*)
-    // band rows carry ONLY ids: the distinct over candidates must not
-    // shuffle and hash full embedding payloads (a pair can be generated
-    // once per band) — vectors rejoin after the id-level dedup
-    def banded(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn("__b", explode(bandCol(hyperplaneSigPre(col(s"${prefix}emb"), nBits, dim))))
-        .select(col(s"${prefix}id"),
-          col("__b.band").as("band"), col("__b.v").as("v"))
-    banded(d0, "d").join(broadcast(banded(q0, "q")), Seq("band", "v"))
-      .filter(col("did") =!= col("qid"))
-      .select("qid", "did").distinct()
+    df.withColumn(s"${prefix}vals", vals)
+      .select(Seq(col(s"${prefix}id"), col(s"${prefix}vals")) ++ keep.map(col) :+
+        posexplode(col(s"${prefix}vals")).as(Seq("band", "v")): _*)
   }
+
+  private def lshCandidateIds(d0: DataFrame, q0: DataFrame, dim: Int,
+                              nBits: Int, bands: Int): DataFrame =
+    // first-collision dedup instead of a candidate distinct(): a pair
+    // colliding in k bands surfaces only from its earliest agreeing
+    // band, so each candidate is unique by construction and the
+    // aggregation (whose hash map scaled with |Q|·N·collision-rate and
+    // OOM'd the sf10 rehearsal) never exists — see [[lshTopK]]
+    bandedVals(d0, "d", dim, nBits, bands, keep = Nil)
+      .join(broadcast(bandedVals(q0, "q", dim, nBits, bands, keep = Nil)),
+        Seq("band", "v"))
+      .filter(col("did") =!= col("qid") &&
+        col("band") === graft.plans.FirstCollisionBand(
+          col("dvals"), col("qvals"), lit(-1L)))
+      .select("qid", "did")
 
   /** Element-wise per-cluster mean over a `cluster` column, re-packed
     * as an array and ROUNDED to 6 dp: raw avg() merges partial sums in

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Audit, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
+import org.apache.spark.sql.functions.{col, count, length, lit, pmod, sum, when, xxhash64}
 
 /** Deduplication block over `documents` / `embeddings` (LLM-pipeline
   * operators; SURVEY §2 "Deduplication").
@@ -75,8 +75,20 @@ object DedupQueries {
     val hot = graft.operators.Stage.value(s, dir, "dd_hot_shingles") {
       Dedup.hotShingles(Tables.documents(s, dir), "doc_id", "text", ShingleN)
     }
+    // Scale-adaptive self-join partitioning (guide §2): the prefix
+    // join's shuffle_hash build side carries the packed shingle arrays
+    // and cannot spill, so its per-partition bytes must stay bounded as
+    // the corpus grows — at the session's 32 partitions the sf10
+    // rehearsal (500k docs) failed the build-side memory acquire at the
+    // default heap. ~2000 docs/partition ≈ 25 MB of build rows; below
+    // the session parallelism the explicit count is withheld and the
+    // plan stays byte-identical to r18 (sf0.1: 5k docs → None).
+    val nDocs = docCount(s, dir)
+    val sessionPar = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.ceil(nDocs / 2000.0).toInt
     Dedup.jaccardPairsPrefixFromText(Tables.documents(s, dir),
-      "doc_id", "text", ShingleN, JaccardThreshold, hot)
+      "doc_id", "text", ShingleN, JaccardThreshold, hot,
+      selfJoinParts = if (parts > sessionPar) Some(parts) else None)
       .repartition(1).dropDuplicates()
       .sortWithinPartitions("a_id", "b_id")
   }
@@ -158,6 +170,18 @@ object DedupQueries {
       Dedup.jaccardPairsFromIndex(shingleIndex(s, dir), JaccardThreshold)
     }
 
+  /** Staged corpus row counts — shared by the scale-adaptive self-join
+    * partitioning (ddNgramJaccard) and the cap-collapse guards
+    * (ddSimhash / ddEmbeddingLsh): one tiny count job per (session,
+    * dir), the Stage.value discipline hotShingles already set. */
+  private def docCount(s: SparkSession, dir: String): Long =
+    graft.operators.Stage.value[java.lang.Long](s, dir, "doc_count")(
+      java.lang.Long.valueOf(Tables.documents(s, dir).count())).longValue
+
+  private def embCount(s: SparkSession, dir: String): Long =
+    graft.operators.Stage.value[java.lang.Long](s, dir, "emb_count")(
+      java.lang.Long.valueOf(Tables.embeddings(s, dir).count())).longValue
+
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Audit.withRecall(
       Dedup.minhashLshPairsFromHashes(hashedShingles(s, dir),
@@ -168,7 +192,8 @@ object DedupQueries {
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Audit.withRecall(
-      Dedup.simhashPairsFromShingles(docShingles(s, dir), maxHamming = 7),
+      Dedup.simhashPairsFromShingles(docShingles(s, dir), maxHamming = 7,
+        corpusRows = Some(docCount(s, dir))),
       exactJaccard(s, dir),
       Seq("a_id", "b_id"))
       .transform(sortSmall(_, "a_id", "b_id"))
@@ -180,8 +205,24 @@ object DedupQueries {
     * infrastructure stages. */
   private def embExactPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "emb_pairs") {
-      Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        CosineThreshold)
+      val emb = Tables.embeddings(s, dir)
+      // Past the all-pairs refusal bound the exact base cannot exist
+      // (the sf10 rehearsal hit the embeddingPairs guard through this
+      // audit), so the recall audits against pairs among a DETERMINISTIC
+      // hash sample — the Audit.withRecall contract ("at corpus scale,
+      // pass a sampled exact set"; recall is a statistic, not part of
+      // the result grain). m = 1 below the bound, so every
+      // driver-checked SF (embeddings ≤ 20k rows through sf1) is
+      // byte-identical; at sf10 (200k) m = 3 keeps ~67k vectors and
+      // ~1/9 of true pairs (~1.6k of 14.4k — measured structure: pair
+      // endpoints are hash-independent), sized to clear the guard with
+      // binomial margin (80% of the bound).
+      val n = embCount(s, dir)
+      val cap = Dedup.EmbeddingPairsMaxRows * 8 / 10
+      val m = (n + cap - 1) / cap
+      val base = if (m <= 1) emb
+        else emb.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+      Dedup.embeddingPairs(base, "vec_id", "embedding", CosineThreshold)
     }
 
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -197,7 +238,8 @@ object DedupQueries {
   def ddEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
     Audit.withRecall(
       Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = SimilarityQueries.Dim, threshold = CosineThreshold),
+        dim = SimilarityQueries.Dim, threshold = CosineThreshold,
+        corpusRows = Some(embCount(s, dir))),
       embExactPairs(s, dir), Seq("a_id", "b_id"))
       .transform(sortSmall(_, "a_id", "b_id"))
 

@@ -183,6 +183,33 @@ class DedupSpec extends SparkSpec {
       maxRows = 10).count() >= 0)
   }
 
+  test("cap-collapse guards refuse corpora whose every bucket would cap") {
+    // the sf10 rehearsal regression class: mean bucket occupancy past
+    // maxBucket drops EVERY bucket and the pair output silently empties
+    // — the operators now refuse at plan build when the caller passes
+    // the corpus size (loud boundary, like the all-pairs maxRows guard)
+    val vecs = (1L to 10L).map(i => (i, Array(i.toFloat, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val exL = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", dim = 3,
+        threshold = 0.5, corpusRows = Some(200000L))
+    }
+    assert(exL.getMessage.contains("ZERO pairs"))
+    val sh = (1L to 4L).map(i => (i, Seq(s"a$i b c", "b c d"), 2L))
+      .toDF("__id", "sh", "sz")
+    val exS = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFromShingles(sh, maxHamming = 7,
+        corpusRows = Some(500000L))
+    }
+    assert(exS.getMessage.contains("ZERO pairs"))
+    // below the bound the armed guard is a no-op: same results as unarmed
+    val armed = Dedup.simhashPairsFromShingles(sh, maxHamming = 7,
+      corpusRows = Some(4L)).collect().toSet
+    val unarmed = Dedup.simhashPairsFromShingles(sh, maxHamming = 7)
+      .collect().toSet
+    assert(armed == unarmed)
+  }
+
   test("ddEmbeddingLsh audit column holds the measured recall floor") {
     val out = graft.queries.DedupQueries
       .ddEmbeddingLsh(spark, "/root/testdata/sf0.001")
