@@ -125,6 +125,20 @@ object GraftSession {
       // gate visibility on their own _commits markers and never trust
       // directory presence alone.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Spark 4.1 turned on checkpoint-file checksums by default
+      // (spark.sql.streaming.checkpoint.fileChecksum.enabled, new in
+      // 4.1): EVERY checkpoint file — offset/commit WAL entries and
+      // every state-store delta/snapshot per partition per batch —
+      // gets a companion .crc file written on commit and re-read on
+      // load. That is a file-corruption guard for DURABLE checkpoint
+      // storage (HDFS/S3 bit rot); the replay harness checkpoints are
+      // ephemeral tmpfs scratch rebuilt per run, where the companion
+      // files are pure per-batch file-op overhead on the micro-batch
+      // floor (measured A/B in OPTIMIZATION_r20.md). A deployment
+      // with durable checkpoints re-enables via the env override —
+      // a durability knob, not operator semantics.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
 
   /** tmpfs scratch consumes RAM, so preferring /dev/shm is gated on a

@@ -606,7 +606,12 @@ object Dedup {
     // 2^r ≳ N/maxBucket, bands then re-sized for recall at the target
     // threshold — is now enforced loudly instead of advisory.
     corpusRows.foreach { n =>
-      require(n <= (maxBucket << r),
+      // overflow-safe spelling of n <= maxBucket * 2^r: the shifted
+      // product overflows Long at r >= 54 (default maxBucket=1000) and
+      // the guard would spuriously refuse/accept exotic-but-legal
+      // configs (r is only bounded <= 63); comparing n >> r against
+      // maxBucket never overflows (r19 advice)
+      require((n >> r) <= maxBucket,
         s"embeddingPairsLsh: $n vectors put ~${n >> r} in every " +
           s"$r-bit band bucket (cap $maxBucket) — the degenerate-bucket " +
           "guard would drop every bucket and silently return ZERO pairs; " +

@@ -40,8 +40,10 @@ import org.apache.spark.sql.functions._
   * position attributes (lat/lon/cell) ride through the aggregate as
   * first() of functionally-dependent columns, so no pass needs an
   * anti-join back to the input (each anti-join would cost two more
-  * shuffles). The two filter branches over one aggregation share a
-  * single shuffle via ReusedExchange (asserted in GeoNearestSpec).
+  * shuffles). Each pass's aggregation is localCheckpoint'ed so its two
+  * filter branches read ONE computation (asserted in GeoNearestSpec;
+  * see the argmin comment for why exchange reuse alone cannot dedup
+  * the branches).
   *
   * The per-pass argmin in passes 1-2 is a codegen'd primitive min over
   * ONE packed long (dist_micro << IdBits | signal_id): distance
@@ -83,6 +85,13 @@ object GeoNearest {
     * packs to 6.8e18 < 2^63 with ~26% headroom. */
   val IdBits = 31
 
+  /** Largest attested layer the candidate joins broadcast: 2M signals
+    * x9 ring copies x ~48 B/row ≈ 0.9 GB built relation — inside the
+    * 8 GB / 512M-row broadcast cap with wide margin, and far past any
+    * city/regional point layer (the reference's domain is ~10^3-10^5
+    * signals). Layers past this keep the planner's shuffle strategy. */
+  val BroadcastLayerMaxRows = 2000000L
+
   /** @param midRings strictly-increasing intermediate rings between
     *   ring-1 and `widenRing`. Pass-2's ring-widening explodes each
     *   unresolved position to (2r+1)² cells, and the r19 sf1 profile
@@ -95,10 +104,23 @@ object GeoNearest {
     *   empty-survivor mid pass joins ~0 rows and costs one ~20 ms
     *   stage. Exactness is per-pass (the safe(r) lower-bound cutoff),
     *   so any ladder is as exact as the direct jump. */
+  /** @param layerRows the caller's staged layer count, when known. The
+    *   layer frame below is a localCheckpoint whose size the planner
+    *   cannot estimate — at sf10 the r20 metrics dump caught the pass-1
+    *   candidate join planned as a SortMergeJoin that SHUFFLED AND
+    *   SORTED the 10M-row position side (twice, reuse lost with it:
+    *   two 416M-row SMJ pipelines = ~75% of query core time) where
+    *   sf0.1/sf1 plan the broadcast the operator was designed around.
+    *   A layer is dim-sized by contract, so when the caller can attest
+    *   the count, the ring-exploded side is broadcast EXPLICITLY
+    *   (guide §3.1: hint when estimates are wrong) up to
+    *   [[BroadcastLayerMaxRows]]; past that the planner keeps choosing
+    *   (a genuinely huge layer must not OOM the driver on a hint). */
   def nearest(positions: DataFrame, signals: DataFrame,
               cellDeg: Double, originLat: Double, originLon: Double,
               maxAbsLatDeg: Double, widenRing: Int = 8,
-              midRings: Seq[Int] = Seq(2)): DataFrame = {
+              midRings: Seq[Int] = Seq(2),
+              layerRows: Option[Long] = None): DataFrame = {
     require(widenRing >= 1, s"widenRing=$widenRing must be >= 1")
     require(cellDeg > 0, s"cellDeg=$cellDeg must be positive")
     require(midRings == midRings.sorted && midRings.distinct == midRings,
@@ -175,19 +197,30 @@ object GeoNearest {
     // min(packed) as "m" (null when the LEFT join matched nothing);
     // lat/lon/coslat are functionally dependent on event_id in every
     // pass, so their first() is deterministic and lets the unresolved
-    // branch feed the next pass without re-joining the input. gx/gy
-    // are dependent ONLY in pass 1 (pass 2 ring-explodes the POSITION
-    // side, so its per-event gx/gy vary) — pass 2 aggregates without
-    // them (carryGrid=false): it never uses them downstream, and
-    // carrying a nondeterministic first() invites someone to rely on
-    // it (r18 review finding)
-    def argmin(cand: DataFrame, carryGrid: Boolean = true): DataFrame = {
-      val deps = Seq(first("lat").as("lat"), first("lon").as("lon"),
-        first("coslat").as("coslat")) ++
-        (if (carryGrid) Seq(first("gx").as("gx"), first("gy").as("gy"))
-         else Nil)
-      cand.groupBy("event_id").agg(min(packed).as("m"), deps: _*)
-    }
+    // branch feed the next pass without re-joining the input. (The
+    // pre-r20 pass-1 argmin also carried first(gx)/first(gy); no
+    // consumer ever read them — resolved rows keep (event_id, m) and
+    // the widen passes recompute the grid key from lat/lon — so they
+    // were pure agg-buffer + exchange weight.)
+    //
+    // Each pass's argmin is localCheckpoint'ed (lazy): its two
+    // consumers prune DIFFERENT column sets — the resolved branch
+    // keeps (event_id, m), the next pass needs (lat, lon, coslat) —
+    // so the optimizer clones the aggregate into two canonically
+    // DIFFERENT subtrees that exchange reuse cannot dedup, and the
+    // candidate join + argmin (the query's dominant cost) executed
+    // TWICE at every scale (r20 sf10 metrics dump: two 416M-row join
+    // pipelines = ~2/3 of total core time; the same double shape is
+    // in the sf0.1 plan). The checkpoint computes the pass once and
+    // both branches read its blocks. Lineage is per-invocation, so
+    // nothing persists across runs (the sig staging precedent above);
+    // the one visible cost is that the pass-1 job now runs when the
+    // plan is first materialized.
+    def argmin(cand: DataFrame): DataFrame =
+      cand.groupBy("event_id").agg(min(packed).as("m"),
+        first("lat").as("lat"), first("lon").as("lon"),
+        first("coslat").as("coslat"))
+        .localCheckpoint(eager = false)
     def distKmOf(m: Column): Column =
       shiftrightunsigned(m, IdBits).cast("double") / 1e6
     def isResolved(r: Int): Column =
@@ -227,6 +260,13 @@ object GeoNearest {
         .select(keep.map(col) :+ col("gx") :+
           (col("gy") + col("__dy")).as("gy"): _*)
 
+    // attested-small layer → explicit broadcast of the candidate-join
+    // layer sides (see the layerRows scaladoc); unattested layers keep
+    // the planner's choice
+    val bcastLayer = layerRows.exists(n => n >= 0 && n <= BroadcastLayerMaxRows)
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcastLayer) broadcast(df) else df
+
     // pass 1: ring-1, signal side exploded x9; the prefilter rides the
     // join condition (LEFT semantics keep no-candidate positions alive
     // as m=null → unresolved, where a post-join filter would LOSE them)
@@ -235,7 +275,7 @@ object GeoNearest {
         col("sgx").as("gx"), col("sgy").as("gy")),
       1, Seq("sig_idx", "s_lat", "s_lon", "s_coslat"))
       .withColumnRenamed("gx", "jgx").withColumnRenamed("gy", "jgy")
-    val m1 = argmin(p.join(sig9,
+    val m1 = argmin(p.join(maybeBcast(sig9),
       col("gx") === col("jgx") && col("gy") === col("jgy") && cheapNear(1),
       "left_outer").drop("jgx", "jgy"))
     val resolved1 = m1.filter(isResolved(1))
@@ -243,10 +283,9 @@ object GeoNearest {
 
     // pass 2: survivors widen through the ring ladder (midRings, then
     // widenRing); position side exploded, signals 1x1. Each rung's
-    // unresolved frame recomputes gx/gy from lat/lon (pass-1's un1
-    // carries them, later rungs' argmin aggregates don't — the grid
-    // key is a pure projection, so recomputing beats carrying a
-    // nondeterministic first() through every aggregate).
+    // unresolved frame recomputes gx/gy from lat/lon — the grid key is
+    // a pure projection, so recomputing beats carrying a
+    // nondeterministic first() through every aggregate.
     def widenPass(unresolved: DataFrame, r: Int): (DataFrame, DataFrame) = {
       val base = unresolved
         .select(col("event_id"), col("lat"), col("lon"), col("coslat"))
@@ -254,11 +293,11 @@ object GeoNearest {
         .withColumn("gy", GeoFunctions.gridY(col("lat"), originLat, cellDeg))
       val pWide = withRing(base, r, Seq("event_id", "lat", "lon", "coslat"))
       val m = argmin(pWide.join(
-        sig.select(col("sig_idx"), col("s_lat"), col("s_lon"), col("s_coslat"),
-          col("sgx").as("jgx"), col("sgy").as("jgy")),
+        maybeBcast(sig.select(col("sig_idx"), col("s_lat"), col("s_lon"),
+          col("s_coslat"), col("sgx").as("jgx"), col("sgy").as("jgy"))),
         col("gx") === col("jgx") && col("gy") === col("jgy") &&
           cheapNear(r),
-        "left_outer").drop("jgx", "jgy"), carryGrid = false)
+        "left_outer").drop("jgx", "jgy"))
       (m.filter(isResolved(r)), m.filter(!isResolved(r)))
     }
     val (resolvedMid, unAfterMid) =
@@ -284,10 +323,8 @@ object GeoNearest {
         (col("ms.d").cast("double") / 1e6).as("dist_km"))
 
     // sig_idx IS signal_id, so unpacking recovers it directly — no
-    // mapping join back through the layer
-    // project both branches to the two columns the unpack needs before
-    // the union (their carried attributes differ: pass 1 keeps gx/gy,
-    // pass 2 doesn't)
+    // mapping join back through the layer; every branch is projected
+    // to the two columns the unpack needs before the union
     (resolvedMid :+ resolved2)
       .foldLeft(resolved1.select("event_id", "m")) {
         (u, r) => u.unionByName(r.select("event_id", "m")) }

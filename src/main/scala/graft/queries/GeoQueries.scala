@@ -104,7 +104,13 @@ object GeoQueries {
       originLat = GeoFunctions.KyivBounds._1,
       originLon = GeoFunctions.KyivBounds._3,
       maxAbsLatDeg = GeoFunctions.KyivBounds._2,
-      midRings = midRings)
+      midRings = midRings,
+      // the staged count attests the layer is dim-sized, so the
+      // candidate joins broadcast it explicitly — at sf10 the planner
+      // (blind to the localCheckpoint's size) planned an SMJ that
+      // shuffled+sorted the 10M-position side twice (GeoNearest
+      // scaladoc; r20 metrics dump)
+      layerRows = Some(n))
       // map back to the caller-visible id space (the oracle's ids)
       .withColumn("signal_id", col("signal_id") * 199)
       .orderBy("event_id")

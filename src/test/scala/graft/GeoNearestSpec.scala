@@ -97,17 +97,40 @@ class GeoNearestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(messages(e).exists(_.contains("signal_id outside")), e.toString)
   }
 
-  test("the resolved/unresolved branches reuse one aggregation shuffle") {
+  test("the resolved/unresolved branches read ONE pass-1 computation") {
+    // The pass argmins are localCheckpoint'ed (GeoNearest.argmin
+    // comment): the resolved and unresolved consumers prune DIFFERENT
+    // column sets, so without the checkpoint the optimizer clones the
+    // candidate join + argmin into two canonically different subtrees
+    // that exchange reuse cannot dedup (the r20 sf10 metrics dump
+    // measured the join executed twice = ~2/3 of query core time).
+    // With the checkpoint, the outer plan must carry NO copy of the
+    // candidate join at all — every branch scans the checkpointed RDD.
     val pos = positions(200)
     val sig = positions(200).filter(col("event_id") % 11 === 0)
       .select(col("event_id").as("signal_id"),
         col("lat").as("s_lat"), col("lon").as("s_lon"))
     val df = GeoNearest.nearest(pos, sig, 0.05, 50.3, 30.2, 50.6)
     df.collect()
-    val reused = collectWithSubqueries(df.queryExecution.executedPlan) {
-      case r: ReusedExchangeExec => r
+    val plan = df.queryExecution.executedPlan
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }
-    assert(reused.nonEmpty,
-      s"pass-1 argmin shuffle not reused across branches:\n${df.queryExecution.executedPlan}")
+    // the only equi-joins allowed in the OUTER plan are the widen-pass
+    // probes (whose inputs are checkpoint scans), never a duplicate of
+    // the pass-1 candidate join over the raw position input: pass-1
+    // lives inside the checkpointed lineage, so no outer join may scan
+    // the positions source directly
+    val rawSided = joins.filter(_.children.exists(c =>
+      c.collectLeaves().exists(_.nodeName.contains("Range"))))
+    assert(rawSided.isEmpty,
+      s"pass-1 candidate join duplicated into the outer plan:\n$plan")
+    val ckptScans = collectWithSubqueries(plan) {
+      case s if s.nodeName.contains("ExistingRDD") => s
+    }.size
+    assert(ckptScans >= 2,
+      s"expected the branches to scan the argmin checkpoint:\n$plan")
   }
 }

@@ -645,6 +645,142 @@ object Scratch {
       spark.stop(); return
     }
 
+    // r20: geo_nearest_signal pass decomposition — where does the time
+    // go at each SF? (a) position parse, (b) signal layer stage,
+    // (c) pass-1 candidate join + argmin alone, (d) the full ladder.
+    if (sys.env.contains("SCRATCH_GEO")) {
+      val d = sys.env.getOrElse("SCRATCH_GEO_DIR", dir)
+      import graft.functions.GeoFunctions
+      import graft.operators.{GeoNearest, Par}
+      def posOnly = queries.GeoQueries.pos(spark, d).select("event_id", "lat", "lon")
+      def sigOnly = posOnly.filter(col("event_id") % 199 === 0)
+        .select((col("event_id") / 199).cast("long").as("signal_id"),
+          col("lat").as("s_lat"), col("lon").as("s_lon"))
+      def full = SparkEntry.queries("geo_nearest_signal")(spark, d)
+      // pass-1 only: ring-1 join + argmin, no ladder/net/union/sort
+      def cellOf: Double = {
+        val n = math.max(1L, Tables.events(spark, d).count() / 199)
+        math.max(0.002, math.min(0.2,
+          queries.GeoQueries.CellDeg * math.pow(500.0 / n.toDouble, 0.4)))
+      }
+      def pass1(cell: Double) = {
+        val sig = sigOnly
+          .withColumn("s_coslat", GeoFunctions.cosLat(col("s_lat")))
+          .withColumn("sgx", GeoFunctions.gridX(col("s_lon"), GeoFunctions.KyivBounds._3, cell))
+          .withColumn("sgy", GeoFunctions.gridY(col("s_lat"), GeoFunctions.KyivBounds._1, cell))
+        val p = Par.spread(posOnly)
+          .withColumn("coslat", GeoFunctions.cosLat(col("lat")))
+          .withColumn("gx", GeoFunctions.gridX(col("lon"), GeoFunctions.KyivBounds._3, cell))
+          .withColumn("gy", GeoFunctions.gridY(col("lat"), GeoFunctions.KyivBounds._1, cell))
+        val sig9 = sig.select(col("signal_id"), col("s_lat"), col("s_lon"),
+            col("s_coslat"), col("sgx").as("gx"), col("sgy").as("gy"))
+          .select(col("signal_id"), col("s_lat"), col("s_lon"), col("s_coslat"),
+            col("gx"), col("gy"), explode(sequence(lit(-1), lit(1))).as("__dx"))
+          .select(col("signal_id"), col("s_lat"), col("s_lon"), col("s_coslat"),
+            (col("gx") + col("__dx")).as("jgx"), col("gy"),
+            explode(sequence(lit(-1), lit(1))).as("__dy"))
+          .select(col("signal_id"), col("s_lat"), col("s_lon"), col("s_coslat"),
+            col("jgx"), (col("gy") + col("__dy")).as("jgy"))
+        val dist = GeoFunctions.haversineKmPre(
+          col("lat"), col("lon"), col("coslat"),
+          col("s_lat"), col("s_lon"), col("s_coslat"))
+        val packed = when(col("signal_id").isNotNull,
+          round(round(dist, 6) * lit(1e6)).cast("long") * lit(1L << 31) + col("signal_id"))
+        p.join(sig9, col("gx") === col("jgx") && col("gy") === col("jgy"), "left_outer")
+          .groupBy("event_id").agg(min(packed).as("m"))
+      }
+      val c = cellOf
+      println(s"SCRATCH geo dir=$d cell=$c")
+      for (i <- 1 to 3) {
+        time(s"geo posOnly r$i")(posOnly)
+        time(s"geo sig     r$i")(sigOnly)
+        time(s"geo pass1   r$i")(pass1(c))
+        time(s"geo full    r$i")(full)
+      }
+      spark.stop(); return
+    }
+
+    // r20: cell-exponent A/B for geo_nearest_signal — the 0.4 exponent
+    // was probed BEFORE the r19 ring ladder existed; with survivors now
+    // climbing 1->2->8 at x25 (not x289), a smaller cell (fewer ring-1
+    // candidates, more survivors) may win. Results are exact for any
+    // cell (checksummed here).
+    if (sys.env.contains("SCRATCH_GEOCELL")) {
+      val d = sys.env.getOrElse("SCRATCH_GEOCELL_DIR", "/tmp/graft-sf1")
+      import graft.functions.GeoFunctions
+      import graft.operators.GeoNearest
+      val n = math.max(1L, Tables.events(spark, d).count() / 199)
+      def run(cell: Double) = GeoNearest.nearest(
+        queries.GeoQueries.pos(spark, d).select("event_id", "lat", "lon"),
+        queries.GeoQueries.pos(spark, d).filter(col("event_id") % 199 === 0)
+          .select((col("event_id") / 199).cast("long").as("signal_id"),
+            col("lat").as("s_lat"), col("lon").as("s_lon")),
+        cellDeg = cell,
+        originLat = GeoFunctions.KyivBounds._1,
+        originLon = GeoFunctions.KyivBounds._3,
+        maxAbsLatDeg = GeoFunctions.KyivBounds._2,
+        midRings = Seq(2),
+        layerRows = if (sys.env.contains("SCRATCH_GEOCELL_NOBCAST")) None
+          else Some(n))
+      // sweep spec: comma-separated base:exp pairs, e.g. "0.05:0.4,0.035:0.5"
+      val variants = sys.env.getOrElse("SCRATCH_GEOCELL_VARIANTS",
+        "0.05:0.4,0.035:0.5,0.025:0.5,0.018:0.5")
+        .split(",").toSeq.map { sp =>
+          val Array(b, x) = sp.split(":"); (b.toDouble, x.toDouble) }
+      val cells = variants.map { case (b, x) =>
+        (s"b$b x$x", math.max(0.002, math.min(0.2, b * math.pow(500.0 / n, x)))) }
+      println(s"SCRATCH geocell n=$n " + cells.map { case (t, c) =>
+        f"$t=$c%.5f" }.mkString(" "))
+      val reps = sys.env.getOrElse("SCRATCH_GEOCELL_REPS", "3").toInt
+      for (i <- 1 to reps; (t, c) <- cells) time(s"cell $t r$i")(run(c))
+      def sig(df: DataFrame) = df.selectExpr(
+        "sum(hash(event_id, signal_id, cast(dist_km*1e6 as long))) as s",
+        "count(*) as n").collect()(0).toString
+      cells.foreach { case (t, c) =>
+        println(s"SCRATCH geocell sig $t = " + sig(run(c))) }
+      spark.stop(); return
+    }
+
+    // r20: run one query and dump per-operator metrics (rows, codegen
+    // pipeline durations) from the executed plan — the UI-less stand-in
+    // for the SQL tab.
+    if (sys.env.contains("SCRATCH_METRICS")) {
+      val d = sys.env.getOrElse("SCRATCH_METRICS_DIR", dir)
+      val names = sys.env.getOrElse("SCRATCH_METRICS_QUERIES", "geo_nearest_signal")
+        .split(",").map(_.trim).toSeq
+      names.foreach { nm =>
+        val df = SparkEntry.queries(nm)(spark, d)
+        val t0 = System.nanoTime()
+        // execute the df's OWN QueryExecution (a noop write would plan a
+        // separate execution whose metrics we can't reach)
+        spark.sparkContext.runJob(df.queryExecution.toRdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n })
+        println(f"SCRATCH metrics[$nm] total=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+          val ms = p.metrics.toSeq.sortBy(_._1).collect {
+            case (k, m) if m.value > 0 &&
+              (k.contains("Time") || k.contains("duration") ||
+               k == "numOutputRows" || k.contains("build") || k.contains("sort")) =>
+              s"$k=${m.value}"
+          }.mkString(" ")
+          val tag = p.nodeName
+          if (ms.nonEmpty) println(("  " * depth) + s"$tag: $ms")
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan, depth + 1)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan, depth + 1)
+            case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+              walk(r.child, depth + 1)
+            case other => other.children.foreach(walk(_, depth + 1))
+          }
+        }
+        walk(df.queryExecution.executedPlan, 0)
+      }
+      spark.stop(); return
+    }
+
     // dd_ngram A/B: fused SortedShingleHashes path vs unfused raw path
     import graft.operators.Dedup
     val t = queries.DedupQueries.JaccardThreshold

@@ -14,8 +14,11 @@
 #     tx_contamination+tx_lm_perplexity pair 33s at 48g vs 6.1s at 16g,
 #     same data, same code) — a bigger heap is not a faster heap.
 #   - dd_embedding is EXCLUDED at sf10: the exact all-pairs baseline
-#     refuses corpora above 100k rows by design (its scale twin
-#     dd_embedding_lsh runs; the audit base samples past the bound).
+#     refuses corpora above 100k rows by design. dd_embedding_lsh also
+#     REFUSES LOUDLY at sf10 (200k vectors > maxBucket*2^r = 32k with
+#     the default nBits=100/bands=20) pending the clustered-regime
+#     resize — SCALE.md records it as 'guarded', and the FAILED line
+#     below is the expected signal, not a silent skip.
 #   - a healthy row grows ~<=10x per 10x data vs the same-host sf1
 #     window; rows whose WORKLOAD grows quadratically by contract
 #     (|Q| x N serving shapes, pair-output joins) are judged against
@@ -41,9 +44,21 @@ for sf in sf1 sf10; do
     SPARK_GRAFT_BENCH_REPEATS=${SF10_REPEATS:-2} \
     SPARK_GRAFT_BENCH_ONLY=$Q \
     SPARK_GRAFT_BENCH_OUT=$OUT/$fam.json \
-    sbt -batch 'runMain graft.Bench' 2>$OUT/$fam.err | grep -E '^\{' | tail -1 || true
+    sbt -batch 'runMain graft.Bench' 2>$OUT/$fam.err | grep -E '^\{' | tail -1
+    # a crashed family must fail LOUDLY, not vanish from the output —
+    # print the stderr tail instead of swallowing it (r19 advice); the
+    # per-query "errors" field in the window JSON covers query-level
+    # failures (e.g. the expected dd_embedding_lsh refusal at sf10)
+    if [ "${PIPESTATUS[0]}" != "0" ]; then
+      echo "=== $sf family $fam FAILED (see $OUT/$fam.err) ==="
+      tail -5 "$OUT/$fam.err"
+    fi
   done
 done
-python3 tools/sf1bench.py /tmp/sf10win/*.json --base /tmp/sf1win/ta.json \
+# merge ALL sf1 family windows into one base so growth factors cover
+# every family (r19 advice: a single-family base silently dropped the
+# non-ta growth rows)
+SF1BASE=$(ls /tmp/sf1win/*.json 2>/dev/null | paste -sd, -)
+python3 tools/sf1bench.py /tmp/sf10win/*.json --base "$SF1BASE" \
   --out /tmp/BENCH_SF10.json 2>/dev/null || \
   echo "growth table: compare /tmp/sf1win/*.json vs /tmp/sf10win/*.json"

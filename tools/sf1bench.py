@@ -11,24 +11,38 @@ vs the sf0.1 minima in BENCH_LOCAL.json.
 
 Usage: python3 tools/sf1bench.py <windowJson...> --base BENCH_LOCAL.json \
          --out BENCH_SF1.json
+
+--base is repeatable (and accepts comma-separated paths): per-family
+base windows min-merge into one base map, so growth factors cover every
+family instead of silently dropping queries absent from a single base
+file (r19 advice: the sf10 growth table lost every non-ta family).
 """
 import json, sys
 
 
 def main():
     args = sys.argv[1:]
-    base_path = "/root/repo/BENCH_LOCAL.json"
+    base_paths = []
     out_path = "/root/repo/BENCH_SF1.json"
     windows = []
     i = 0
     while i < len(args):
         if args[i] == "--base":
-            base_path = args[i + 1]; i += 2
+            base_paths.extend(p for p in args[i + 1].split(",") if p)
+            i += 2
         elif args[i] == "--out":
             out_path = args[i + 1]; i += 2
         else:
             windows.append(args[i]); i += 1
-    base = json.load(open(base_path))["queries"]
+    if not base_paths:
+        base_paths = ["/root/repo/BENCH_LOCAL.json"]
+    base = {}
+    for bp in base_paths:
+        for q, v in json.load(open(bp))["queries"].items():
+            if v >= 0 and (q not in base or base[q] < 0 or v < base[q]):
+                base[q] = v
+            elif q not in base:
+                base[q] = v
     queries, spread, errors, meta = {}, {}, [], []
     for w in windows:
         d = json.load(open(w))
